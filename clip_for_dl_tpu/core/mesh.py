@@ -1,0 +1,67 @@
+"""Device mesh + sharding helpers.
+
+The reference is strictly single-device (SURVEY.md §5.8: a single ``DEVICE``
+constant, no torch.distributed / NCCL anywhere). Scaling here is TPU-native:
+a `jax.sharding.Mesh` over the ICI-connected chips with a 1-D ``data`` axis,
+batch arrays sharded along it, parameters replicated, and global-batch
+contrastive negatives gathered with XLA collectives (losses/global_batch.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .config import MeshConfig
+
+DATA_AXIS = "data"
+
+
+def create_mesh(
+    num_devices: Optional[int] = None,
+    axis_name: str = DATA_AXIS,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a 1-D data-parallel mesh over the available devices.
+
+    ICI topology note: `jax.devices()` returns devices in an order for which a
+    1-D mesh rides the torus links; for multi-slice (DCN) deployments the data
+    axis should be the outermost (slowest-varying) axis so per-step collectives
+    stay on ICI.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def mesh_from_config(cfg: MeshConfig) -> Mesh:
+    return create_mesh(cfg.num_devices, cfg.data_axis)
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch) dimension across the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Place a host pytree of arrays onto the mesh, batch-dim sharded."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree onto the mesh fully replicated (params, opt state)."""
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def local_device_count(mesh: Mesh) -> int:
+    return int(np.prod(mesh.devices.shape))

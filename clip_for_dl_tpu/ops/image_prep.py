@@ -1,0 +1,168 @@
+"""On-device image preprocessing: bilinear resize + channel normalization.
+
+The reference decodes with OpenCV on host dataloader workers and resizes with
+``cv2.resize`` (``0425/prepare_data.py:65-90``), then normalizes on host via
+torchvision transforms. Here decode stays on host (bytes → uint8), but
+resize + normalize + dtype cast run **on device**:
+
+- Bilinear resize is expressed as two small matmuls (separable interpolation
+  weights along H then W, OpenCV's half-pixel coordinate convention with edge
+  clamping). On TPU these land on the MXU and XLA fuses the normalization
+  epilogue into the second contraction — uint8 batches stream HBM→VMEM once.
+- A Pallas kernel (`fused_resize_normalize`) does the whole per-image
+  pipeline (u8→f32, H-matmul, W-matmul, scale/bias, bf16 cast) in VMEM in one
+  pass for the fixed 224-target hot path.
+
+cv2 parity note (SURVEY.md §7 "hard parts"): on float inputs this matches
+``cv2.resize(..., INTER_LINEAR)`` to float tolerance; on uint8 inputs OpenCV
+uses 11-bit fixed-point coefficients and rounds the result to uint8, so we
+compute in float and match within 1/255 (validated in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@functools.lru_cache(maxsize=64)
+def _resize_weights(in_size: int, out_size: int) -> np.ndarray:
+    """Dense [out, in] bilinear interpolation matrix, OpenCV convention:
+    src = (dst + 0.5) * in/out - 0.5, edge-clamped."""
+    w = np.zeros((out_size, in_size), np.float32)
+    if in_size == out_size:
+        np.fill_diagonal(w, 1.0)
+        return w
+    scale = in_size / out_size
+    dst = np.arange(out_size, dtype=np.float64)
+    src = (dst + 0.5) * scale - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    frac = src - i0
+    lo = np.clip(i0, 0, in_size - 1)
+    hi = np.clip(i0 + 1, 0, in_size - 1)
+    np.add.at(w, (dst.astype(np.int64), lo), (1.0 - frac))
+    np.add.at(w, (dst.astype(np.int64), hi), frac)
+    return w
+
+
+def _norm_scale_bias(
+    mean: Sequence[float], std: Sequence[float], input_scale: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """y = x*scale + bias  ≡  (x*input_scale - mean)/std, per channel."""
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    return (np.float32(input_scale) / std, -mean / std)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_bilinear(images: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Batched NHWC bilinear resize via two MXU contractions."""
+    _, in_h, in_w, _ = images.shape
+    wh = jnp.asarray(_resize_weights(in_h, out_h))
+    ww = jnp.asarray(_resize_weights(in_w, out_w))
+    x = images.astype(jnp.float32)
+    x = jnp.einsum("Hh,bhwc->bHwc", wh, x, preferred_element_type=jnp.float32)
+    x = jnp.einsum("Ww,bhwc->bhWc", ww, x, preferred_element_type=jnp.float32)
+    return x
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_h", "out_w", "mean", "std", "out_dtype")
+)
+def preprocess_images(
+    images: jax.Array,
+    out_h: int = 224,
+    out_w: int = 224,
+    mean: Tuple[float, ...] = (0.0, 0.0, 0.0),
+    std: Tuple[float, ...] = (1.0, 1.0, 1.0),
+    out_dtype: jnp.dtype = jnp.bfloat16,
+) -> jax.Array:
+    """uint8/float NHWC batch → resized, normalized `out_dtype` batch.
+
+    One XLA program: resize matmuls with the (x/255 - mean)/std epilogue
+    fused into the last contraction's output.
+    """
+    input_scale = 1.0 / 255.0 if images.dtype == jnp.uint8 else 1.0
+    scale, bias = _norm_scale_bias(mean, std, input_scale)
+    x = resize_bilinear(images, out_h, out_w)
+    x = x * jnp.asarray(scale) + jnp.asarray(bias)
+    return x.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused per-image kernel (the fixed-target hot path)
+# ---------------------------------------------------------------------------
+
+
+def _fused_prep_kernel(img_ref, wh_ref, ww_ref, scale_ref, bias_ref, out_ref):
+    # img_ref: [1, H_in, W_in*C] channel-folded uint8/float32 for one image.
+    x = img_ref[0].astype(jnp.float32)  # [H_in, Win*C]
+    # H resize: [H_out, H_in] @ [H_in, Win*C]
+    x = jnp.dot(wh_ref[:], x, preferred_element_type=jnp.float32)
+    # W resize with channels folded: Ww ⊗ I_C as dense [Wout*C, Win*C]
+    x = jnp.dot(x, ww_ref[:].T, preferred_element_type=jnp.float32)
+    # Normalize epilogue: per-column scale/bias rows [1, Wout*C]
+    out_ref[0] = (x * scale_ref[0] + bias_ref[0]).astype(out_ref.dtype)
+
+
+@functools.lru_cache(maxsize=16)
+def _kron_weights(in_w: int, out_w: int, channels: int) -> np.ndarray:
+    return np.kron(_resize_weights(in_w, out_w), np.eye(channels, dtype=np.float32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_h", "out_w", "mean", "std", "out_dtype", "interpret"),
+)
+def fused_resize_normalize(
+    images: jax.Array,
+    out_h: int = 224,
+    out_w: int = 224,
+    mean: Tuple[float, ...] = (0.0, 0.0, 0.0),
+    std: Tuple[float, ...] = (1.0, 1.0, 1.0),
+    out_dtype: jnp.dtype = jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-pass Pallas kernel: resize + normalize + cast, one image per
+    grid step, everything resident in VMEM."""
+    b, in_h, in_w, c = images.shape
+    folded = images.reshape(b, in_h, in_w * c)
+    input_scale = 1.0 / 255.0 if images.dtype == jnp.uint8 else 1.0
+    scale_c, bias_c = _norm_scale_bias(mean, std, input_scale)
+    scale = jnp.asarray(np.tile(scale_c, out_w))[None, :]  # [1, Wout*C]
+    bias = jnp.asarray(np.tile(bias_c, out_w))[None, :]
+    wh = jnp.asarray(_resize_weights(in_h, out_h))
+    ww = jnp.asarray(_kron_weights(in_w, out_w, c))
+
+    out = pl.pallas_call(
+        _fused_prep_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, out_h, out_w * c), out_dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, in_h, in_w * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((out_h, in_h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (out_w * c, in_w * c), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, out_w * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_w * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, out_h, out_w * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (out_h * in_h * in_w * c + out_h * out_w * c * in_w * c),
+            bytes_accessed=b * (in_h * in_w * c + out_h * out_w * c * 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(folded, wh, ww, scale, bias)
+    return out.reshape(b, out_h, out_w, c)
