@@ -1,0 +1,100 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from clip_for_dl_tpu.ops import (
+    fused_resize_normalize,
+    fused_similarity,
+    l2_normalize,
+    preprocess_images,
+    resize_bilinear,
+    similarity_reference,
+)
+
+
+class TestL2Normalize:
+    def test_matches_torch_normalize(self, rng):
+        x = rng.standard_normal((7, 512)).astype(np.float32)
+        ours = np.asarray(l2_normalize(jnp.asarray(x)))
+        theirs = F.normalize(torch.from_numpy(x), dim=-1).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+    def test_zero_vector_stable(self):
+        x = jnp.zeros((2, 8))
+        out = l2_normalize(x)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestSimilarity:
+    def test_reference_matches_torch(self, rng):
+        img = rng.standard_normal((5, 512)).astype(np.float32)
+        txt = rng.standard_normal((16, 512)).astype(np.float32)
+        ours = np.asarray(
+            similarity_reference(jnp.asarray(img), jnp.asarray(txt), 0.5)
+        )
+        ti = F.normalize(torch.from_numpy(img), dim=-1)
+        tt = F.normalize(torch.from_numpy(txt), dim=-1)
+        theirs = ((ti @ tt.T) / 0.5).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    @pytest.mark.parametrize("b,c,d", [(5, 16, 512), (33, 16, 512), (8, 3, 130)])
+    def test_fused_kernel_matches_reference(self, rng, b, c, d):
+        img = rng.standard_normal((b, d)).astype(np.float32)
+        txt = rng.standard_normal((c, d)).astype(np.float32)
+        ref = np.asarray(
+            similarity_reference(jnp.asarray(img), jnp.asarray(txt), 0.07)
+        )
+        fused = np.asarray(
+            fused_similarity(
+                jnp.asarray(img), jnp.asarray(txt), 0.07, interpret=True
+            )
+        )
+        np.testing.assert_allclose(fused, ref, atol=1e-4, rtol=1e-4)
+
+
+class TestResize:
+    @pytest.mark.parametrize("in_hw,out_hw", [((448, 512), (224, 224)),
+                                              ((100, 80), (224, 224)),
+                                              ((224, 224), (224, 224))])
+    def test_matches_cv2_float(self, rng, in_hw, out_hw):
+        cv2 = pytest.importorskip("cv2")
+        img = rng.random((*in_hw, 3)).astype(np.float32)
+        ours = np.asarray(resize_bilinear(jnp.asarray(img)[None], *out_hw))[0]
+        theirs = cv2.resize(img, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_LINEAR)
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    def test_matches_cv2_uint8_within_quantization(self, rng):
+        cv2 = pytest.importorskip("cv2")
+        img = rng.integers(0, 256, (300, 400, 3), dtype=np.uint8)
+        ours = np.asarray(resize_bilinear(jnp.asarray(img)[None], 224, 224))[0]
+        theirs = cv2.resize(img, (224, 224), interpolation=cv2.INTER_LINEAR)
+        # cv2 uses 11-bit fixed point + uint8 rounding; stay within 1 level.
+        assert np.abs(ours - theirs.astype(np.float32)).max() <= 1.0
+
+
+class TestPreprocess:
+    def test_normalization_values(self, rng):
+        mean, std = (0.5, 0.4, 0.3), (0.2, 0.25, 0.3)
+        img = rng.integers(0, 256, (2, 224, 224, 3), dtype=np.uint8)
+        out = np.asarray(
+            preprocess_images(
+                jnp.asarray(img), 224, 224, mean, std, out_dtype=jnp.float32
+            )
+        )
+        expected = (img.astype(np.float32) / 255.0 - np.array(mean)) / np.array(std)
+        np.testing.assert_allclose(out, expected, atol=1e-4)
+
+    def test_fused_pallas_matches_xla_path(self, rng):
+        mean, std = (0.48, 0.45, 0.40), (0.26, 0.26, 0.27)
+        img = rng.integers(0, 256, (2, 64, 48, 3), dtype=np.uint8)
+        xla = np.asarray(
+            preprocess_images(jnp.asarray(img), 32, 32, mean, std, jnp.float32)
+        )
+        pallas = np.asarray(
+            fused_resize_normalize(
+                jnp.asarray(img), 32, 32, mean, std, jnp.float32, interpret=True
+            )
+        )
+        np.testing.assert_allclose(pallas, xla, atol=1e-4, rtol=1e-4)
