@@ -1,0 +1,41 @@
+from .attention_fusion import (
+    AdditiveMultiModalAttention,
+    CrossModalTransformerFusion,
+    MLDAdapterBlock,
+    TorchStyleMHA,
+)
+from .bert import BertEncoder, bio_clinical_bert, import_hf_bert
+from .clip import CXRClip
+from .heads import (
+    CAdapter,
+    ImageProjection,
+    MultiViewFusion,
+    ResidualProjection,
+    SharedEmbeddingAdapter,
+    TextProjection,
+)
+from .resnet import ResNet, import_torchvision_resnet50, resnet50
+from .vit import ViT, import_torchvision_vit_b16, vit_b16
+
+__all__ = [
+    "AdditiveMultiModalAttention",
+    "CrossModalTransformerFusion",
+    "MLDAdapterBlock",
+    "TorchStyleMHA",
+    "BertEncoder",
+    "bio_clinical_bert",
+    "import_hf_bert",
+    "CXRClip",
+    "CAdapter",
+    "ImageProjection",
+    "MultiViewFusion",
+    "ResidualProjection",
+    "SharedEmbeddingAdapter",
+    "TextProjection",
+    "ResNet",
+    "import_torchvision_resnet50",
+    "resnet50",
+    "ViT",
+    "import_torchvision_vit_b16",
+    "vit_b16",
+]

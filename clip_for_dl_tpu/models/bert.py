@@ -1,0 +1,217 @@
+"""BERT text tower (Bio_ClinicalBERT geometry), CLS-pooled.
+
+The reference loads HF ``emilyalsentzer/Bio_ClinicalBERT`` and pools the CLS
+token of ``last_hidden_state`` (0425/train.py:775-776,806-824; 02 nb cell 24).
+This is a from-scratch flax implementation of the bert-base encoder with an
+importer for HF ``BertModel`` state_dicts, so the real clinical weights drop
+in for parity runs.
+
+TPU-first notes:
+- Fixed max_length padding (the reference's tokenizer setting) keeps shapes
+  static under jit; the attention mask is an additive bias so batches of
+  ragged reports compile once.
+- bf16 matmuls with fp32 softmax/LayerNorm; seq ≤ 512 needs no sequence
+  parallelism (SURVEY.md §5.7) but attention is written batched [B, H, L, L]
+  so a mesh axis can shard B.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from . import torch_import as ti
+
+Dtype = Any
+
+
+class BertEmbeddings(nn.Module):
+    vocab_size: int
+    hidden: int
+    max_position: int = 512
+    type_vocab: int = 2
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, *, deterministic=True):
+        b, l = input_ids.shape
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        positions = jnp.arange(l)[None, :]
+        kw = dict(param_dtype=self.param_dtype, dtype=self.dtype)
+        we = nn.Embed(self.vocab_size, self.hidden, name="word_embeddings", **kw)
+        pe = nn.Embed(self.max_position, self.hidden, name="position_embeddings", **kw)
+        te = nn.Embed(self.type_vocab, self.hidden, name="token_type_embeddings", **kw)
+        x = we(input_ids) + pe(positions) + te(token_type_ids)
+        x = nn.LayerNorm(
+            epsilon=1e-12, dtype=jnp.float32, param_dtype=self.param_dtype,
+            name="layer_norm",
+        )(x.astype(jnp.float32)).astype(self.dtype)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(x)
+
+
+class BertSelfAttention(nn.Module):
+    hidden: int
+    heads: int
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bias, *, deterministic=True, sow_weights=False):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h, hd = self.heads, self.hidden // self.heads
+        q = nn.Dense(self.hidden, name="query", **kw)(x)
+        k = nn.Dense(self.hidden, name="key", **kw)(x)
+        v = nn.Dense(self.hidden, name="value", **kw)(x)
+
+        def split(t):
+            return t.reshape(*t.shape[:-1], h, hd).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = split(q), split(k), split(v)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.float32(hd))
+        if bias is not None:
+            logits = logits + bias
+        probs = nn.softmax(logits, axis=-1)
+        if sow_weights:
+            self.sow("intermediates", "attention_weights", probs)
+        probs = nn.Dropout(self.dropout, deterministic=deterministic)(probs)
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs.astype(self.dtype), vh,
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        return out.transpose(0, 2, 1, 3).reshape(*x.shape[:-1], self.hidden)
+
+
+class BertLayer(nn.Module):
+    hidden: int
+    heads: int
+    intermediate: int
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bias, *, deterministic=True, sow_weights=False):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        ln = dict(
+            epsilon=1e-12, dtype=jnp.float32, param_dtype=self.param_dtype
+        )
+        attn = BertSelfAttention(
+            self.hidden, self.heads, self.dropout, name="attention", **kw
+        )(x, bias, deterministic=deterministic, sow_weights=sow_weights)
+        attn = nn.Dense(self.hidden, name="attention_output", **kw)(attn)
+        attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
+        x = nn.LayerNorm(name="attention_layer_norm", **ln)(
+            (x + attn).astype(jnp.float32)
+        ).astype(self.dtype)
+        h = nn.Dense(self.intermediate, name="intermediate", **kw)(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.hidden, name="output", **kw)(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return nn.LayerNorm(name="output_layer_norm", **ln)(
+            (x + h).astype(jnp.float32)
+        ).astype(self.dtype)
+
+
+class BertEncoder(nn.Module):
+    """bert-base geometry by default (Bio_ClinicalBERT: 12L/12H/768)."""
+
+    vocab_size: int = 28996
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    intermediate: int = 3072
+    max_position: int = 512
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        token_type_ids: Optional[jnp.ndarray] = None,
+        *,
+        deterministic: bool = True,
+        sow_weights: bool = False,
+    ) -> jnp.ndarray:
+        """Returns last_hidden_state [B, L, hidden]."""
+        x = BertEmbeddings(
+            self.vocab_size, self.hidden, self.max_position,
+            dropout=self.dropout, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="embeddings",
+        )(input_ids, token_type_ids, deterministic=deterministic)
+        bias = None
+        if attention_mask is not None:
+            bias = jnp.where(
+                attention_mask[:, None, None, :] > 0, 0.0, -1e10
+            ).astype(jnp.float32)
+        for i in range(self.layers):
+            x = BertLayer(
+                self.hidden, self.heads, self.intermediate, self.dropout,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"layer_{i}",
+            )(x, bias, deterministic=deterministic, sow_weights=sow_weights)
+        return x
+
+    def cls_pool(self, last_hidden_state: jnp.ndarray) -> jnp.ndarray:
+        """CLS-token pooling: last_hidden_state[:, 0, :] (0425/train.py:820)."""
+        return last_hidden_state[:, 0, :]
+
+
+def bio_clinical_bert(dtype=jnp.float32, param_dtype=jnp.float32) -> BertEncoder:
+    """Bio_ClinicalBERT geometry: BERT-base with the cased 28996 vocab."""
+    return BertEncoder(dtype=dtype, param_dtype=param_dtype)
+
+
+# ---------------------------------------------------------------------------
+# HF BertModel state_dict import
+# ---------------------------------------------------------------------------
+
+
+def import_hf_bert(sd: Mapping[str, Any], layers: int = 12) -> Dict[str, Any]:
+    """HF transformers BertModel state_dict → BertEncoder params pytree.
+
+    Accepts both bare ("embeddings...") and prefixed ("bert.embeddings...")
+    key layouts; ignores the pooler (the reference CLS-pools manually).
+    """
+    if any(k.startswith("bert.") for k in sd):
+        sd = {k[len("bert."):]: v for k, v in sd.items() if k.startswith("bert.")}
+
+    params: Dict[str, Any] = {
+        "embeddings": {
+            "word_embeddings": ti.embedding(sd, "embeddings.word_embeddings"),
+            "position_embeddings": ti.embedding(
+                sd, "embeddings.position_embeddings"
+            ),
+            "token_type_embeddings": ti.embedding(
+                sd, "embeddings.token_type_embeddings"
+            ),
+            "layer_norm": ti.layernorm(sd, "embeddings.LayerNorm"),
+        }
+    }
+    for i in range(layers):
+        src = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "attention": {
+                "query": ti.linear(sd, f"{src}.attention.self.query"),
+                "key": ti.linear(sd, f"{src}.attention.self.key"),
+                "value": ti.linear(sd, f"{src}.attention.self.value"),
+            },
+            "attention_output": ti.linear(sd, f"{src}.attention.output.dense"),
+            "attention_layer_norm": ti.layernorm(
+                sd, f"{src}.attention.output.LayerNorm"
+            ),
+            "intermediate": ti.linear(sd, f"{src}.intermediate.dense"),
+            "output": ti.linear(sd, f"{src}.output.dense"),
+            "output_layer_norm": ti.layernorm(sd, f"{src}.output.LayerNorm"),
+        }
+    return params

@@ -1,0 +1,170 @@
+"""ViT image tower (torchvision vit_b_16-compatible), NHWC patches.
+
+The reference's ViT variant swaps the image encoder to torchvision's
+``vit_b_16`` with ``heads.head = nn.Identity()`` → 768-d CLS features
+(vit_vision/chestxray_CLIP_vitvision.ipynb cell 24) and visualizes attention
+rollout from every encoder layer's self-attention weights (cell 34).
+
+Design: pre-norm transformer; patchify is a single [B, 196, 768] reshape +
+Dense (the 16×16 conv is exactly a matmul over flattened patches — MXU
+native); attention probabilities can be sown into the ``intermediates``
+collection for rollout, replacing the reference's forward hooks.
+
+`import_torchvision_vit_b16` maps torchvision's state_dict naming
+(conv_proj, class_token, encoder.pos_embedding,
+encoder.layers.encoder_layer_N.*, encoder.ln).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from . import torch_import as ti
+
+Dtype = Any
+
+
+class ViTEncoderLayer(nn.Module):
+    hidden: int
+    heads: int
+    mlp_dim: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic=True, sow_weights=False):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        ln = dict(epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype)
+        h, hd = self.heads, self.hidden // self.heads
+
+        y = nn.LayerNorm(name="ln_1", **ln)(x.astype(jnp.float32)).astype(self.dtype)
+        q = nn.Dense(self.hidden, name="q_proj", **kw)(y)
+        k = nn.Dense(self.hidden, name="k_proj", **kw)(y)
+        v = nn.Dense(self.hidden, name="v_proj", **kw)(y)
+
+        def split(t):
+            return t.reshape(*t.shape[:-1], h, hd).transpose(0, 2, 1, 3)
+
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", split(q), split(k),
+            preferred_element_type=jnp.float32,
+        ) / jnp.sqrt(jnp.float32(hd))
+        probs = nn.softmax(logits, axis=-1)
+        if sow_weights:
+            self.sow("intermediates", "attention_weights", probs)
+        probs = nn.Dropout(self.dropout, deterministic=deterministic)(probs)
+        attn = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs.astype(self.dtype), split(v),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        attn = attn.transpose(0, 2, 1, 3).reshape(*x.shape)
+        attn = nn.Dense(self.hidden, name="out_proj", **kw)(attn)
+        attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
+        x = x + attn
+
+        y = nn.LayerNorm(name="ln_2", **ln)(x.astype(jnp.float32)).astype(self.dtype)
+        y = nn.Dense(self.mlp_dim, name="mlp_1", **kw)(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
+        y = nn.Dense(self.hidden, name="mlp_2", **kw)(y)
+        y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
+        return x + y
+
+
+class ViT(nn.Module):
+    """Returns CLS features [B, hidden] (the heads.head=Identity contract)."""
+
+    image_size: int = 224
+    patch: int = 16
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_dim: int = 3072
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, *, deterministic=True, sow_weights=False):
+        b, hgt, wdt, c = images.shape
+        p = self.patch
+        gh, gw = hgt // p, wdt // p
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = images.astype(self.dtype)
+        # Patchify as reshape + Dense ≡ Conv2d(3, hidden, 16, stride 16).
+        x = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, gh * gw, p * p * c)
+        x = nn.Dense(self.hidden, name="patch_embed", **kw)(x)
+
+        cls = self.param(
+            "class_token",
+            nn.initializers.zeros,
+            (1, 1, self.hidden),
+            self.param_dtype,
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (b, 1, self.hidden)).astype(self.dtype), x],
+            axis=1,
+        )
+        pos = self.param(
+            "pos_embedding",
+            nn.initializers.normal(0.02),
+            (1, gh * gw + 1, self.hidden),
+            self.param_dtype,
+        )
+        x = x + pos.astype(self.dtype)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+
+        for i in range(self.layers):
+            x = ViTEncoderLayer(
+                self.hidden, self.heads, self.mlp_dim, self.dropout,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"layer_{i}",
+            )(x, deterministic=deterministic, sow_weights=sow_weights)
+
+        x = nn.LayerNorm(
+            epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype,
+            name="ln",
+        )(x.astype(jnp.float32)).astype(self.dtype)
+        return x[:, 0, :]
+
+
+def vit_b16(dtype=jnp.float32, param_dtype=jnp.float32) -> ViT:
+    return ViT(dtype=dtype, param_dtype=param_dtype)
+
+
+def import_torchvision_vit_b16(
+    sd: Mapping[str, Any], layers: int = 12, hidden: int = 768
+) -> Dict[str, Any]:
+    """torchvision vit_b_16 state_dict → ViT params pytree.
+
+    conv_proj's [hidden, 3, 16, 16] kernel flattens to the patch-Dense
+    [16*16*3, hidden] kernel (patch pixels row-major, channel fastest —
+    matching our patchify reshape order HWC per patch).
+    """
+    w = ti.to_np(sd["conv_proj.weight"])  # [hidden, C, P, P]
+    kernel = w.transpose(2, 3, 1, 0).reshape(-1, hidden)  # P,P,C → flat
+    params: Dict[str, Any] = {
+        "patch_embed": {"kernel": kernel, "bias": ti.to_np(sd["conv_proj.bias"])},
+        "class_token": ti.to_np(sd["class_token"]),
+        "pos_embedding": ti.to_np(sd["encoder.pos_embedding"]),
+        "ln": ti.layernorm(sd, "encoder.ln"),
+    }
+    for i in range(layers):
+        src = f"encoder.layers.encoder_layer_{i}"
+        mha = ti.torch_mha(sd, f"{src}.self_attention", hidden)
+        params[f"layer_{i}"] = {
+            "ln_1": ti.layernorm(sd, f"{src}.ln_1"),
+            "q_proj": mha["q_proj"],
+            "k_proj": mha["k_proj"],
+            "v_proj": mha["v_proj"],
+            "out_proj": mha["out_proj"],
+            "ln_2": ti.layernorm(sd, f"{src}.ln_2"),
+            "mlp_1": ti.linear(sd, f"{src}.mlp.0"),
+            "mlp_2": ti.linear(sd, f"{src}.mlp.3"),
+        }
+    return params
