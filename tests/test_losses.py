@@ -1,0 +1,196 @@
+"""Loss parity vs torch implementations of the reference formulas, plus
+global-batch equivalence on the 8-device virtual mesh."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from clip_for_dl_tpu import losses as L
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+class TestSoftCrossEntropy:
+    def test_matches_torch(self, rng):
+        logits = rng.standard_normal((4, 6)).astype(np.float32)
+        targets = rng.random((4, 6)).astype(np.float32)
+        want = (
+            -(torch.from_numpy(targets) * F.log_softmax(torch.from_numpy(logits), -1))
+            .sum(1)
+            .numpy()
+        )
+        got = _np(L.soft_cross_entropy(jnp.asarray(logits), jnp.asarray(targets)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestClipSelfDistill:
+    @pytest.mark.parametrize("temp", [2.0, 0.07])
+    def test_matches_torch_formula(self, rng, temp):
+        txt = rng.standard_normal((5, 8)).astype(np.float32)
+        img = rng.standard_normal((5, 8)).astype(np.float32)
+        t_txt, t_img = torch.from_numpy(txt), torch.from_numpy(img)
+        logits = (t_txt @ t_img.T) / temp
+        targets = F.softmax((t_img @ t_img.T + t_txt @ t_txt.T) / 2 * temp, dim=-1)
+        tl = -(targets * F.log_softmax(logits, -1)).sum(1)
+        il = -(targets.T * F.log_softmax(logits.T, -1)).sum(1)
+        want = ((tl + il) / 2).mean().item()
+        got = float(L.clip_self_distill_loss(jnp.asarray(txt), jnp.asarray(img), temp))
+        assert got == pytest.approx(want, abs=1e-5)
+
+    def test_eval_mode_returns_logits(self, rng):
+        txt = rng.standard_normal((3, 4)).astype(np.float32)
+        img = rng.standard_normal((3, 4)).astype(np.float32)
+        got = _np(L.clip_self_distill_loss(jnp.asarray(txt), jnp.asarray(img), 2.0, "eval"))
+        np.testing.assert_allclose(got, (txt @ img.T) / 2.0, atol=1e-5)
+
+
+class TestInfoNCE:
+    def test_matches_torch(self, rng):
+        img = rng.standard_normal((6, 8)).astype(np.float32)
+        txt = rng.standard_normal((6, 8)).astype(np.float32)
+        ti, tt = torch.from_numpy(img), torch.from_numpy(txt)
+        logits = (ti @ tt.T) / 0.5
+        labels = torch.arange(6)
+        want = (
+            (F.cross_entropy(logits, labels) + F.cross_entropy(logits.T, labels)) / 2
+        ).item()
+        got = float(L.info_nce_loss(jnp.asarray(img), jnp.asarray(txt), 0.5))
+        assert got == pytest.approx(want, abs=1e-5)
+
+
+class TestMultilabelContrastive:
+    def test_matches_reference_formula(self, rng):
+        img = rng.standard_normal((4, 8)).astype(np.float32)
+        txt = rng.standard_normal((16, 8)).astype(np.float32)
+        lbl = (rng.random((4, 16)) > 0.7).astype(np.float32)
+        ti = F.normalize(torch.from_numpy(img), dim=1)
+        tt = F.normalize(torch.from_numpy(txt), dim=1)
+        tl = torch.from_numpy(lbl)
+        sims = torch.clamp((ti @ tt.T) / 0.07, -50.0, 50.0)
+        pos = torch.sigmoid(sims)
+        pos_loss = -torch.sum(torch.log(pos + 1e-8) * tl) / (tl.sum() + 1e-8)
+        neg_loss = -torch.sum(torch.log(1 - pos + 1e-8) * (1 - tl)) / (
+            (1 - tl).sum() + 1e-8
+        )
+        want = ((pos_loss + neg_loss) / 2).item()
+        got = float(
+            L.multilabel_contrastive_loss(
+                jnp.asarray(img), jnp.asarray(txt), jnp.asarray(lbl), 0.07
+            )
+        )
+        assert got == pytest.approx(want, abs=1e-5)
+
+
+class TestAsymmetricLoss:
+    def test_matches_reference_formula(self, rng):
+        logits = rng.standard_normal((4, 16)).astype(np.float32)
+        targets = (rng.random((4, 16)) > 0.7).astype(np.float32)
+        tlg, tt = torch.from_numpy(logits), torch.from_numpy(targets)
+        probs = torch.sigmoid(tlg)
+        probs_neg = (1 - probs + 0.05).clamp(max=1)
+        pos_loss = tt * torch.log(probs.clamp(min=1e-8))
+        neg_loss = (1 - tt) * torch.log(probs_neg.clamp(min=1e-8)) * probs**4
+        want = (-(pos_loss + neg_loss)).mean().item()
+        got = float(L.asymmetric_loss(jnp.asarray(logits), jnp.asarray(targets)))
+        assert got == pytest.approx(want, abs=1e-5)
+
+
+class TestBCEFocal:
+    def test_bce_matches_torch(self, rng):
+        logits = rng.standard_normal((4, 16)).astype(np.float32)
+        targets = (rng.random((4, 16)) > 0.5).astype(np.float32)
+        want = F.binary_cross_entropy_with_logits(
+            torch.from_numpy(logits), torch.from_numpy(targets)
+        ).item()
+        got = float(L.bce_with_logits_loss(jnp.asarray(logits), jnp.asarray(targets)))
+        assert got == pytest.approx(want, abs=1e-6)
+
+    def test_focal_matches_formula(self, rng):
+        logits = rng.standard_normal((4, 16)).astype(np.float32)
+        targets = (rng.random((4, 16)) > 0.5).astype(np.float32)
+        p = torch.sigmoid(torch.from_numpy(logits))
+        t = torch.from_numpy(targets)
+        ce = F.binary_cross_entropy_with_logits(
+            torch.from_numpy(logits), t, reduction="none"
+        )
+        p_t = p * t + (1 - p) * (1 - t)
+        alpha_t = 0.25 * t + 0.75 * (1 - t)
+        want = (alpha_t * (1 - p_t) ** 2 * ce).mean().item()
+        got = float(L.focal_loss(jnp.asarray(logits), jnp.asarray(targets)))
+        assert got == pytest.approx(want, abs=1e-6)
+
+
+class TestGlobalBatch:
+    """Global-batch loss on 8 shards == single-device loss on the full batch,
+    in value AND gradient."""
+
+    def _run(self, local_fn, global_fn, args_full, n_gather):
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        specs = tuple(
+            P("data") if i < n_gather else P() for i in range(len(args_full))
+        )
+
+        @functools.partial(
+            shard_map, mesh=mesh, in_specs=specs, out_specs=P()
+        )
+        def sharded(*args):
+            return global_fn(*args)
+
+        want_val, want_grads = jax.value_and_grad(
+            lambda *a: local_fn(*a), argnums=tuple(range(len(args_full)))
+        )(*args_full)
+        got_val, got_grads = jax.value_and_grad(
+            lambda *a: sharded(*a), argnums=tuple(range(len(args_full)))
+        )(*args_full)
+        np.testing.assert_allclose(float(got_val), float(want_val), atol=1e-5)
+        for g, w in zip(got_grads, want_grads):
+            np.testing.assert_allclose(_np(g), _np(w), atol=1e-5, rtol=1e-4)
+
+    def test_global_info_nce(self, rng, eight_devices):
+        img = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+        txt = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+        self._run(
+            lambda a, b: L.info_nce_loss(a, b, 0.5),
+            lambda a, b: L.global_info_nce_loss(a, b, 0.5),
+            (img, txt),
+            n_gather=2,
+        )
+
+    def test_global_self_distill(self, rng, eight_devices):
+        txt = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+        img = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+        self._run(
+            lambda a, b: L.clip_self_distill_loss(a, b, 2.0),
+            lambda a, b: L.global_clip_self_distill_loss(a, b, 2.0),
+            (txt, img),
+            n_gather=2,
+        )
+
+    def test_global_multilabel(self, rng, eight_devices):
+        img = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+        txt = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+        lbl = jnp.asarray((rng.random((16, 16)) > 0.7), jnp.float32)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P("data"), P(), P("data")), out_specs=P(),
+        )
+        def sharded(a, b, c):
+            return L.global_multilabel_contrastive_loss(a, b, c, 0.07)
+
+        want_val, want_grad = jax.value_and_grad(
+            lambda a: L.multilabel_contrastive_loss(a, txt, lbl, 0.07)
+        )(img)
+        got_val, got_grad = jax.value_and_grad(lambda a: sharded(a, txt, lbl))(img)
+        np.testing.assert_allclose(float(got_val), float(want_val), atol=1e-5)
+        np.testing.assert_allclose(_np(got_grad), _np(want_grad), atol=1e-5)
