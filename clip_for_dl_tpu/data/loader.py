@@ -1,0 +1,157 @@
+"""Host-side batch loader with threaded prefetch and device double-buffering.
+
+The reference uses torch DataLoader with 4 worker processes
+(0425/prepare_data.py:256-268). Here: a thread pool decodes images (cv2
+releases the GIL), batches assemble into fixed-shape numpy arrays, and
+`prefetch_to_device` keeps the next batch's H2D copy in flight while the
+current step runs — the TPU never waits on the host for this workload
+(~25 MB/s of uint8 at the reference's batch sizes).
+
+Fixed shapes: the final partial batch is padded and carries a ``mask`` so
+every step compiles once.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from queue import Queue
+from typing import Any, Callable, Dict, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def _collate(samples: Sequence[Dict]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        elif isinstance(vals[0], (int, float, np.integer, np.floating)):
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = list(vals)  # strings / tuples stay host-side
+    return out
+
+
+class HostLoader:
+    """Iterate fixed-size batches with background decode threads.
+
+    pad_final=True pads the last batch to batch_size and adds ``mask``
+    [B] float32 (1 = real sample); drop_last=True mirrors torch's behavior.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        num_threads: int = 4,
+        drop_last: bool = False,
+        pad_final: bool = True,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_threads = num_threads
+        self.drop_last = drop_last
+        self.pad_final = pad_final
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _batch_indices(self) -> Iterator[np.ndarray]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, stop, self.batch_size):
+            yield order[start : start + self.batch_size]
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        self._epoch += 1
+        queue: Queue = Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                for idx in self._batch_indices():
+                    samples = list(pool.map(self.dataset.__getitem__, idx))
+                    batch = _collate(samples)
+                    real = len(idx)
+                    if self.pad_final and real < self.batch_size:
+                        batch = _pad_batch(batch, self.batch_size, real)
+                    elif self.pad_final:
+                        batch["mask"] = np.ones(real, np.float32)
+                    queue.put(batch)
+            queue.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = queue.get()
+            if item is sentinel:
+                break
+            yield item
+
+
+def _pad_batch(batch: Dict[str, Any], size: int, real: int) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for key, val in batch.items():
+        if isinstance(val, np.ndarray):
+            pad = np.zeros((size - real, *val.shape[1:]), val.dtype)
+            out[key] = np.concatenate([val, pad])
+        else:
+            out[key] = list(val) + [val[-1]] * (size - real)
+    mask = np.zeros(size, np.float32)
+    mask[:real] = 1.0
+    out["mask"] = mask
+    return out
+
+
+def prefetch_to_device(
+    iterator: Iterator[Dict[str, Any]],
+    sharding=None,
+    keys: Optional[Sequence[str]] = None,
+    transform: Optional[Callable[[Dict], Dict]] = None,
+) -> Iterator[Dict[str, Any]]:
+    """Double-buffered H2D transfer: device_put batch N+1 while N computes.
+
+    Non-array entries (strings) pass through untouched. `keys` restricts
+    which entries go to device; `transform` runs host-side first.
+    """
+
+    def put(batch: Dict[str, Any]) -> Dict[str, Any]:
+        if transform is not None:
+            batch = transform(batch)
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray) and (keys is None or k in keys):
+                out[k] = (
+                    jax.device_put(v, sharding)
+                    if sharding is not None
+                    else jax.device_put(v)
+                )
+            else:
+                out[k] = v
+        return out
+
+    pending = None
+    for batch in iterator:
+        nxt = put(batch)
+        if pending is not None:
+            yield pending
+        pending = nxt
+    if pending is not None:
+        yield pending

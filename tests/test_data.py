@@ -1,0 +1,126 @@
+"""Dataset / split / loader behavior tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from clip_for_dl_tpu.core.config import DISEASE_LABELS
+from clip_for_dl_tpu.data import (
+    ChestXrayMultiViewDataset,
+    HostLoader,
+    SyntheticImageTextDataset,
+    SyntheticMultiViewDataset,
+    build_exam_index,
+    label_reports,
+    merge_image_report,
+    prefetch_to_device,
+    split_by_uid,
+    split_reports,
+    synthetic_projection_frame,
+    synthetic_report_frame,
+)
+
+
+@pytest.fixture(scope="module")
+def frames():
+    return synthetic_report_frame(60), synthetic_projection_frame(60)
+
+
+class TestSplits:
+    def test_uid_split_no_leakage(self, frames):
+        reports, projections = frames
+        merged = merge_image_report(projections, reports.assign(findings=reports["findings"]))
+        train, test = split_by_uid(merged, 0.2, 42)
+        assert set(train["uid"]).isdisjoint(set(test["uid"]))
+        assert len(train) + len(test) == len(merged)
+
+    def test_uid_split_deterministic(self, frames):
+        reports, projections = frames
+        merged = merge_image_report(projections, reports)
+        t1, _ = split_by_uid(merged, 0.2, 42)
+        t2, _ = split_by_uid(merged, 0.2, 42)
+        pd.testing.assert_frame_equal(t1, t2)
+
+    def test_report_split(self, frames):
+        reports, _ = frames
+        train, test = split_reports(reports, 0.2, 42)
+        assert len(train) + len(test) == len(reports)
+        assert abs(len(test) - 0.2 * len(reports)) <= 1
+
+
+class TestExamIndex:
+    def test_view_pairing(self, frames):
+        reports, projections = frames
+        idx = build_exam_index(reports, projections)
+        assert len(idx) == reports["uid"].nunique()
+        for i in range(len(idx)):
+            vt = idx.view_types[i]
+            f, l = idx.frontal_paths[i], idx.lateral_paths[i]
+            if vt == ("frontal", "lateral"):
+                assert f != l
+            elif vt in (("frontal", "frontal"), ("lateral", "lateral")):
+                assert f == l and f is not None
+            else:
+                assert vt == ("unknown", "unknown") and f is None and l is None
+
+    def test_dataset_item_shapes(self, frames):
+        reports, projections = frames
+        idx = build_exam_index(reports, projections)
+        ds = ChestXrayMultiViewDataset(idx, image_size=32)
+        item = ds[0]
+        assert item["images"].shape == (2, 32, 32, 3)
+        assert item["images"].dtype == np.uint8
+        assert item["labels"].shape == (16,)
+        assert isinstance(item["findings"], str)
+
+
+class TestLoader:
+    def test_fixed_shapes_with_padding(self):
+        ds = SyntheticMultiViewDataset(n=10, image_size=16)
+        loader = HostLoader(ds, batch_size=4, pad_final=True)
+        batches = list(loader)
+        assert len(batches) == 3
+        for b in batches:
+            assert b["images"].shape == (4, 2, 16, 16, 3)
+            assert b["mask"].shape == (4,)
+        assert batches[-1]["mask"].sum() == 2  # 10 = 4+4+2
+
+    def test_drop_last(self):
+        ds = SyntheticMultiViewDataset(n=10, image_size=16)
+        loader = HostLoader(ds, batch_size=4, drop_last=True)
+        assert len(list(loader)) == 2
+
+    def test_shuffle_reproducible_across_epochs(self):
+        ds = SyntheticImageTextDataset(n=8, image_size=8)
+        l1 = HostLoader(ds, batch_size=8, shuffle=True, seed=3)
+        l2 = HostLoader(ds, batch_size=8, shuffle=True, seed=3)
+        b1, b2 = next(iter(l1)), next(iter(l2))
+        assert b1["text"] == b2["text"]
+        # second epoch shuffles differently
+        b1b = next(iter(l1))
+        assert b1b["text"] != b1["text"]
+
+    def test_prefetch_to_device(self):
+        ds = SyntheticMultiViewDataset(n=6, image_size=8)
+        loader = HostLoader(ds, batch_size=3)
+        out = list(prefetch_to_device(iter(loader), keys=("images", "labels", "mask")))
+        assert len(out) == 2
+        import jax
+
+        assert isinstance(out[0]["images"], jax.Array)
+        assert isinstance(out[0]["findings"], list)
+
+
+def test_synthetic_labels_shape():
+    ds = SyntheticMultiViewDataset(n=32, image_size=8)
+    assert ds.labels.shape == (32, 16)
+    assert (ds.labels.sum(axis=1) >= 1).all()
+
+
+def test_merge_image_report_counts(frames):
+    reports, projections = frames
+    merged = merge_image_report(projections, reports)
+    # every merged row's uid has ≥1 label
+    cols = list(DISEASE_LABELS)
+    assert (merged[cols].sum(axis=1) >= 1).all()
+    assert "image_path" in merged and "report" in merged
