@@ -1,0 +1,44 @@
+from .engine import ZeroShotEngine, encode_prompt_bank
+from .predict import (
+    merge_views_union_max,
+    merge_views_weighted,
+    predictions_to_matrix,
+    sigmoid_predictions,
+    softmax_topk_predictions,
+)
+from .prompts import (
+    analyze_disease_distribution,
+    create_basic_prompts,
+    create_enhanced_prompts_with_findings,
+    create_prediction_prompts,
+    create_rich_prompts,
+    create_showing_prompts,
+    prompts_for_family,
+)
+from .thresholds import (
+    calibration_split,
+    search_threshold,
+    search_thresholds,
+    view_max_scores,
+)
+
+__all__ = [
+    "ZeroShotEngine",
+    "encode_prompt_bank",
+    "merge_views_union_max",
+    "merge_views_weighted",
+    "predictions_to_matrix",
+    "sigmoid_predictions",
+    "softmax_topk_predictions",
+    "analyze_disease_distribution",
+    "create_basic_prompts",
+    "create_enhanced_prompts_with_findings",
+    "create_prediction_prompts",
+    "create_rich_prompts",
+    "create_showing_prompts",
+    "prompts_for_family",
+    "calibration_split",
+    "search_threshold",
+    "search_thresholds",
+    "view_max_scores",
+]
