@@ -64,6 +64,8 @@ class ModelConfig:
     text_heads: int = 12
     text_intermediate_dim: int = 3072
     # Vision
+    resnet_stages: Tuple[int, ...] = (3, 4, 6, 3)
+    resnet_width: int = 64
     vit_patch: int = 16
     vit_layers: int = 12
     vit_heads: int = 12

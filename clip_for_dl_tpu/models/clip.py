@@ -44,7 +44,9 @@ class CXRClip(nn.Module):
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         if cfg.image_tower == "resnet50":
-            self.image_tower = ResNet(stage_sizes=(3, 4, 6, 3), **kw)
+            self.image_tower = ResNet(
+                stage_sizes=cfg.resnet_stages, width=cfg.resnet_width, **kw
+            )
         elif cfg.image_tower == "vit_b16":
             self.image_tower = ViT(
                 image_size=cfg.image_size, patch=cfg.vit_patch,

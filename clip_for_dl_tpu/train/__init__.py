@@ -1,0 +1,54 @@
+from .checkpoint import (
+    CheckpointManager,
+    import_reference_checkpoint,
+    merge_imported_params,
+)
+from .loop import History, fit, run_epoch, run_eval
+from .optim import (
+    CosineSchedule,
+    EarlyStopping,
+    ReduceLROnPlateau,
+    apply_group_lrs,
+    base_transform,
+    cosine_annealing_lr,
+    freeze_mask,
+    make_label_fn,
+    mask_updates,
+    warmup_scale,
+)
+from .state import TrainState
+from .steps import (
+    make_adapter_eval_step,
+    make_adapter_train_step,
+    make_clip_eval_step,
+    make_clip_pretrain_step,
+    make_multiview_eval_step,
+    make_multiview_train_step,
+)
+
+__all__ = [
+    "CheckpointManager",
+    "import_reference_checkpoint",
+    "merge_imported_params",
+    "History",
+    "fit",
+    "run_epoch",
+    "run_eval",
+    "CosineSchedule",
+    "EarlyStopping",
+    "ReduceLROnPlateau",
+    "apply_group_lrs",
+    "base_transform",
+    "cosine_annealing_lr",
+    "freeze_mask",
+    "make_label_fn",
+    "mask_updates",
+    "warmup_scale",
+    "TrainState",
+    "make_adapter_eval_step",
+    "make_adapter_train_step",
+    "make_clip_eval_step",
+    "make_clip_pretrain_step",
+    "make_multiview_eval_step",
+    "make_multiview_train_step",
+]

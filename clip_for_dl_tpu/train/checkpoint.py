@@ -1,0 +1,174 @@
+"""Checkpointing: orbax manager + reference .pth importer.
+
+Replaces the reference's torch.save dict {epoch, models:{name: state_dict},
+optimizer, loss, accuracy} with latest/best copies
+(0425/train.py:492-541, 0426/train.py:622-641): an orbax CheckpointManager
+with async save, `max_to_keep`, best-metric retention and auto-resume
+(SURVEY.md §5.3/§5.4 → orbax + preemption-safe restart).
+
+`import_reference_checkpoint` converts a reference ``.pth`` into our params
+pytree (via the per-module torch importers) for parity testing.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+class CheckpointManager:
+    """Train-state checkpoints keyed by epoch, best tracked by metric."""
+
+    def __init__(
+        self,
+        directory: str,
+        max_to_keep: int = 3,
+        best_mode: str = "min",
+        metric_name: str = "val_loss",
+    ):
+        ocp = _ocp()
+        self.directory = os.path.abspath(directory)
+        self.metric_name = metric_name
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            best_fn=lambda m: m[metric_name],
+            best_mode=best_mode,
+            create=True,
+            enable_async_checkpointing=True,
+        )
+        self.manager = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, epoch: int, state, extra: Optional[Dict[str, Any]] = None,
+             metrics: Optional[Dict[str, float]] = None) -> None:
+        ocp = _ocp()
+        self.manager.save(
+            epoch,
+            args=ocp.args.StandardSave({"state": state}),
+            metrics=metrics or {self.metric_name: float("inf")},
+        )
+        if extra:
+            import json
+
+            path = os.path.join(self.directory, f"extra_{epoch}.json")
+            with open(path, "w") as f:
+                json.dump(extra, f)
+
+    def restore(self, state_template, epoch: Optional[int] = None):
+        """Restore (state, extra) at `epoch` (default: latest)."""
+        ocp = _ocp()
+        step = epoch if epoch is not None else self.manager.latest_step()
+        if step is None:
+            return None, None
+        restored = self.manager.restore(
+            step,
+            args=ocp.args.StandardRestore({"state": state_template}),
+        )
+        extra = None
+        path = os.path.join(self.directory, f"extra_{step}.json")
+        if os.path.exists(path):
+            import json
+
+            with open(path) as f:
+                extra = json.load(f)
+        return restored["state"], extra
+
+    def latest_epoch(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def best_epoch(self) -> Optional[int]:
+        return self.manager.best_step()
+
+    def wait(self) -> None:
+        self.manager.wait_until_finished()
+
+    def close(self) -> None:
+        self.manager.close()
+
+
+# ---------------------------------------------------------------------------
+# reference .pth import (parity bridge)
+# ---------------------------------------------------------------------------
+
+# reference module name → (our params key, importer)
+_MODULE_IMPORTERS = {
+    "resnet": "image_tower",
+    "image_projector": "image_projector",
+    "text_projector": "text_projector",
+    "text_model": "text_tower",
+    "view_fusion": "view_fusion",
+    "multimodal_attention": "multimodal_attention",
+    "classifier": "adapter",
+}
+
+
+def import_reference_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a reference checkpoint dict {epoch, models:{name: state_dict},
+    ...} and convert each module's weights into our params tree keys.
+
+    Returns {"params": {...converted modules...}, "batch_stats": {...},
+    "epoch": int}. Missing modules are simply absent (the reference's own
+    tolerant-load behavior, 0425/train.py:523-541).
+    """
+    import torch
+
+    from ..models.bert import import_hf_bert
+    from ..models.resnet import import_torchvision_resnet50
+    from ..models import torch_import as ti
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    models = ckpt.get("models", ckpt)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for name, sd in models.items():
+        if not isinstance(sd, dict):
+            continue
+        sd = {k: v for k, v in sd.items()}
+        if name == "resnet":
+            p, s = import_torchvision_resnet50(sd)
+            params["image_tower"], stats["image_tower"] = p, s
+        elif name == "text_model":
+            params["text_tower"] = import_hf_bert(sd)
+        elif name == "image_projector":
+            params["image_projector"] = ti.import_residual_projection(
+                sd, "image_projection"
+            )
+        elif name == "text_projector":
+            params["text_projector"] = ti.import_residual_projection(
+                sd, "text_projection"
+            )
+        elif name == "view_fusion":
+            params["view_fusion"] = ti.import_multiview_fusion(sd)
+        elif name == "multimodal_attention":
+            params["multimodal_attention"] = ti.import_additive_attention(sd)
+        elif name == "classifier":
+            params["adapter"] = ti.import_linear_classifier(sd)
+    return {
+        "params": params,
+        "batch_stats": stats,
+        "epoch": int(ckpt.get("epoch", 0)) if isinstance(ckpt, dict) else 0,
+    }
+
+
+def merge_imported_params(target_params, imported) -> Any:
+    """Overlay imported modules onto an initialized params tree, leaving
+    modules absent from the checkpoint at their initialized values."""
+    out = jax.tree_util.tree_map(lambda x: x, target_params)  # shallow copy
+
+    def overlay(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and k in dst and isinstance(dst[k], dict):
+                overlay(dst[k], v)
+            else:
+                dst[k] = np.asarray(v)
+
+    overlay(out, imported)
+    return out

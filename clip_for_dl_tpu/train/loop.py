@@ -1,0 +1,180 @@
+"""Epoch orchestration: the train_clip counterpart.
+
+Mirrors the reference's control flow (0425/train.py:608-730 train_clip /
+train_epoch / validate) on top of jitted steps: per-epoch text-feature
+precompute (the 0426 hoisting), per-epoch scheduler stepping, best-val-loss
+checkpointing, early stopping patience, history dict → CSV.
+
+Host logging cadence matches the reference (every `log_every` batches,
+per-class accuracy every 5× that) but metric scalars transfer as one small
+fetch per log line — the device never stalls between steps.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Dict, Iterable, List, Mapping, Optional
+
+import jax
+import numpy as np
+
+from ..evals.metrics import MeanAccumulator
+from .optim import CosineSchedule, EarlyStopping, ReduceLROnPlateau
+from .state import TrainState
+
+logger = logging.getLogger("clip_for_dl_tpu.train")
+
+
+class History:
+    """history dict → rows (plot_training_history / CSV compatible)."""
+
+    def __init__(self):
+        self.rows: List[Dict[str, float]] = []
+
+    def append(self, **kw: float) -> None:
+        self.rows.append({k: float(v) for k, v in kw.items()})
+
+    def to_frame(self):
+        import pandas as pd
+
+        return pd.DataFrame(self.rows)
+
+    def save_csv(self, path: str) -> None:
+        self.to_frame().to_csv(path, index=False)
+
+
+def run_epoch(
+    step_fn: Callable,
+    state: TrainState,
+    loader: Iterable[Mapping[str, Any]],
+    lrs: Mapping[str, float],
+    rng_stream,
+    step_args: tuple = (),
+    log_every: int = 10,
+    epoch: int = 0,
+) -> tuple[TrainState, float]:
+    """One training epoch; returns (state, mean loss)."""
+    meter = MeanAccumulator()
+    batch_time = MeanAccumulator()
+    tic = time.perf_counter()
+    for i, batch in enumerate(loader):
+        state, metrics = step_fn(
+            state, batch, *step_args, dict(lrs), next(rng_stream)
+        )
+        if (i + 1) % log_every == 0 or i == 0:
+            loss = float(metrics["loss"])  # device sync only at log cadence
+            meter.update(loss)
+            batch_time.update(time.perf_counter() - tic)
+            logger.info(
+                "epoch %d batch %d loss %.4f (%.3fs/batch)",
+                epoch, i, loss, batch_time.mean / log_every if i else batch_time.last,
+            )
+        tic = time.perf_counter()
+    # final sync for the epoch mean
+    if meter.count == 0:
+        meter.update(float(metrics["loss"]))
+    return state, meter.mean
+
+
+def run_eval(
+    eval_fn: Callable,
+    state: TrainState,
+    loader: Iterable[Mapping[str, Any]],
+    step_args: tuple = (),
+) -> Dict[str, Any]:
+    """Validation pass; returns mean loss plus stacked prob matrices if the
+    eval step emits them."""
+    losses: List[float] = []
+    probs: List[np.ndarray] = []
+    labels: List[np.ndarray] = []
+    masks: List[np.ndarray] = []
+    for batch in loader:
+        metrics = eval_fn(state, batch, *step_args)
+        losses.append(float(metrics["loss"]))
+        if "probs" in metrics:
+            probs.append(np.asarray(metrics["probs"]))
+            if "labels" in batch:
+                labels.append(np.asarray(batch["labels"]))
+            if "mask" in batch:
+                masks.append(np.asarray(batch["mask"]))
+    out: Dict[str, Any] = {"loss": float(np.mean(losses))}
+    if probs:
+        p = np.concatenate(probs)
+        out["probs"] = p
+        if labels:
+            out["labels"] = np.concatenate(labels)
+        if masks:
+            m = np.concatenate(masks).astype(bool)
+            out["probs"] = out["probs"][m]
+            if labels:
+                out["labels"] = out["labels"][m]
+    return out
+
+
+def fit(
+    state: TrainState,
+    train_step: Callable,
+    eval_step: Optional[Callable],
+    train_loader_fn: Callable[[], Iterable],
+    val_loader_fn: Optional[Callable[[], Iterable]],
+    base_lrs: Mapping[str, float],
+    num_epochs: int,
+    rng_stream,
+    scheduler: str = "cosine",
+    eta_min: float = 0.0,
+    plateau_patience: int = 1,
+    plateau_factor: float = 0.8,
+    early_stop_patience: Optional[int] = 5,
+    epoch_args_fn: Optional[Callable[[TrainState], tuple]] = None,
+    checkpointer=None,
+    start_epoch: int = 0,
+    log_every: int = 10,
+) -> tuple[TrainState, History]:
+    """The full train_clip loop. `epoch_args_fn` supplies per-epoch extras
+    (e.g. precomputed text features) threaded into both steps."""
+    history = History()
+    cosine = CosineSchedule(dict(base_lrs), t_max=num_epochs, eta_min=eta_min)
+    plateau = ReduceLROnPlateau(
+        dict(base_lrs), factor=plateau_factor, patience=plateau_patience
+    )
+    stopper = EarlyStopping(early_stop_patience or 10**9)
+    lrs = dict(base_lrs)
+    best_val = float("inf")
+
+    for epoch in range(start_epoch, num_epochs):
+        if scheduler == "cosine":
+            lrs = cosine.at_epoch(epoch)
+        extra = epoch_args_fn(state) if epoch_args_fn else ()
+        t0 = time.perf_counter()
+        state, train_loss = run_epoch(
+            train_step, state, train_loader_fn(), lrs, rng_stream,
+            step_args=extra, log_every=log_every, epoch=epoch,
+        )
+        epoch_time = time.perf_counter() - t0
+        val_loss = train_loss
+        if eval_step is not None and val_loader_fn is not None:
+            val = run_eval(eval_step, state, val_loader_fn(), step_args=extra)
+            val_loss = val["loss"]
+        if scheduler == "plateau":
+            lrs = plateau.step(val_loss)
+        history.append(
+            epoch=epoch, train_loss=train_loss, val_loss=val_loss,
+            epoch_time=epoch_time, **{f"lr/{k}": v for k, v in lrs.items()},
+        )
+        logger.info(
+            "epoch %d done: train %.4f val %.4f (%.1fs)",
+            epoch, train_loss, val_loss, epoch_time,
+        )
+        if checkpointer is not None:
+            checkpointer.save(
+                epoch, state, metrics={"val_loss": float(val_loss)}
+            )
+        if val_loss < best_val:
+            best_val = val_loss
+        if early_stop_patience and stopper.step(val_loss):
+            logger.info("early stop at epoch %d (best %.4f)", epoch, best_val)
+            break
+    if checkpointer is not None:
+        checkpointer.wait()
+    return state, history

@@ -1,0 +1,304 @@
+"""Jitted train/eval step factories for the three reference workloads.
+
+- CLIP contrastive pretrain: image-report pairs, self-distill CLIP loss
+  (02 nb cell 25) or InfoNCE (BASELINE.json config 2).
+- Multi-view script training: (frontal, lateral) exams against per-disease
+  prompt features with the multilabel sigmoid contrastive loss
+  (0426/train.py:304-497), optionally the additive cross-modal attention +
+  asymmetric loss (multimodal_attention/train.py:417-494).
+- C-Adapter: frozen towers, Linear head, BCE (02 nb cells 28-29).
+
+Each factory returns a pure ``step(state, batch, lrs, rng) → (state,
+metrics)`` closed over the model/transform — ready for `jax.jit` with a
+donated state (single chip) or `parallel.data_parallel_step` (mesh).
+
+Loss math runs in fp32 on bf16 tower outputs; under a sharded batch the
+B×B similarity matmuls make XLA gather activations over the mesh axis —
+the global-batch negatives come from GSPMD, with the explicit shard_map
+variants in losses/global_batch.py available for hand-tuned overlap.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import (
+    asymmetric_loss,
+    bce_with_logits_loss,
+    clip_self_distill_loss,
+    info_nce_loss,
+    multilabel_contrastive_loss,
+)
+from ..ops.image_prep import preprocess_images
+from ..ops.similarity import l2_normalize
+from .optim import apply_group_lrs, mask_updates
+from .state import TrainState
+
+Batch = Mapping[str, Any]
+Metrics = Dict[str, jax.Array]
+
+PRETRAIN_LOSSES = {
+    "clip_self_distill": clip_self_distill_loss,
+    "info_nce": lambda txt, img, t: info_nce_loss(img, txt, t),
+}
+
+
+def _apply_updates(
+    state: TrainState,
+    grads,
+    tx: optax.GradientTransformation,
+    lrs: Mapping[str, jax.Array | float],
+    label_fn,
+    new_batch_stats=None,
+    freeze=None,
+) -> TrainState:
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    if freeze is not None:
+        updates = mask_updates(updates, freeze)
+    updates = apply_group_lrs(updates, state.params, lrs, label_fn)
+    params = optax.apply_updates(state.params, updates)
+    return state.replace(
+        params=params,
+        opt_state=new_opt,
+        batch_stats=(
+            new_batch_stats if new_batch_stats is not None else state.batch_stats
+        ),
+        step=state.step + 1,
+    )
+
+
+def make_clip_pretrain_step(
+    model,
+    tx: optax.GradientTransformation,
+    label_fn,
+    loss_name: str = "clip_self_distill",
+    temperature: float = 2.0,
+    image_size: int = 224,
+    mean: Tuple[float, ...] = (0.0, 0.0, 0.0),
+    std: Tuple[float, ...] = (1.0, 1.0, 1.0),
+    compute_dtype=jnp.bfloat16,
+):
+    loss_fn_base = PRETRAIN_LOSSES[loss_name]
+
+    def step(state: TrainState, batch: Batch, lrs, rng) -> Tuple[TrainState, Metrics]:
+        images = preprocess_images(
+            batch["images"], image_size, image_size, mean, std, compute_dtype
+        )
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            (img_f, txt_f), mutated = model.apply(
+                variables,
+                images,
+                batch["input_ids"],
+                batch["attention_mask"],
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            loss = loss_fn_base(txt_f, img_f, temperature)
+            return loss, mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = _apply_updates(state, grads, tx, lrs, label_fn, new_stats)
+        return new_state, {"loss": loss}
+
+    return step
+
+
+def make_clip_eval_step(
+    model,
+    loss_name: str = "clip_self_distill",
+    temperature: float = 2.0,
+    image_size: int = 224,
+    mean: Tuple[float, ...] = (0.0, 0.0, 0.0),
+    std: Tuple[float, ...] = (1.0, 1.0, 1.0),
+    compute_dtype=jnp.bfloat16,
+):
+    loss_fn_base = PRETRAIN_LOSSES[loss_name]
+
+    def step(state: TrainState, batch: Batch) -> Metrics:
+        images = preprocess_images(
+            batch["images"], image_size, image_size, mean, std, compute_dtype
+        )
+        variables = state.to_variables()
+        img_f = model.apply(variables, images, method="encode_image")
+        txt_f = model.apply(
+            variables, batch["input_ids"], batch["attention_mask"],
+            method="encode_text",
+        )
+        return {"loss": loss_fn_base(txt_f, img_f, temperature)}
+
+    return step
+
+
+def make_multiview_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    label_fn,
+    loss_name: str = "multilabel_contrastive",
+    temperature: float = 0.07,
+    image_size: int = 224,
+    mean: Tuple[float, ...] = (0.0, 0.0, 0.0),
+    std: Tuple[float, ...] = (1.0, 1.0, 1.0),
+    compute_dtype=jnp.bfloat16,
+    use_enhance: bool = False,
+):
+    """Batch: images [B,2,H,W,3] u8, labels [B,C]; text_features [C,D]
+    precomputed once per epoch (the 0426 hoisting fix, not 0425's per-batch
+    recompute — SURVEY.md §2.9)."""
+
+    def step(
+        state: TrainState, batch: Batch, text_features, lrs, rng
+    ) -> Tuple[TrainState, Metrics]:
+        b = batch["images"].shape[0]
+        flat = batch["images"].reshape((b * 2, *batch["images"].shape[2:]))
+        images = preprocess_images(
+            flat, image_size, image_size, mean, std, compute_dtype
+        )
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            feats, mutated = model.apply(
+                variables, images.reshape((b, 2, *images.shape[1:])),
+                train=True, mutable=["batch_stats"], rngs={"dropout": rng},
+                method="encode_multiview",
+            )
+            if use_enhance:
+                enhanced, _ = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    feats, text_features, method="enhance",
+                )
+                logits = l2_normalize(enhanced) @ text_features.T / temperature
+                loss = asymmetric_loss(logits, batch["labels"])
+            else:
+                loss = multilabel_contrastive_loss(
+                    feats, text_features, batch["labels"], temperature
+                )
+            return loss, mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = _apply_updates(state, grads, tx, lrs, label_fn, new_stats)
+        return new_state, {"loss": loss}
+
+    return step
+
+
+def make_multiview_eval_step(
+    model,
+    temperature: float = 0.07,
+    image_size: int = 224,
+    mean: Tuple[float, ...] = (0.0, 0.0, 0.0),
+    std: Tuple[float, ...] = (1.0, 1.0, 1.0),
+    compute_dtype=jnp.bfloat16,
+    use_enhance: bool = False,
+    threshold: float = 0.5,
+):
+    """Eval twin: loss + sigmoid(sims/T) probabilities for metrics
+    (0425/train.py:407-490 validate)."""
+
+    def step(state: TrainState, batch: Batch, text_features) -> Metrics:
+        b = batch["images"].shape[0]
+        flat = batch["images"].reshape((b * 2, *batch["images"].shape[2:]))
+        images = preprocess_images(
+            flat, image_size, image_size, mean, std, compute_dtype
+        )
+        variables = state.to_variables()
+        feats = model.apply(
+            variables, images.reshape((b, 2, *images.shape[1:])),
+            method="encode_multiview",
+        )
+        if use_enhance:
+            enhanced, _ = model.apply(
+                variables, feats, text_features, method="enhance"
+            )
+            logits = l2_normalize(enhanced) @ text_features.T / temperature
+            loss = asymmetric_loss(logits, batch["labels"])
+        else:
+            loss = multilabel_contrastive_loss(
+                feats, text_features, batch["labels"], temperature
+            )
+            logits = (
+                l2_normalize(feats.astype(jnp.float32))
+                @ l2_normalize(text_features.astype(jnp.float32)).T
+                / temperature
+            )
+        probs = jax.nn.sigmoid(logits)
+        preds = (probs > threshold).astype(jnp.float32)
+        correct = (preds == batch["labels"]).astype(jnp.float32)
+        return {
+            "loss": loss,
+            "probs": probs,
+            "sample_accuracy": correct.mean(axis=1).mean() * 100.0,
+            "per_class_accuracy": correct.mean(axis=0),
+        }
+
+    return step
+
+
+def make_adapter_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    label_fn,
+    freeze,
+    image_size: int = 224,
+    mean: Tuple[float, ...] = (0.0, 0.0, 0.0),
+    std: Tuple[float, ...] = (1.0, 1.0, 1.0),
+    compute_dtype=jnp.bfloat16,
+):
+    """Frozen-CLIP adapter phase: towers run in eval mode under
+    stop_gradient; only the Linear head trains (02 nb cells 28-29).
+    `freeze` is the boolean mask from optim.freeze_mask(params, ["adapter"])."""
+
+    def step(state: TrainState, batch: Batch, lrs, rng) -> Tuple[TrainState, Metrics]:
+        images = preprocess_images(
+            batch["images"], image_size, image_size, mean, std, compute_dtype
+        )
+        variables = state.to_variables()
+        feats = jax.lax.stop_gradient(
+            model.apply(variables, images, method="encode_image")
+        )
+
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                feats,
+                method="adapter_logits",
+            )
+            return bce_with_logits_loss(logits, batch["labels"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        new_state = _apply_updates(
+            state, grads, tx, lrs, label_fn, freeze=freeze
+        )
+        return new_state, {"loss": loss}
+
+    return step
+
+
+def make_adapter_eval_step(
+    model,
+    image_size: int = 224,
+    mean: Tuple[float, ...] = (0.0, 0.0, 0.0),
+    std: Tuple[float, ...] = (1.0, 1.0, 1.0),
+    compute_dtype=jnp.bfloat16,
+):
+    def step(state: TrainState, batch: Batch) -> Metrics:
+        images = preprocess_images(
+            batch["images"], image_size, image_size, mean, std, compute_dtype
+        )
+        variables = state.to_variables()
+        feats = model.apply(variables, images, method="encode_image")
+        logits = model.apply(variables, feats, method="adapter_logits")
+        loss = bce_with_logits_loss(logits, batch["labels"])
+        return {"loss": loss, "probs": jax.nn.sigmoid(logits)}
+
+    return step

@@ -1,0 +1,339 @@
+"""Training layer: optimizer parity vs torch AdamW, schedules, steps, loop,
+checkpointing, and data-parallel equivalence."""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+from clip_for_dl_tpu.core.config import ModelConfig
+from clip_for_dl_tpu.core.prng import KeyChain
+from clip_for_dl_tpu.models import CXRClip
+from clip_for_dl_tpu.train import (
+    CosineSchedule,
+    EarlyStopping,
+    ReduceLROnPlateau,
+    TrainState,
+    apply_group_lrs,
+    base_transform,
+    cosine_annealing_lr,
+    fit,
+    freeze_mask,
+    make_adapter_train_step,
+    make_clip_eval_step,
+    make_clip_pretrain_step,
+    make_label_fn,
+    make_multiview_eval_step,
+    make_multiview_train_step,
+)
+import optax
+
+TINY = ModelConfig(
+    image_size=16, max_text_length=8, vocab_size=64, text_embedding_dim=16,
+    text_layers=1, text_heads=2, text_intermediate_dim=32,
+    shared_embedding_dim=32, use_multimodal_attention=True,
+    resnet_stages=(1, 1, 1, 1), resnet_width=8,
+)
+
+
+def tiny_model():
+    model = CXRClip(TINY)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, 8), jnp.int32)
+    )
+    return model, variables
+
+
+class TestOptimizerParity:
+    def test_adamw_step_matches_torch(self, rng):
+        w = rng.standard_normal((4, 3)).astype(np.float32)
+        g = rng.standard_normal((4, 3)).astype(np.float32)
+        # torch: 2 AdamW steps with same grad, lr 1e-3 wd 0.01
+        p = torch.nn.Parameter(torch.from_numpy(w.copy()))
+        opt = torch.optim.AdamW([p], lr=1e-3, weight_decay=0.01)
+        for _ in range(2):
+            opt.zero_grad()
+            p.grad = torch.from_numpy(g.copy())
+            opt.step()
+        want = p.detach().numpy()
+
+        tx = base_transform(max_grad_norm=None, weight_decay=0.01)
+        params = {"m": {"w": jnp.asarray(w)}}
+        label_fn = make_label_fn(["m"])
+        opt_state = tx.init(params)
+        grads = {"m": {"w": jnp.asarray(g)}}
+        for _ in range(2):
+            updates, opt_state = tx.update(grads, opt_state, params)
+            updates = apply_group_lrs(updates, params, {"m": 1e-3, "default": 0.0}, label_fn)
+            params = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(np.asarray(params["m"]["w"]), want, atol=1e-6)
+
+    def test_per_group_lrs(self, rng):
+        params = {"a": jnp.ones(3), "b": jnp.ones(3)}
+        updates = {"a": jnp.ones(3), "b": jnp.ones(3)}
+        label_fn = make_label_fn(["a", "b"])
+        out = apply_group_lrs(updates, params, {"a": 0.1, "b": 0.01, "default": 0}, label_fn)
+        np.testing.assert_allclose(np.asarray(out["a"]), -0.1)
+        np.testing.assert_allclose(np.asarray(out["b"]), -0.01)
+
+
+class TestSchedules:
+    def test_cosine_matches_torch(self):
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=0.1)
+        sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=10, eta_min=1e-3)
+        for epoch in range(10):
+            want = opt.param_groups[0]["lr"]
+            got = cosine_annealing_lr(epoch, 0.1, 10, 1e-3)
+            assert got == pytest.approx(want, rel=1e-6), epoch
+            opt.step()
+            sched.step()
+
+    def test_plateau_matches_torch(self):
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=0.1)
+        sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, factor=0.8, patience=1
+        )
+        ours = ReduceLROnPlateau({"g": 0.1}, factor=0.8, patience=1)
+        metrics = [1.0, 0.9, 0.95, 0.94, 0.93, 0.93, 0.92, 0.99, 1.0, 1.0]
+        for m in metrics:
+            sched.step(m)
+            got = ours.step(m)["g"]
+            assert got == pytest.approx(opt.param_groups[0]["lr"], rel=1e-6)
+
+    def test_early_stopping(self):
+        es = EarlyStopping(patience=2)
+        assert not es.step(1.0)
+        assert not es.step(0.5)
+        assert not es.step(0.6)
+        assert es.step(0.7)
+
+
+@pytest.fixture(scope="module")
+def pretrain_setup():
+    model, variables = tiny_model()
+    tx = base_transform(weight_decay=1e-3)
+    label_fn = make_label_fn(["image_tower", "text_tower", "image_projector", "text_projector"])
+    step = jax.jit(
+        make_clip_pretrain_step(
+            model, tx, label_fn, temperature=2.0, image_size=16,
+            compute_dtype=jnp.float32,
+        )
+    )
+    state = TrainState.create(variables, tx)
+    return model, step, state, label_fn
+
+
+LRS = {
+    "image_tower": 1e-4, "text_tower": 1e-5, "image_projector": 1e-3,
+    "text_projector": 1e-3, "default": 1e-4,
+}
+
+
+def pretrain_batch(rng, b=4):
+    return {
+        "images": jnp.asarray(rng.integers(0, 255, (b, 16, 16, 3), np.uint8)),
+        "input_ids": jnp.asarray(rng.integers(0, 64, (b, 8)), jnp.int32),
+        "attention_mask": jnp.ones((b, 8), jnp.int32),
+    }
+
+
+class TestSteps:
+    def test_pretrain_step_updates_and_reduces_loss(self, pretrain_setup, rng):
+        model, step, state, _ = pretrain_setup
+        batch = pretrain_batch(rng)
+        key = jax.random.key(1)
+        losses = []
+        for i in range(8):
+            state, metrics = step(state, batch, LRS, jax.random.fold_in(key, i))
+            losses.append(float(metrics["loss"]))
+        assert state.step == 8
+        assert losses[-1] < losses[0]  # overfits one batch
+
+    def test_eval_step(self, pretrain_setup, rng):
+        model, step, state, _ = pretrain_setup
+        eval_step = jax.jit(
+            make_clip_eval_step(model, temperature=2.0, image_size=16,
+                                compute_dtype=jnp.float32)
+        )
+        m = eval_step(state, pretrain_batch(rng))
+        assert np.isfinite(float(m["loss"]))
+
+    def test_multiview_step_with_enhance(self, rng):
+        model, variables = tiny_model()
+        tx = base_transform()
+        label_fn = make_label_fn([])
+        step = jax.jit(
+            make_multiview_train_step(
+                model, tx, label_fn, temperature=0.07, image_size=16,
+                compute_dtype=jnp.float32, use_enhance=True,
+            )
+        )
+        state = TrainState.create(variables, tx)
+        batch = {
+            "images": jnp.asarray(
+                rng.integers(0, 255, (4, 2, 16, 16, 3), np.uint8)
+            ),
+            "labels": jnp.asarray((rng.random((4, 16)) > 0.7), jnp.float32),
+        }
+        text_features = jnp.asarray(rng.standard_normal((16, 32)), jnp.float32)
+        state2, m = step(state, batch, text_features, {"default": 1e-3}, jax.random.key(0))
+        assert np.isfinite(float(m["loss"]))
+        # params actually changed
+        diff = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), state.params, state2.params
+        )
+        assert max(jax.tree.leaves(diff)) > 0
+
+        eval_step = jax.jit(
+            make_multiview_eval_step(model, temperature=0.07, image_size=16,
+                                     compute_dtype=jnp.float32, use_enhance=True)
+        )
+        em = eval_step(state2, batch, text_features)
+        assert em["probs"].shape == (4, 16)
+        assert em["per_class_accuracy"].shape == (16,)
+
+    def test_adapter_step_only_trains_adapter(self, rng):
+        model, variables = tiny_model()
+        tx = base_transform(weight_decay=0.0)
+        label_fn = make_label_fn(["adapter"])
+        freeze = freeze_mask(variables["params"], ["adapter"])
+        step = jax.jit(
+            make_adapter_train_step(
+                model, tx, label_fn, freeze, image_size=16,
+                compute_dtype=jnp.float32,
+            )
+        )
+        state = TrainState.create(variables, tx)
+        batch = {
+            "images": jnp.asarray(rng.integers(0, 255, (4, 16, 16, 3), np.uint8)),
+            "labels": jnp.asarray((rng.random((4, 16)) > 0.7), jnp.float32),
+        }
+        state2, m = step(
+            state, batch, {"adapter": 1e-3, "default": 1e-3}, jax.random.key(0)
+        )
+        # adapter moved
+        assert float(jnp.abs(
+            state2.params["adapter"]["classifier"]["kernel"]
+            - state.params["adapter"]["classifier"]["kernel"]
+        ).max()) > 0
+        # towers frozen
+        np.testing.assert_array_equal(
+            np.asarray(state2.params["image_tower"]["conv1"]["kernel"]),
+            np.asarray(state.params["image_tower"]["conv1"]["kernel"]),
+        )
+
+
+class TestLoop:
+    def test_fit_early_stops_and_records_history(self, rng):
+        model, variables = tiny_model()
+        tx = base_transform()
+        label_fn = make_label_fn([])
+        step = jax.jit(
+            make_clip_pretrain_step(model, tx, label_fn, temperature=2.0,
+                                    image_size=16, compute_dtype=jnp.float32)
+        )
+        eval_step = jax.jit(
+            make_clip_eval_step(model, temperature=2.0, image_size=16,
+                                compute_dtype=jnp.float32)
+        )
+        state = TrainState.create(variables, tx)
+        batches = [
+            {k: np.asarray(v) for k, v in pretrain_batch(rng).items()}
+            for _ in range(2)
+        ]
+        kc = KeyChain(0)
+        state, history = fit(
+            state, step, eval_step,
+            train_loader_fn=lambda: iter(batches),
+            val_loader_fn=lambda: iter(batches),
+            base_lrs={"default": 1e-3},
+            num_epochs=4,
+            rng_stream=kc.stream("dropout"),
+            scheduler="plateau",
+            early_stop_patience=3,
+            log_every=1,
+        )
+        df = history.to_frame()
+        assert len(df) >= 2
+        assert {"epoch", "train_loss", "val_loss"} <= set(df.columns)
+
+
+class TestDataParallel:
+    def test_dp_step_matches_single_device(self, rng, eight_devices):
+        from clip_for_dl_tpu.core.mesh import create_mesh
+        from clip_for_dl_tpu.parallel import data_parallel_step, replicate_state
+
+        model, variables = tiny_model()
+        tx = base_transform()
+        label_fn = make_label_fn([])
+        raw_step = make_clip_pretrain_step(
+            model, tx, label_fn, temperature=2.0, image_size=16,
+            compute_dtype=jnp.float32,
+        )
+        batch = pretrain_batch(rng, b=8)
+        key = jax.random.key(5)
+
+        state1 = TrainState.create(variables, tx)
+        state1, m1 = jax.jit(raw_step)(state1, batch, {"default": 1e-3}, key)
+
+        mesh = create_mesh(8)
+        dp_step = data_parallel_step(raw_step, mesh, donate_state=False)
+        state2 = replicate_state(TrainState.create(variables, tx), mesh)
+        state2, m2 = dp_step(state2, batch, {"default": 1e-3}, key)
+
+        # identical math up to cross-shard fp32 reduction order
+        assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-4)
+        a = np.asarray(state1.params["image_projector"]["projection"]["kernel"])
+        b = np.asarray(state2.params["image_projector"]["projection"]["kernel"])
+        np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+class TestCheckpoint:
+    def test_orbax_roundtrip(self, tmp_path, rng):
+        from clip_for_dl_tpu.train import CheckpointManager
+
+        model, variables = tiny_model()
+        tx = base_transform()
+        state = TrainState.create(variables, tx)
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+        mgr.save(0, state, metrics={"val_loss": 1.0})
+        mgr.save(1, state.replace(step=state.step + 5), metrics={"val_loss": 0.5})
+        mgr.wait()
+        assert mgr.latest_epoch() == 1
+        assert mgr.best_epoch() == 1
+        restored, _ = mgr.restore(state)
+        assert int(restored.step) == 5
+        mgr.close()
+
+    def test_reference_pth_import(self, tmp_path, rng):
+        from clip_for_dl_tpu.train import import_reference_checkpoint
+
+        proj = tnn.Sequential()
+        ip = tnn.Module()
+        ip.image_projection = tnn.Linear(32, 32)
+        ip.fc = tnn.Linear(32, 32)
+        ip.layer_norm = tnn.LayerNorm(32)
+        fusion = tnn.Module()
+        fusion.fusion = tnn.Sequential(
+            tnn.Linear(64, 32), tnn.ReLU(), tnn.Dropout(0.2), tnn.Linear(32, 32)
+        )
+        ckpt = {
+            "epoch": 7,
+            "models": {
+                "image_projector": ip.state_dict(),
+                "view_fusion": fusion.state_dict(),
+            },
+        }
+        path = tmp_path / "checkpoint.pth"
+        torch.save(ckpt, path)
+        out = import_reference_checkpoint(str(path))
+        assert out["epoch"] == 7
+        assert out["params"]["image_projector"]["projection"]["kernel"].shape == (32, 32)
+        assert out["params"]["view_fusion"]["fc1"]["kernel"].shape == (64, 32)
