@@ -34,6 +34,11 @@ def create_mesh(
     """
     devs = list(devices if devices is not None else jax.devices())
     if num_devices is not None:
+        if len(devs) < num_devices:
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devs)} devices are visible"
+            )
         devs = devs[:num_devices]
     return Mesh(np.array(devs), (axis_name,))
 
