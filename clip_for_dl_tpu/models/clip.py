@@ -96,6 +96,10 @@ class CXRClip(nn.Module):
         emb, stage4 = self.image_tower(images, capture_stage4=True)
         return self.image_projector(emb), stage4
 
+    def project_image_features(self, pooled: jnp.ndarray) -> jnp.ndarray:
+        """Tower-pooled embeddings → shared space (Grad-CAM head path)."""
+        return self.image_projector(pooled)
+
     def encode_text(
         self,
         input_ids: jnp.ndarray,
