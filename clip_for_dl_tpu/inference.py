@@ -1,0 +1,154 @@
+"""Library inference API — the load_model.py counterpart.
+
+`load_trained_model` (0426/load_model.py:35-71): rebuild the model, restore
+the best checkpoint (orbax, or a reference ``.pth`` via the converter),
+return ready-to-call apply state.
+
+`get_model_predictions` (0426/load_model.py:73-135): multi-view batch →
+per-view encode → MultiViewFusion → similarity against
+"a chest x-ray of {disease}" prompt features → sigmoid(sim·4.0) > 0.5 →
+(predictions, probabilities), all as one jitted program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.config import DISEASE_LABELS, ExperimentConfig, get_preset
+from .models import CXRClip
+from .ops.image_prep import preprocess_images
+from .ops.similarity import l2_normalize
+from .zeroshot.prompts import create_basic_prompts
+
+
+def load_trained_model(
+    checkpoint: Optional[str] = None,
+    config: Optional[ExperimentConfig] = None,
+    compute_dtype=jnp.bfloat16,
+    seed: int = 0,
+):
+    """Returns (model, variables). `checkpoint` may be an orbax directory,
+    a reference ``.pth`` file, or None (fresh init)."""
+    cfg = config or get_preset("zero_shot")
+    model = CXRClip(cfg.model, dtype=compute_dtype)
+    s = cfg.model.image_size
+    l = cfg.model.max_text_length
+    variables = jax.jit(model.init)(
+        jax.random.key(seed),
+        jnp.zeros((1, s, s, 3), compute_dtype),
+        jnp.zeros((1, l), jnp.int32),
+    )
+    if checkpoint:
+        if checkpoint.endswith(".pth"):
+            from .train.checkpoint import (
+                import_reference_checkpoint,
+                merge_imported_params,
+            )
+
+            imported = import_reference_checkpoint(checkpoint)
+            variables = dict(variables)
+            variables["params"] = merge_imported_params(
+                jax.tree.map(np.asarray, variables["params"]),
+                imported["params"],
+            )
+            if imported["batch_stats"]:
+                variables["batch_stats"] = merge_imported_params(
+                    jax.tree.map(np.asarray, variables.get("batch_stats", {})),
+                    imported["batch_stats"],
+                )
+        else:
+            from .train.checkpoint import CheckpointManager
+            from .train.optim import base_transform
+            from .train.state import TrainState
+
+            tx = base_transform()
+            template = TrainState.create(variables, tx)
+            mgr = CheckpointManager(checkpoint)
+            epoch = mgr.best_epoch()
+            state, _ = mgr.restore(template, epoch)
+            mgr.close()
+            if state is not None:
+                variables = state.to_variables()
+    return model, variables
+
+
+class InferenceSession:
+    """get_model_predictions as a reusable jitted session."""
+
+    def __init__(
+        self,
+        model: CXRClip,
+        variables,
+        tokenizer,
+        disease_list: Sequence[str] = DISEASE_LABELS,
+        mean: Tuple[float, ...] = (0.0, 0.0, 0.0),
+        std: Tuple[float, ...] = (1.0, 1.0, 1.0),
+        image_size: int = 224,
+        logit_scale: float = 4.0,
+        threshold: float = 0.5,
+        max_text_length: int = 64,
+    ):
+        self.model = model
+        self.variables = variables
+        self.disease_list = list(disease_list)
+        self.mean, self.std = tuple(mean), tuple(std)
+        self.image_size = image_size
+        self.logit_scale = logit_scale
+        self.threshold = threshold
+
+        prompts = create_basic_prompts(self.disease_list)
+        enc = tokenizer.encode(prompts, max_length=max_text_length)
+        text = jax.jit(
+            lambda v, i, m: model.apply(
+                v, i, m, normalize=True, method="encode_text"
+            )
+        )(variables, jnp.asarray(enc["input_ids"]),
+          jnp.asarray(enc["attention_mask"]))
+        self.text_features = jnp.asarray(np.asarray(text, np.float32))
+
+        @jax.jit
+        def _forward(variables, images_u8, text_features):
+            b = images_u8.shape[0]
+            flat = images_u8.reshape((b * 2, *images_u8.shape[2:]))
+            x = preprocess_images(
+                flat, self.image_size, self.image_size, self.mean, self.std,
+                jnp.bfloat16,
+            )
+            fused = self.model.apply(
+                variables, x.reshape((b, 2, *x.shape[1:])),
+                method="encode_multiview",
+            )
+            sims = l2_normalize(fused.astype(jnp.float32)) @ text_features.T
+            probs = jax.nn.sigmoid(sims * self.logit_scale)
+            return probs
+
+        self._forward = _forward
+
+    def __call__(self, images_u8) -> Tuple[np.ndarray, np.ndarray]:
+        """[B, 2, H, W, 3] uint8 → (binary predictions [B, C],
+        probabilities [B, C])."""
+        probs = np.asarray(
+            self._forward(self.variables, jnp.asarray(images_u8),
+                          self.text_features)
+        )
+        return (probs > self.threshold).astype(np.float32), probs
+
+
+def get_model_predictions(
+    model,
+    variables,
+    images_u8,
+    tokenizer,
+    disease_list: Sequence[str] = DISEASE_LABELS,
+    **kwargs,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One-shot convenience wrapper (prefer InferenceSession for loops)."""
+    session = InferenceSession(
+        model, variables, tokenizer, disease_list, **kwargs
+    )
+    return session(images_u8)

@@ -1,3 +1,4 @@
+from .driver import run_dynamic_threshold_eval, run_zero_shot_eval
 from .engine import ZeroShotEngine, encode_prompt_bank
 from .predict import (
     merge_views_union_max,
@@ -23,6 +24,8 @@ from .thresholds import (
 )
 
 __all__ = [
+    "run_dynamic_threshold_eval",
+    "run_zero_shot_eval",
     "ZeroShotEngine",
     "encode_prompt_bank",
     "merge_views_union_max",
