@@ -1,0 +1,517 @@
+"""Command-line entry points.
+
+Maps 1:1 onto the reference's runnable surfaces (SURVEY.md §1 layer 7 and
+BASELINE.json configs):
+
+  prep      01_datapreprocess: raw reports CSV → labeled CSV + unlabeled CSV
+  pretrain  CLIP contrastive pretraining (notebook phase A / scripts path)
+  adapter   frozen-CLIP C-Adapter training (notebook phase B)
+  zeroshot  zero-shot evaluation (union-max or dynamic-threshold pipeline)
+  gradcam   Grad-CAM saliency for one sample (--sample_index)
+  eval      metric suite over a checkpoint on the held-out split
+
+Every command runs end-to-end on synthetic data when the Indiana images are
+absent (--synthetic, auto-detected), so the pipelines stay executable in any
+environment.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+
+def _setup_logging(log_dir: str, name: str) -> None:
+    os.makedirs(log_dir, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+        handlers=[
+            logging.StreamHandler(),
+            logging.FileHandler(os.path.join(log_dir, f"{name}.log")),
+        ],
+    )
+
+
+def _tokenizer(args):
+    from ..text import BertTokenizer, build_tiny_vocab
+
+    if args.vocab and os.path.exists(args.vocab):
+        return BertTokenizer(args.vocab, do_lower_case=False)
+    from ..core.config import DISEASE_LABELS
+
+    logging.warning("no vocab file — building a synthetic dev vocabulary")
+    words = (
+        "this chest x-ray shows a of normal without any significant findings "
+        "the radiological indicate image reveals characteristics diagnostic "
+        "features are present demonstrates is typical case clear signs "
+        "visible exhibits consistent with patterns suggest possible some may "
+        "primary finding primarily one main evidence among other multiple "
+        "conditions in no lobe lower right stable appearance compared prior "
+        "exam mild associated effusion acute cardiopulmonary abnormality "
+        "again noted cardiac silhouette and mediastinum size within limits"
+    ).split()
+    vocab = build_tiny_vocab(
+        words
+        + [w for d in DISEASE_LABELS for w in d.split()]
+        + [w for d in DISEASE_LABELS for w in d.lower().split()]
+    )
+    return BertTokenizer(vocab)
+
+
+def _apply_tiny(cfg, args, vocab_size: int):
+    """--tiny: shrink towers for smoke runs; also size the text tower's
+    vocabulary to the loaded tokenizer."""
+    import dataclasses
+
+    model = dataclasses.replace(cfg.model, vocab_size=vocab_size)
+    if getattr(args, "tiny", False):
+        model = dataclasses.replace(
+            model,
+            image_size=64, max_text_length=32, text_embedding_dim=64,
+            text_layers=2, text_heads=2, text_intermediate_dim=128,
+            shared_embedding_dim=64, resnet_stages=(1, 1, 1, 1),
+            resnet_width=16, vit_layers=2, vit_hidden=64, vit_heads=2,
+            vit_mlp_dim=128,
+        )
+    return cfg.replace(model=model)
+
+
+def _model_and_state(cfg, args, tokenizer):
+    import jax
+    import jax.numpy as jnp
+
+    from ..inference import load_trained_model
+
+    compute = jnp.float32 if args.fp32 else jnp.bfloat16
+    model, variables = load_trained_model(args.checkpoint, cfg, compute)
+    return model, variables
+
+
+def _loaders(cfg, args, multi_view=True):
+    from ..data import (
+        ChestXrayMultiViewDataset,
+        HostLoader,
+        SyntheticImageTextDataset,
+        SyntheticMultiViewDataset,
+        build_exam_index,
+        split_by_uid,
+    )
+
+    have_real = (
+        not args.synthetic
+        and os.path.exists(cfg.data.reports_csv)
+        and os.path.exists(cfg.data.projections_csv)
+        and os.path.isdir(cfg.data.image_dir)
+    )
+    if have_real:
+        import pandas as pd
+
+        reports = pd.read_csv(cfg.data.reports_csv)
+        projections = pd.read_csv(cfg.data.projections_csv)
+        from ..data import merge_image_report
+
+        merged = merge_image_report(projections, reports)
+        train_f, val_f = split_by_uid(merged, cfg.data.test_size, cfg.data.seed)
+        train_idx = build_exam_index(
+            reports[reports.uid.isin(train_f.uid)], projections, cfg.data.image_dir
+        )
+        val_idx = build_exam_index(
+            reports[reports.uid.isin(val_f.uid)], projections, cfg.data.image_dir
+        )
+        train_ds = ChestXrayMultiViewDataset(train_idx, cfg.model.image_size)
+        val_ds = ChestXrayMultiViewDataset(val_idx, cfg.model.image_size)
+    else:
+        logging.warning("Indiana images unavailable — using synthetic data")
+        n = args.synthetic_samples
+        if multi_view:
+            train_ds = SyntheticMultiViewDataset(n, cfg.model.image_size, 0)
+            val_ds = SyntheticMultiViewDataset(n // 4, cfg.model.image_size, 1)
+        else:
+            train_ds = SyntheticImageTextDataset(n, cfg.model.image_size, 0)
+            val_ds = SyntheticImageTextDataset(n // 4, cfg.model.image_size, 1)
+    mk = lambda ds, sh: HostLoader(
+        ds, cfg.data.batch_size, shuffle=sh, seed=cfg.data.seed,
+        num_threads=cfg.data.num_workers,
+    )
+    return mk(train_ds, True), mk(val_ds, False)
+
+
+# ---------------------------------------------------------------------------
+# commands
+# ---------------------------------------------------------------------------
+
+
+def cmd_prep(args) -> int:
+    from ..data.labels import prepare_labeled_csv
+
+    df = prepare_labeled_csv(args.reports, args.out, args.unlabeled_out)
+    print(f"labeled {len(df)} reports → {args.out}")
+    return 0
+
+
+def cmd_pretrain(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.config import get_preset
+    from ..core.prng import KeyChain
+    from ..train import (
+        TrainState,
+        base_transform,
+        fit,
+        make_clip_eval_step,
+        make_clip_pretrain_step,
+        make_label_fn,
+    )
+
+    cfg = get_preset(args.preset)
+    _setup_logging(args.log_dir, "pretrain")
+    tokenizer = _tokenizer(args)
+    cfg = _apply_tiny(cfg, args, len(tokenizer.vocab))
+    model, variables = _model_and_state(cfg, args, tokenizer)
+    compute = jnp.float32 if args.fp32 else jnp.bfloat16
+
+    tx = base_transform(cfg.train.max_grad_norm, cfg.train.weight_decay)
+    groups = {g.name: g.lr for g in cfg.train.groups} or {"default": cfg.train.lr}
+    groups.setdefault("default", cfg.train.lr)
+    label_fn = make_label_fn([g for g in groups if g != "default"])
+
+    train_loader, val_loader = _loaders(cfg, args, multi_view=False)
+    max_len = cfg.model.max_text_length
+
+    def tokenize_batch(batch):
+        texts = batch.get("text") or batch.get("findings")
+        enc = tokenizer.encode(list(texts), max_length=max_len)
+        out = {
+            "images": np.asarray(batch.get("image", batch.get("images"))),
+            "input_ids": enc["input_ids"],
+            "attention_mask": enc["attention_mask"],
+        }
+        if out["images"].ndim == 5:  # multi-view → frontal only for pretrain
+            out["images"] = out["images"][:, 0]
+        return out
+
+    step = jax.jit(
+        make_clip_pretrain_step(
+            model, tx, label_fn, cfg.train.loss
+            if cfg.train.loss in ("clip_self_distill", "info_nce")
+            else "clip_self_distill",
+            cfg.model.temperature, cfg.model.image_size,
+            cfg.augment.mean, cfg.augment.std, compute,
+        ),
+        donate_argnums=(0,) if cfg.train.donate_state else (),
+    )
+    eval_step = jax.jit(
+        make_clip_eval_step(
+            model, "clip_self_distill", cfg.model.temperature,
+            cfg.model.image_size, cfg.augment.mean, cfg.augment.std, compute,
+        )
+    )
+    state = TrainState.create(variables, tx)
+    kc = KeyChain(cfg.data.seed)
+
+    ckpt = None
+    if args.checkpoint_dir:
+        from ..train import CheckpointManager
+
+        ckpt = CheckpointManager(
+            args.checkpoint_dir, cfg.train.max_checkpoints_to_keep
+        )
+
+    state, history = fit(
+        state, step, eval_step,
+        train_loader_fn=lambda: map(tokenize_batch, train_loader),
+        val_loader_fn=lambda: map(tokenize_batch, val_loader),
+        base_lrs=groups,
+        num_epochs=args.epochs or cfg.train.num_epochs,
+        rng_stream=kc.stream("dropout"),
+        scheduler=cfg.train.scheduler,
+        eta_min=cfg.train.eta_min,
+        plateau_patience=cfg.train.plateau_patience,
+        plateau_factor=cfg.train.plateau_factor,
+        early_stop_patience=cfg.train.early_stop_patience,
+        checkpointer=ckpt,
+        log_every=cfg.train.log_every,
+    )
+    history.save_csv(os.path.join(args.log_dir, "training_history.csv"))
+    print(f"pretrain done: {len(history.rows)} epochs")
+    return 0
+
+
+def cmd_adapter(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.config import get_preset
+    from ..core.prng import KeyChain
+    from ..train import (
+        TrainState,
+        base_transform,
+        fit,
+        freeze_mask,
+        make_adapter_eval_step,
+        make_adapter_train_step,
+        make_label_fn,
+    )
+
+    cfg = get_preset("adapter")
+    _setup_logging(args.log_dir, "adapter")
+    tokenizer = _tokenizer(args)
+    cfg = _apply_tiny(cfg, args, len(tokenizer.vocab))
+    model, variables = _model_and_state(cfg, args, tokenizer)
+    compute = jnp.float32 if args.fp32 else jnp.bfloat16
+
+    tx = base_transform(None, 0.0)
+    label_fn = make_label_fn(["adapter"])
+    freeze = freeze_mask(variables["params"], ["adapter"])
+    step = jax.jit(
+        make_adapter_train_step(
+            model, tx, label_fn, freeze, cfg.model.image_size,
+            cfg.augment.mean, cfg.augment.std, compute,
+        )
+    )
+    eval_step = jax.jit(
+        make_adapter_eval_step(
+            model, cfg.model.image_size, cfg.augment.mean, cfg.augment.std,
+            compute,
+        )
+    )
+    train_loader, val_loader = _loaders(cfg, args, multi_view=True)
+
+    def to_single_view(batch):
+        imgs = np.asarray(batch["images"])
+        if imgs.ndim == 5:
+            imgs = imgs[:, 0]
+        return {"images": imgs, "labels": np.asarray(batch["labels"]),
+                "mask": batch.get("mask")}
+
+    state = TrainState.create(variables, tx)
+    kc = KeyChain(cfg.data.seed)
+    state, history = fit(
+        state, step, eval_step,
+        train_loader_fn=lambda: map(to_single_view, train_loader),
+        val_loader_fn=lambda: map(to_single_view, val_loader),
+        base_lrs={"adapter": cfg.train.lr, "default": 0.0},
+        num_epochs=args.epochs or cfg.train.num_epochs,
+        rng_stream=kc.stream("dropout"),
+        scheduler="none",
+        early_stop_patience=cfg.train.early_stop_patience,
+        log_every=cfg.train.log_every,
+    )
+    history.save_csv(os.path.join(args.log_dir, "adapter_history.csv"))
+    print(f"adapter done: {len(history.rows)} epochs")
+    return 0
+
+
+def cmd_zeroshot(args) -> int:
+    import jax.numpy as jnp
+
+    from ..core.config import DISEASE_LABELS, get_preset
+    from ..zeroshot import (
+        ZeroShotEngine,
+        prompts_for_family,
+        run_dynamic_threshold_eval,
+        run_zero_shot_eval,
+    )
+
+    cfg = get_preset(args.preset)
+    _setup_logging(args.log_dir, "zero_shot")
+    tokenizer = _tokenizer(args)
+    cfg = _apply_tiny(cfg, args, len(tokenizer.vocab))
+    model, variables = _model_and_state(cfg, args, tokenizer)
+    engine = ZeroShotEngine(
+        model, variables, tokenizer, DISEASE_LABELS, cfg.zeroshot,
+        cfg.augment.mean, cfg.augment.std, cfg.model.image_size,
+        cfg.model.max_text_length,
+        jnp.float32 if args.fp32 else jnp.bfloat16,
+        use_enhance=cfg.model.use_multimodal_attention,
+    )
+    engine.build_text_features(
+        prompts_for_family(args.prompts, DISEASE_LABELS)
+    )
+    _, val_loader = _loaders(cfg, args, multi_view=True)
+    csv = os.path.join(args.log_dir, "zero_shot_results.csv")
+    if args.dynamic or cfg.zeroshot.dynamic_thresholds:
+        out = run_dynamic_threshold_eval(
+            engine, lambda: iter(val_loader),
+            cfg.zeroshot.threshold_calib_frac,
+            cfg.zeroshot.threshold_grid_points,
+            cfg.zeroshot.frontal_weight, cfg.zeroshot.lateral_weight,
+            csv_path=csv,
+        )
+        print(json.dumps({"thresholds": out["thresholds"]}, indent=2))
+    else:
+        out = run_zero_shot_eval(engine, val_loader, cfg.zeroshot.top_k, csv)
+    print(json.dumps(
+        {k: v for k, v in out["metrics"].items() if not k.startswith("auroc/")},
+        indent=2,
+    ))
+    return 0
+
+
+def cmd_gradcam(args) -> int:
+    import jax.numpy as jnp
+
+    from ..core.config import DISEASE_LABELS, get_preset
+    from ..interpret import gradcam, overlay_cam, upsample_cam
+    from ..ops.image_prep import preprocess_images
+    from ..zeroshot import prompts_for_family
+    from ..zeroshot.engine import encode_prompt_bank
+
+    cfg = get_preset(args.preset)
+    _setup_logging(args.log_dir, "gradcam")
+    tokenizer = _tokenizer(args)
+    cfg = _apply_tiny(cfg, args, len(tokenizer.vocab))
+    model, variables = _model_and_state(cfg, args, tokenizer)
+    _, val_loader = _loaders(cfg, args, multi_view=True)
+
+    # find the batch containing the requested sample
+    idx = args.sample_index
+    for batch in val_loader:
+        if idx < len(batch["labels"]):
+            break
+        idx -= len(batch["labels"])
+    views = np.asarray(batch["images"])[idx]  # [2, H, W, 3]
+    labels = np.asarray(batch["labels"])[idx]
+
+    import jax
+
+    text_features = encode_prompt_bank(
+        prompts_for_family("prediction", DISEASE_LABELS), DISEASE_LABELS,
+        lambda ids, mask: model.apply(
+            variables, ids, mask, normalize=True, method="encode_text"
+        ),
+        tokenizer, cfg.model.max_text_length,
+    )
+    x = preprocess_images(
+        jnp.asarray(views), cfg.model.image_size, cfg.model.image_size,
+        cfg.augment.mean, cfg.augment.std, jnp.float32,
+    )
+    cams, scores = gradcam(model, variables, x, text_features)
+    positive = [i for i, v in enumerate(labels) if v > 0] or [0]
+    out_dir = os.path.join(args.log_dir, "gradcam")
+    os.makedirs(out_dir, exist_ok=True)
+    from ..utils.visualization import save_or_show_image
+
+    written = []
+    for c in positive:
+        for v, view_name in enumerate(("frontal", "lateral")):
+            cam = upsample_cam(
+                cams[c, v : v + 1], cfg.model.image_size, cfg.model.image_size
+            )[0]
+            img01 = (np.asarray(views[v], np.float32) / 255.0)
+            overlay = overlay_cam(jnp.asarray(img01), cam)
+            path = os.path.join(
+                out_dir,
+                f"sample{args.sample_index}_{DISEASE_LABELS[c].replace(' ', '_')}"
+                f"_{view_name}.png",
+            )
+            save_or_show_image(np.asarray(overlay), path,
+                               f"{DISEASE_LABELS[c]} ({view_name})")
+            written.append(path)
+    print(f"wrote {len(written)} Grad-CAM overlays to {out_dir}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    import jax.numpy as jnp
+
+    from ..core.config import DISEASE_LABELS, get_preset
+    from ..evals.metrics import multilabel_metrics
+    from ..inference import InferenceSession
+
+    cfg = get_preset(args.preset)
+    _setup_logging(args.log_dir, "eval")
+    tokenizer = _tokenizer(args)
+    cfg = _apply_tiny(cfg, args, len(tokenizer.vocab))
+    model, variables = _model_and_state(cfg, args, tokenizer)
+    session = InferenceSession(
+        model, variables, tokenizer, DISEASE_LABELS,
+        cfg.augment.mean, cfg.augment.std, cfg.model.image_size,
+        max_text_length=cfg.model.max_text_length,
+    )
+    _, val_loader = _loaders(cfg, args, multi_view=True)
+    probs_all, labels_all = [], []
+    for batch in val_loader:
+        _, probs = session(np.asarray(batch["images"]))
+        mask = np.asarray(batch.get("mask", np.ones(len(probs)))).astype(bool)
+        probs_all.append(probs[mask])
+        labels_all.append(np.asarray(batch["labels"])[mask])
+    metrics = multilabel_metrics(
+        np.concatenate(probs_all), np.concatenate(labels_all),
+        class_names=DISEASE_LABELS,
+    )
+    print(json.dumps(metrics, indent=2))
+    return 0
+
+
+# ---------------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="clip_for_dl_tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--preset", default="zero_shot")
+        sp.add_argument("--checkpoint", default=None,
+                        help="orbax dir or reference .pth")
+        sp.add_argument("--checkpoint-dir", default=None)
+        sp.add_argument("--vocab", default=None, help="BERT vocab.txt")
+        sp.add_argument("--log-dir", default="logs")
+        sp.add_argument("--epochs", type=int, default=None)
+        sp.add_argument("--fp32", action="store_true")
+        sp.add_argument("--synthetic", action="store_true")
+        sp.add_argument("--synthetic-samples", type=int, default=64)
+        sp.add_argument("--tiny", action="store_true",
+                        help="shrink towers for smoke runs")
+
+    sp = sub.add_parser("prep", help="label extraction")
+    sp.add_argument("--reports", required=True)
+    sp.add_argument("--out", default="indiana_reports_labeled.csv")
+    sp.add_argument("--unlabeled-out", default="unlabeled_samples.csv")
+    sp.set_defaults(fn=cmd_prep)
+
+    sp = sub.add_parser("pretrain", help="CLIP contrastive pretraining")
+    common(sp)
+    sp.set_defaults(fn=cmd_pretrain, preset="pretrain_clip")
+
+    sp = sub.add_parser("adapter", help="frozen-CLIP C-Adapter training")
+    common(sp)
+    sp.set_defaults(fn=cmd_adapter, preset="adapter")
+
+    sp = sub.add_parser("zeroshot", help="zero-shot evaluation")
+    common(sp)
+    sp.add_argument("--prompts", default="prediction",
+                    choices=["prediction", "basic", "showing", "rich", "findings"])
+    sp.add_argument("--dynamic", action="store_true",
+                    help="two-pass dynamic-threshold pipeline")
+    sp.set_defaults(fn=cmd_zeroshot)
+
+    sp = sub.add_parser("gradcam", help="Grad-CAM saliency maps")
+    common(sp)
+    sp.add_argument("--sample_index", type=int, default=0)
+    sp.set_defaults(fn=cmd_gradcam)
+
+    sp = sub.add_parser("eval", help="metric suite over a checkpoint")
+    common(sp)
+    sp.set_defaults(fn=cmd_eval)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
