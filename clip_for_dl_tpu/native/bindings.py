@@ -1,0 +1,163 @@
+"""ctypes bindings for the native host-preprocessing runtime.
+
+Builds ``native/libcxr_native.so`` on first use (g++, no pybind11) and
+exposes the batched cv2-parity resize / fused normalize entry points. Every
+function has a pure-numpy fallback so the package works without a compiler;
+`is_available()` reports which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_REPO_NATIVE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_REPO_NATIVE, "libcxr_native.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def load_library(rebuild: bool = False) -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None on failure."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None and not rebuild:
+            return _lib
+        if _tried and not rebuild:
+            return _lib
+        _tried = True
+        try:
+            if rebuild or not os.path.exists(_LIB_PATH):
+                src = os.path.join(_REPO_NATIVE, "src", "cxr_native.cpp")
+                if not os.path.exists(src):
+                    return None
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-fPIC", "-pthread",
+                     "-shared", src, "-o", _LIB_PATH],
+                    check=True, capture_output=True,
+                )
+            lib = ctypes.CDLL(_LIB_PATH)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.cxr_resize_u8.argtypes = [
+                u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                u8p, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.cxr_batch_resize_normalize.argtypes = [
+                ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int,
+            ]
+            lib.cxr_batch_resize_u8.argtypes = [
+                ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int, ctypes.c_int,
+                u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.cxr_version.restype = ctypes.c_int
+            assert lib.cxr_version() == 1
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def is_available() -> bool:
+    return load_library() is not None
+
+
+def _np_resize_u8(src: np.ndarray, dh: int, dw: int) -> np.ndarray:
+    """Numpy fallback (float path + round-half-up; ≤1 LSB off cv2)."""
+    sh, sw, c = src.shape
+    from ..ops.image_prep import _resize_weights
+
+    wh = _resize_weights(sh, dh)
+    ww = _resize_weights(sw, dw)
+    out = np.einsum("Hh,hwc->Hwc", wh, src.astype(np.float32))
+    out = np.einsum("Ww,hwc->hWc", ww, out)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def resize_u8(src: np.ndarray, dh: int, dw: int) -> np.ndarray:
+    """cv2.resize(INTER_LINEAR)-parity uint8 HWC resize."""
+    src = np.ascontiguousarray(src, np.uint8)
+    sh, sw, c = src.shape
+    lib = load_library()
+    if lib is None:
+        return _np_resize_u8(src, dh, dw)
+    dst = np.empty((dh, dw, c), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.cxr_resize_u8(
+        src.ctypes.data_as(u8p), sh, sw, c,
+        dst.ctypes.data_as(u8p), dh, dw,
+    )
+    return dst
+
+
+def _pack_ptrs(images: Sequence[np.ndarray]):
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    arr = (u8p * len(images))()
+    shapes = np.empty(2 * len(images), np.int32)
+    keepalive = []
+    for i, img in enumerate(images):
+        img = np.ascontiguousarray(img, np.uint8)
+        keepalive.append(img)
+        arr[i] = img.ctypes.data_as(u8p)
+        shapes[2 * i], shapes[2 * i + 1] = img.shape[0], img.shape[1]
+    return arr, shapes, keepalive
+
+
+def batch_resize_u8(
+    images: Sequence[np.ndarray], dh: int, dw: int, threads: int = 0
+) -> np.ndarray:
+    """Variable-size uint8 HWC images → NHWC uint8 batch (threaded)."""
+    c = images[0].shape[2]
+    lib = load_library()
+    if lib is None:
+        return np.stack([_np_resize_u8(np.asarray(im), dh, dw) for im in images])
+    ptrs, shapes, keep = _pack_ptrs(images)
+    dst = np.empty((len(images), dh, dw, c), np.uint8)
+    lib.cxr_batch_resize_u8(
+        ptrs, shapes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        len(images), c,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), dh, dw, threads,
+    )
+    return dst
+
+
+def batch_resize_normalize(
+    images: Sequence[np.ndarray],
+    dh: int,
+    dw: int,
+    mean: Tuple[float, ...] = (0.0, 0.0, 0.0),
+    std: Tuple[float, ...] = (1.0, 1.0, 1.0),
+    threads: int = 0,
+) -> np.ndarray:
+    """Variable-size uint8 images → normalized float32 NHWC batch:
+    (x/255 - mean)/std fused into the resize pass."""
+    c = images[0].shape[2]
+    scale = (1.0 / 255.0) / np.asarray(std, np.float32)
+    bias = -np.asarray(mean, np.float32) / np.asarray(std, np.float32)
+    lib = load_library()
+    if lib is None:
+        u8 = np.stack([_np_resize_u8(np.asarray(im), dh, dw) for im in images])
+        return u8.astype(np.float32) * scale + bias
+    ptrs, shapes, keep = _pack_ptrs(images)
+    dst = np.empty((len(images), dh, dw, c), np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.cxr_batch_resize_normalize(
+        ptrs, shapes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        len(images), c,
+        dst.ctypes.data_as(f32p), dh, dw,
+        scale.ctypes.data_as(f32p), bias.ctypes.data_as(f32p), threads,
+    )
+    return dst
