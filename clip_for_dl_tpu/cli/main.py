@@ -213,6 +213,9 @@ def cmd_pretrain(args) -> int:
             cfg.model.image_size, cfg.augment.mean, cfg.augment.std, compute,
         )
     )
+    from ..evals import MetricWriter
+    from ..train import PreemptionGuard, resume_or_init
+
     state = TrainState.create(variables, tx)
     kc = KeyChain(cfg.data.seed)
 
@@ -223,22 +226,29 @@ def cmd_pretrain(args) -> int:
         ckpt = CheckpointManager(
             args.checkpoint_dir, cfg.train.max_checkpoints_to_keep
         )
+    state, start_epoch = resume_or_init(ckpt, state)
+    writer = MetricWriter(args.log_dir, "pretrain")
 
-    state, history = fit(
-        state, step, eval_step,
-        train_loader_fn=lambda: map(tokenize_batch, train_loader),
-        val_loader_fn=lambda: map(tokenize_batch, val_loader),
-        base_lrs=groups,
-        num_epochs=args.epochs or cfg.train.num_epochs,
-        rng_stream=kc.stream("dropout"),
-        scheduler=cfg.train.scheduler,
-        eta_min=cfg.train.eta_min,
-        plateau_patience=cfg.train.plateau_patience,
-        plateau_factor=cfg.train.plateau_factor,
-        early_stop_patience=cfg.train.early_stop_patience,
-        checkpointer=ckpt,
-        log_every=cfg.train.log_every,
-    )
+    with PreemptionGuard() as guard:
+        state, history = fit(
+            state, step, eval_step,
+            train_loader_fn=lambda: map(tokenize_batch, train_loader),
+            val_loader_fn=lambda: map(tokenize_batch, val_loader),
+            base_lrs=groups,
+            num_epochs=args.epochs or cfg.train.num_epochs,
+            rng_stream=kc.stream("dropout"),
+            scheduler=cfg.train.scheduler,
+            eta_min=cfg.train.eta_min,
+            plateau_patience=cfg.train.plateau_patience,
+            plateau_factor=cfg.train.plateau_factor,
+            early_stop_patience=cfg.train.early_stop_patience,
+            checkpointer=ckpt,
+            start_epoch=start_epoch,
+            log_every=cfg.train.log_every,
+            preemption_guard=guard,
+            metric_writer=writer,
+        )
+    writer.close()
     history.save_csv(os.path.join(args.log_dir, "training_history.csv"))
     print(f"pretrain done: {len(history.rows)} epochs")
     return 0

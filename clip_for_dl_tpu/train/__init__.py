@@ -3,7 +3,8 @@ from .checkpoint import (
     import_reference_checkpoint,
     merge_imported_params,
 )
-from .loop import History, fit, run_epoch, run_eval
+from .loop import History, fit, resume_or_init, run_epoch, run_eval
+from .preemption import PreemptionGuard
 from .optim import (
     CosineSchedule,
     EarlyStopping,
@@ -32,6 +33,8 @@ __all__ = [
     "merge_imported_params",
     "History",
     "fit",
+    "resume_or_init",
+    "PreemptionGuard",
     "run_epoch",
     "run_eval",
     "CosineSchedule",

@@ -130,9 +130,13 @@ def fit(
     checkpointer=None,
     start_epoch: int = 0,
     log_every: int = 10,
+    preemption_guard=None,
+    metric_writer=None,
 ) -> tuple[TrainState, History]:
     """The full train_clip loop. `epoch_args_fn` supplies per-epoch extras
-    (e.g. precomputed text features) threaded into both steps."""
+    (e.g. precomputed text features) threaded into both steps.
+    `preemption_guard` (train.preemption.PreemptionGuard) stops cleanly with
+    a final checkpoint when a termination signal arrives."""
     history = History()
     cosine = CosineSchedule(dict(base_lrs), t_max=num_epochs, eta_min=eta_min)
     plateau = ReduceLROnPlateau(
@@ -166,15 +170,39 @@ def fit(
             "epoch %d done: train %.4f val %.4f (%.1fs)",
             epoch, train_loss, val_loss, epoch_time,
         )
+        if metric_writer is not None:
+            metric_writer.write(
+                epoch,
+                {"train_loss": train_loss, "val_loss": val_loss,
+                 "epoch_time": epoch_time, **{f"lr/{k}": v for k, v in lrs.items()}},
+            )
         if checkpointer is not None:
             checkpointer.save(
                 epoch, state, metrics={"val_loss": float(val_loss)}
             )
         if val_loss < best_val:
             best_val = val_loss
+        if preemption_guard is not None and preemption_guard.requested:
+            logger.warning("preemption requested — stopping after epoch %d",
+                           epoch)
+            break
         if early_stop_patience and stopper.step(val_loss):
             logger.info("early stop at epoch %d (best %.4f)", epoch, best_val)
             break
     if checkpointer is not None:
         checkpointer.wait()
     return state, history
+
+
+def resume_or_init(checkpointer, state_template: TrainState):
+    """Auto-resume: (state, start_epoch) from the latest checkpoint, or the
+    template at epoch 0 (the reference's resume-from-checkpoint.pth path,
+    0425/train.py:653-663, made automatic for preempted restarts)."""
+    if checkpointer is None:
+        return state_template, 0
+    latest = checkpointer.latest_epoch()
+    if latest is None:
+        return state_template, 0
+    state, _ = checkpointer.restore(state_template, latest)
+    logger.info("resumed from checkpoint epoch %d", latest)
+    return state, latest + 1

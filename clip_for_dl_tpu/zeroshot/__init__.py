@@ -14,6 +14,7 @@ from .prompts import (
     create_prediction_prompts,
     create_rich_prompts,
     create_showing_prompts,
+    disease_cooccurrence,
     prompts_for_family,
 )
 from .thresholds import (
@@ -39,6 +40,7 @@ __all__ = [
     "create_prediction_prompts",
     "create_rich_prompts",
     "create_showing_prompts",
+    "disease_cooccurrence",
     "prompts_for_family",
     "calibration_split",
     "search_threshold",

@@ -96,6 +96,26 @@ def create_rich_prompts(disease_stats: pd.DataFrame) -> Dict[str, List[str]]:
     return prompts
 
 
+def disease_cooccurrence(df: pd.DataFrame) -> pd.DataFrame:
+    """Symmetric disease co-occurrence counts from the Problems column
+    (0425/disease_analysis.py:268-289 get_disease_cooccurrence)."""
+    from collections import Counter
+    from itertools import permutations
+
+    counts: Counter = Counter()
+    names: set = set()
+    for problems in df.get("Problems", pd.Series(dtype=str)).dropna():
+        diseases = [d.strip() for d in str(problems).split(";")]
+        names.update(diseases)
+        for a, b in permutations(set(diseases), 2):
+            counts[(a, b)] += 1
+    order = sorted(names)
+    out = pd.DataFrame(0, index=order, columns=order)
+    for (a, b), n in counts.items():
+        out.loc[a, b] = n
+    return out
+
+
 def create_prediction_prompts(diseases: Sequence[str]) -> List[str]:
     return [
         "This is a normal chest X-ray without any significant findings."
