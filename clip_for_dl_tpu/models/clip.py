@@ -39,13 +39,15 @@ class CXRClip(nn.Module):
     config: ModelConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    fold_bn: bool = False  # inference-only: BN pre-folded into conv weights
 
     def setup(self):
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         if cfg.image_tower == "resnet50":
             self.image_tower = ResNet(
-                stage_sizes=cfg.resnet_stages, width=cfg.resnet_width, **kw
+                stage_sizes=cfg.resnet_stages, width=cfg.resnet_width,
+                fold_bn=self.fold_bn, **kw,
             )
         elif cfg.image_tower == "vit_b16":
             self.image_tower = ViT(

@@ -33,18 +33,24 @@ Dtype = Any
 
 
 class BottleneckBlock(nn.Module):
-    """1x1 → 3x3 → 1x1 bottleneck with expansion 4 (ResNet v1)."""
+    """1x1 → 3x3 → 1x1 bottleneck with expansion 4 (ResNet v1).
+
+    `fold_bn=True` builds the inference-optimized topology: BatchNorm is
+    pre-folded into each conv's kernel/bias (see fold_batchnorm), removing
+    all normalization math and fp32 round-trips from the hot path."""
 
     features: int
     strides: int = 1
     downsample: bool = False
+    fold_bn: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         conv_kw = dict(
-            use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype
+            use_bias=self.fold_bn, dtype=self.dtype,
+            param_dtype=self.param_dtype,
         )
         bn_kw = dict(
             use_running_average=not train,
@@ -53,26 +59,33 @@ class BottleneckBlock(nn.Module):
             dtype=jnp.float32,
             param_dtype=self.param_dtype,
         )
+
+        def norm(name, y):
+            if self.fold_bn:
+                return y
+            return nn.BatchNorm(name=name, **bn_kw)(y).astype(self.dtype)
+
         residual = x
         y = nn.Conv(self.features, (1, 1), name="conv1", **conv_kw)(x)
-        y = nn.BatchNorm(name="bn1", **bn_kw)(y).astype(self.dtype)
-        y = nn.relu(y)
+        y = nn.relu(norm("bn1", y))
         y = nn.Conv(
             self.features, (3, 3), strides=(self.strides, self.strides),
             padding=[(1, 1), (1, 1)], name="conv2", **conv_kw,
         )(y)
-        y = nn.BatchNorm(name="bn2", **bn_kw)(y).astype(self.dtype)
-        y = nn.relu(y)
+        y = nn.relu(norm("bn2", y))
         y = nn.Conv(self.features * 4, (1, 1), name="conv3", **conv_kw)(y)
-        y = nn.BatchNorm(name="bn3", **bn_kw)(y)
+        y = norm("bn3", y)
         if self.downsample:
             residual = nn.Conv(
                 self.features * 4, (1, 1),
                 strides=(self.strides, self.strides),
                 name="downsample_conv", **conv_kw,
             )(residual)
-            residual = nn.BatchNorm(name="downsample_bn", **bn_kw)(residual)
-        y = nn.relu(y.astype(jnp.float32) + residual.astype(jnp.float32))
+            residual = norm("downsample_bn", residual)
+        if self.fold_bn:
+            y = nn.relu(y + residual)
+        else:
+            y = nn.relu(y.astype(jnp.float32) + residual.astype(jnp.float32))
         return y.astype(self.dtype)
 
 
@@ -83,6 +96,7 @@ class ResNet(nn.Module):
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)  # ResNet-50
     width: int = 64
+    fold_bn: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -90,8 +104,10 @@ class ResNet(nn.Module):
     def __call__(
         self, images, *, train: bool = False, capture_stage4: bool = False
     ):
+        assert not (self.fold_bn and train), "folded BN is inference-only"
         conv_kw = dict(
-            use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype
+            use_bias=self.fold_bn, dtype=self.dtype,
+            param_dtype=self.param_dtype,
         )
         bn_kw = dict(
             use_running_average=not train,
@@ -105,7 +121,8 @@ class ResNet(nn.Module):
             self.width, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
             name="conv1", **conv_kw,
         )(x)
-        x = nn.BatchNorm(name="bn1", **bn_kw)(x).astype(self.dtype)
+        if not self.fold_bn:
+            x = nn.BatchNorm(name="bn1", **bn_kw)(x).astype(self.dtype)
         x = nn.relu(x)
         x = nn.max_pool(
             x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
@@ -118,6 +135,7 @@ class ResNet(nn.Module):
                     features=features,
                     strides=strides,
                     downsample=(block == 0),
+                    fold_bn=self.fold_bn,
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name=f"layer{stage + 1}_{block}",
@@ -133,6 +151,76 @@ class ResNet(nn.Module):
 
 def resnet50(dtype=jnp.float32, param_dtype=jnp.float32) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), dtype=dtype, param_dtype=param_dtype)
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm folding (inference optimization pass)
+# ---------------------------------------------------------------------------
+
+
+def fold_batchnorm(params, batch_stats, eps: float = 1e-5):
+    """ResNet (params, batch_stats) → folded params for `fold_bn=True`.
+
+    Inference BN is the affine map y = (x - μ)·γ/√(σ²+ε) + β; folding it into
+    the preceding conv gives W' = W·γ/√(σ²+ε) (per output channel) and
+    b' = β - μ·γ/√(σ²+ε), removing every normalization op from the compiled
+    program. Exactly equal to the unfolded eval forward (up to one rounding).
+    """
+    import numpy as np
+
+    def fold_pair(conv, bn, stats):
+        kernel = np.asarray(conv["kernel"], np.float32)
+        gamma = np.asarray(bn["scale"], np.float32)
+        beta = np.asarray(bn["bias"], np.float32)
+        mean = np.asarray(stats["mean"], np.float32)
+        var = np.asarray(stats["var"], np.float32)
+        scale = gamma / np.sqrt(var + eps)
+        return {
+            "kernel": (kernel * scale[None, None, None, :]).astype(kernel.dtype),
+            "bias": (beta - mean * scale).astype(kernel.dtype),
+        }
+
+    out = {}
+    for name, module in params.items():
+        if name == "conv1":
+            out["conv1"] = fold_pair(module, params["bn1"], batch_stats["bn1"])
+        elif name.startswith("bn"):
+            continue
+        elif name.startswith("layer"):
+            block_p, block_s = module, batch_stats[name]
+            folded = {}
+            for key in block_p:
+                if key.startswith("conv"):
+                    i = key[len("conv"):]
+                    folded[key] = fold_pair(
+                        block_p[key], block_p[f"bn{i}"], block_s[f"bn{i}"]
+                    )
+                elif key == "downsample_conv":
+                    folded[key] = fold_pair(
+                        block_p[key], block_p["downsample_bn"],
+                        block_s["downsample_bn"],
+                    )
+            out[name] = folded
+        else:
+            out[name] = module
+    return out
+
+
+def fold_clip_image_tower(variables):
+    """CXRClip variables → variables with the ResNet tower BN-folded
+    (drop-in for a `CXRClip(config.replace(...), fold_bn)` — use
+    `folded_resnet_variables` on the tower subtree)."""
+    params = dict(variables["params"])
+    stats = dict(variables.get("batch_stats", {}))
+    if "image_tower" in params and "image_tower" in stats:
+        params["image_tower"] = fold_batchnorm(
+            params["image_tower"], stats["image_tower"]
+        )
+        stats = {k: v for k, v in stats.items() if k != "image_tower"}
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
 
 
 # ---------------------------------------------------------------------------
