@@ -25,7 +25,13 @@ from ..core.config import ModelConfig
 from ..ops.similarity import l2_normalize
 from .attention_fusion import AdditiveMultiModalAttention
 from .bert import BertEncoder
-from .heads import CAdapter, ImageProjection, MultiViewFusion, TextProjection
+from .heads import (
+    CAdapter,
+    ImageProjection,
+    MultiViewFusion,
+    SharedEmbeddingAdapter,
+    TextProjection,
+)
 from .resnet import ResNet
 from .vit import ViT
 
@@ -73,6 +79,9 @@ class CXRClip(nn.Module):
             out_dim=cfg.shared_embedding_dim, **kw
         )
         self.adapter = CAdapter(num_classes=cfg.num_classes, **kw)
+        self.shared_adapter = SharedEmbeddingAdapter(
+            num_classes=cfg.num_classes, **kw
+        )
         if cfg.use_multimodal_attention:
             self.multimodal_attention = AdditiveMultiModalAttention(
                 dim=cfg.shared_embedding_dim, **kw
@@ -142,6 +151,12 @@ class CXRClip(nn.Module):
         """C-Adapter classification logits over (frozen) image features."""
         return self.adapter(image_features)
 
+    def shared_adapter_logits(
+        self, image_features: jnp.ndarray, text_features: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Shared-embedding adapter over concat(img, text) (03 nb variant)."""
+        return self.shared_adapter(image_features, text_features)
+
     def __call__(
         self,
         images: jnp.ndarray,
@@ -156,6 +171,7 @@ class CXRClip(nn.Module):
         # Touch remaining heads so init creates their params.
         self.view_fusion(img, img, deterministic=True)
         self.adapter(img)
+        self.shared_adapter(img, txt)
         if self.config.use_multimodal_attention:
             self.multimodal_attention(img, txt)
         return img, txt

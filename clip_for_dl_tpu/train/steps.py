@@ -284,6 +284,51 @@ def make_adapter_train_step(
     return step
 
 
+def make_shared_adapter_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    label_fn,
+    freeze,
+    image_size: int = 224,
+    mean: Tuple[float, ...] = (0.0, 0.0, 0.0),
+    std: Tuple[float, ...] = (1.0, 1.0, 1.0),
+    compute_dtype=jnp.bfloat16,
+):
+    """Shared-embedding adapter (the 03-notebook "nouse" variant): Linear
+    over concat(image_proj, text_proj of the report) with BCE; towers frozen.
+    Batch: images [B,H,W,3] u8, input_ids/attention_mask, labels [B,C]."""
+
+    def step(state: TrainState, batch: Batch, lrs, rng) -> Tuple[TrainState, Metrics]:
+        images = preprocess_images(
+            batch["images"], image_size, image_size, mean, std, compute_dtype
+        )
+        variables = state.to_variables()
+        img_f = jax.lax.stop_gradient(
+            model.apply(variables, images, method="encode_image")
+        )
+        txt_f = jax.lax.stop_gradient(
+            model.apply(
+                variables, batch["input_ids"], batch["attention_mask"],
+                method="encode_text",
+            )
+        )
+
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                img_f, txt_f, method="shared_adapter_logits",
+            )
+            return bce_with_logits_loss(logits, batch["labels"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        new_state = _apply_updates(
+            state, grads, tx, lrs, label_fn, freeze=freeze
+        )
+        return new_state, {"loss": loss}
+
+    return step
+
+
 def make_adapter_eval_step(
     model,
     image_size: int = 224,

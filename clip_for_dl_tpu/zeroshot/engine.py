@@ -89,7 +89,17 @@ class ZeroShotEngine:
         max_text_length: int = 512,
         compute_dtype=jnp.bfloat16,
         use_enhance: bool = False,
+        mesh=None,
     ):
+        """`mesh`: an optional 1-D data mesh — image batches shard across it
+        and the whole pipeline runs SPMD (params replicated, ICI-local)."""
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._batch_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+            variables = jax.device_put(variables, NamedSharding(mesh, P()))
+        else:
+            self._batch_sharding = None
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
@@ -153,6 +163,8 @@ class ZeroShotEngine:
         imgs = jnp.asarray(images_u8)
         if imgs.ndim == 5:
             imgs = imgs.reshape((-1, *imgs.shape[2:]))
+        if self._batch_sharding is not None:
+            imgs = jax.device_put(imgs, self._batch_sharding)
         return np.asarray(
             self._logits(
                 self.variables, imgs, self.text_features,
