@@ -72,6 +72,7 @@ class ModelConfig:
     vit_hidden: int = 768
     vit_mlp_dim: int = 3072
     use_multimodal_attention: bool = False
+    remat: bool = False  # per-layer/block rematerialization in the towers
 
     def with_vit(self) -> "ModelConfig":
         return dataclasses.replace(

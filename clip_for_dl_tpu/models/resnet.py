@@ -47,7 +47,7 @@ class BottleneckBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         conv_kw = dict(
             use_bias=self.fold_bn, dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -97,6 +97,7 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)  # ResNet-50
     width: int = 64
     fold_bn: bool = False
+    remat: bool = False  # per-block rematerialization for training memory
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -127,11 +128,14 @@ class ResNet(nn.Module):
         x = nn.max_pool(
             x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
         )
+        block_cls = BottleneckBlock
+        if self.remat:
+            block_cls = nn.remat(BottleneckBlock, static_argnums=(2,))
         for stage, num_blocks in enumerate(self.stage_sizes):
             features = self.width * (2 ** stage)
             for block in range(num_blocks):
                 strides = 2 if stage > 0 and block == 0 else 1
-                x = BottleneckBlock(
+                x = block_cls(
                     features=features,
                     strides=strides,
                     downsample=(block == 0),
@@ -139,7 +143,7 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name=f"layer{stage + 1}_{block}",
-                )(x, train=train)
+                )(x, train)
         stage4 = x  # [B, 7, 7, 2048] at 224 input
         # Global average pool == torch AdaptiveAvgPool2d(1)
         pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))

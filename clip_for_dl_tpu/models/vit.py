@@ -36,7 +36,8 @@ class ViTEncoderLayer(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic=True, sow_weights=False):
+    def __call__(self, x, deterministic=True, sow_weights=False):
+        # positional signature (remat's static_argnums needs positions)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         ln = dict(epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype)
         h, hd = self.heads, self.hidden // self.heads
@@ -85,6 +86,7 @@ class ViT(nn.Module):
     heads: int = 12
     mlp_dim: int = 3072
     dropout: float = 0.0
+    remat: bool = False  # per-layer rematerialization for training memory
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -119,12 +121,15 @@ class ViT(nn.Module):
         x = x + pos.astype(self.dtype)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
 
+        layer_cls = ViTEncoderLayer
+        if self.remat:
+            layer_cls = nn.remat(ViTEncoderLayer, static_argnums=(2, 3))
         for i in range(self.layers):
-            x = ViTEncoderLayer(
+            x = layer_cls(
                 self.hidden, self.heads, self.mlp_dim, self.dropout,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",
-            )(x, deterministic=deterministic, sow_weights=sow_weights)
+            )(x, deterministic, sow_weights)
 
         x = nn.LayerNorm(
             epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype,
