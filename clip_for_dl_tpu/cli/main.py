@@ -254,6 +254,177 @@ def cmd_pretrain(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """Scripts-path training (0426/train.py semantics): multi-view exams,
+    per-epoch prompt text features, multilabel contrastive (or asymmetric
+    with cross-modal enhancement), cosine schedule."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.config import DISEASE_LABELS, get_preset
+    from ..core.prng import KeyChain
+    from ..evals import MetricWriter
+    from ..train import (
+        PreemptionGuard,
+        TrainState,
+        base_transform,
+        fit,
+        make_label_fn,
+        make_multiview_eval_step,
+        make_multiview_train_step,
+        resume_or_init,
+    )
+    from ..zeroshot import prompts_for_family
+    from ..zeroshot.engine import encode_prompt_bank
+
+    cfg = get_preset(args.preset)
+    _setup_logging(args.log_dir, "train")
+    tokenizer = _tokenizer(args)
+    cfg = _apply_tiny(cfg, args, len(tokenizer.vocab))
+    model, variables = _model_and_state(cfg, args, tokenizer)
+    compute = jnp.float32 if args.fp32 else jnp.bfloat16
+    use_enhance = cfg.model.use_multimodal_attention
+
+    tx = base_transform(cfg.train.max_grad_norm, cfg.train.weight_decay)
+    label_fn = make_label_fn([])
+    step = jax.jit(
+        make_multiview_train_step(
+            model, tx, label_fn,
+            temperature=cfg.model.temperature,
+            image_size=cfg.model.image_size,
+            mean=cfg.augment.mean, std=cfg.augment.std,
+            compute_dtype=compute, use_enhance=use_enhance,
+        )
+    )
+    eval_step = jax.jit(
+        make_multiview_eval_step(
+            model, cfg.model.temperature, cfg.model.image_size,
+            cfg.augment.mean, cfg.augment.std, compute,
+            use_enhance=use_enhance,
+        )
+    )
+    train_loader, val_loader = _loaders(cfg, args, multi_view=True)
+    prompts = prompts_for_family("prediction", DISEASE_LABELS)
+
+    def epoch_text_features(state):
+        # per-epoch precompute with the CURRENT text tower (0426 hoisting)
+        variables = state.to_variables()
+        feats = encode_prompt_bank(
+            prompts, DISEASE_LABELS,
+            lambda ids, mask: model.apply(
+                variables, ids, mask, normalize=True, method="encode_text"
+            ),
+            tokenizer, cfg.model.max_text_length,
+        )
+        return (feats,)
+
+    def clean(batch):
+        import numpy as _np
+
+        return {
+            "images": _np.asarray(batch["images"]),
+            "labels": _np.asarray(batch["labels"]),
+        }
+
+    ckpt = None
+    if args.checkpoint_dir:
+        from ..train import CheckpointManager
+
+        ckpt = CheckpointManager(
+            args.checkpoint_dir, cfg.train.max_checkpoints_to_keep
+        )
+    state = TrainState.create(variables, tx)
+    state, start_epoch = resume_or_init(ckpt, state)
+    writer = MetricWriter(args.log_dir, "train")
+    kc = KeyChain(cfg.data.seed)
+    with PreemptionGuard() as guard:
+        state, history = fit(
+            state, step, eval_step,
+            train_loader_fn=lambda: map(clean, train_loader),
+            val_loader_fn=lambda: map(clean, val_loader),
+            base_lrs={"default": cfg.train.lr},
+            num_epochs=args.epochs or cfg.train.num_epochs,
+            rng_stream=kc.stream("dropout"),
+            scheduler=cfg.train.scheduler,
+            eta_min=cfg.train.eta_min,
+            early_stop_patience=cfg.train.early_stop_patience,
+            epoch_args_fn=epoch_text_features,
+            checkpointer=ckpt,
+            start_epoch=start_epoch,
+            log_every=cfg.train.log_every,
+            preemption_guard=guard,
+            metric_writer=writer,
+        )
+    writer.close()
+    history.save_csv(os.path.join(args.log_dir, "training_history.csv"))
+    print(f"train done: {len(history.rows)} epochs")
+    return 0
+
+
+def cmd_shared_adapter(args) -> int:
+    """03-notebook shared-embedding adapter: Linear over concat(img, text)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.config import get_preset
+    from ..core.prng import KeyChain
+    from ..train import (
+        TrainState,
+        base_transform,
+        fit,
+        freeze_mask,
+        make_label_fn,
+        make_shared_adapter_train_step,
+    )
+
+    cfg = get_preset("adapter")
+    _setup_logging(args.log_dir, "shared_adapter")
+    tokenizer = _tokenizer(args)
+    cfg = _apply_tiny(cfg, args, len(tokenizer.vocab))
+    model, variables = _model_and_state(cfg, args, tokenizer)
+    compute = jnp.float32 if args.fp32 else jnp.bfloat16
+    tx = base_transform(None, 0.0)
+    label_fn = make_label_fn(["shared_adapter"])
+    freeze = freeze_mask(variables["params"], ["shared_adapter"])
+    step = jax.jit(
+        make_shared_adapter_train_step(
+            model, tx, label_fn, freeze, cfg.model.image_size,
+            cfg.augment.mean, cfg.augment.std, compute,
+        )
+    )
+    train_loader, _ = _loaders(cfg, args, multi_view=True)
+    max_len = cfg.model.max_text_length
+
+    def to_batch(batch):
+        imgs = np.asarray(batch["images"])
+        if imgs.ndim == 5:
+            imgs = imgs[:, 0]
+        texts = batch.get("findings") or batch.get("text")
+        enc = tokenizer.encode(list(texts), max_length=max_len)
+        return {
+            "images": imgs,
+            "input_ids": enc["input_ids"],
+            "attention_mask": enc["attention_mask"],
+            "labels": np.asarray(batch["labels"]),
+        }
+
+    state = TrainState.create(variables, tx)
+    kc = KeyChain(cfg.data.seed)
+    state, history = fit(
+        state, step, None,
+        train_loader_fn=lambda: map(to_batch, train_loader),
+        val_loader_fn=None,
+        base_lrs={"shared_adapter": cfg.train.lr, "default": 0.0},
+        num_epochs=args.epochs or cfg.train.num_epochs,
+        rng_stream=kc.stream("dropout"),
+        scheduler="none",
+        early_stop_patience=None,
+        log_every=cfg.train.log_every,
+    )
+    print(f"shared-adapter done: {len(history.rows)} epochs")
+    return 0
+
+
 def cmd_adapter(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -495,9 +666,21 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.set_defaults(fn=cmd_pretrain, preset="pretrain_clip")
 
+    sp = sub.add_parser(
+        "train", help="scripts-path multi-view training (0426 semantics)"
+    )
+    common(sp)
+    sp.set_defaults(fn=cmd_train, preset="scripts_train")
+
     sp = sub.add_parser("adapter", help="frozen-CLIP C-Adapter training")
     common(sp)
     sp.set_defaults(fn=cmd_adapter, preset="adapter")
+
+    sp = sub.add_parser(
+        "shared-adapter", help="shared-embedding adapter (03-notebook variant)"
+    )
+    common(sp)
+    sp.set_defaults(fn=cmd_shared_adapter, preset="adapter")
 
     sp = sub.add_parser("zeroshot", help="zero-shot evaluation")
     common(sp)
