@@ -233,9 +233,19 @@ def fold_clip_image_tower(variables):
 
 
 def import_torchvision_resnet50(
-    sd: Mapping[str, Any], stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    sd: Mapping[str, Any], stage_sizes: Sequence[int] | None = None
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
-    """torchvision resnet50 state_dict → (params, batch_stats) pytrees."""
+    """torchvision resnet state_dict → (params, batch_stats) pytrees.
+    Stage sizes are inferred from the keys when not given."""
+    if stage_sizes is None:
+        stage_sizes = tuple(
+            1 + max(
+                (int(k.split(".")[1]) for k in sd
+                 if k.startswith(f"layer{s}.")),
+                default=-1,
+            )
+            for s in range(1, 5)
+        )
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
 
