@@ -27,3 +27,19 @@ cli/        command-line entrypoints (prep/pretrain/adapter/zeroshot/...)
 """
 
 __version__ = "0.1.0"
+
+# Top-level convenience API (submodules import lazily where heavy).
+from .core.config import (  # noqa: E402
+    DISEASE_LABELS,
+    ExperimentConfig,
+    ModelConfig,
+    get_preset,
+)
+
+__all__ = [
+    "DISEASE_LABELS",
+    "ExperimentConfig",
+    "ModelConfig",
+    "get_preset",
+    "__version__",
+]

@@ -135,11 +135,18 @@ def _loaders(cfg, args, multi_view=True):
         else:
             train_ds = SyntheticImageTextDataset(n, cfg.model.image_size, 0)
             val_ds = SyntheticImageTextDataset(n // 4, cfg.model.image_size, 1)
-    mk = lambda ds, sh: HostLoader(
-        ds, cfg.data.batch_size, shuffle=sh, seed=cfg.data.seed,
+    # train: drop the ragged final batch (a zero-padded sample would skew the
+    # batch-global contrastive losses); eval: pad + mask so nothing is lost.
+    train_loader = HostLoader(
+        train_ds, cfg.data.batch_size, shuffle=True, seed=cfg.data.seed,
         num_threads=cfg.data.num_workers,
+        drop_last=len(train_ds) > cfg.data.batch_size, pad_final=True,
     )
-    return mk(train_ds, True), mk(val_ds, False)
+    val_loader = HostLoader(
+        val_ds, cfg.data.batch_size, shuffle=False, seed=cfg.data.seed,
+        num_threads=cfg.data.num_workers, pad_final=True,
+    )
+    return train_loader, val_loader
 
 
 # ---------------------------------------------------------------------------

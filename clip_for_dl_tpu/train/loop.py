@@ -56,8 +56,8 @@ def run_epoch(
 ) -> tuple[TrainState, float]:
     """One training epoch; returns (state, mean loss)."""
     meter = MeanAccumulator()
-    batch_time = MeanAccumulator()
-    tic = time.perf_counter()
+    timer = time.perf_counter()
+    metrics = None
     for i, batch in enumerate(loader):
         state, metrics = step_fn(
             state, batch, *step_args, dict(lrs), next(rng_stream)
@@ -65,15 +65,19 @@ def run_epoch(
         if (i + 1) % log_every == 0 or i == 0:
             loss = float(metrics["loss"])  # device sync only at log cadence
             meter.update(loss)
-            batch_time.update(time.perf_counter() - tic)
+            span = max(i % log_every, 1) if i else 1
+            per_batch = (time.perf_counter() - timer) / span
+            timer = time.perf_counter()
             logger.info(
                 "epoch %d batch %d loss %.4f (%.3fs/batch)",
-                epoch, i, loss, batch_time.mean / log_every if i else batch_time.last,
+                epoch, i, loss, per_batch,
             )
-        tic = time.perf_counter()
-    # final sync for the epoch mean
+    if metrics is None:
+        raise ValueError("empty training loader")
+    # final sync so the epoch mean reflects the last state
+    final_loss = float(metrics["loss"])
     if meter.count == 0:
-        meter.update(float(metrics["loss"]))
+        meter.update(final_loss)
     return state, meter.mean
 
 
