@@ -102,7 +102,11 @@ def preprocess_images(
 
 def _fused_prep_kernel(img_ref, wh_ref, ww_ref, scale_ref, bias_ref, out_ref):
     # img_ref: [1, H_in, W_in*C] channel-folded uint8/float32 for one image.
-    x = img_ref[0].astype(jnp.float32)  # [H_in, Win*C]
+    x = img_ref[0]  # [H_in, Win*C]
+    if x.dtype == jnp.uint8:
+        # Mosaic has no direct u8→f32 cast; hop through int32.
+        x = x.astype(jnp.int32)
+    x = x.astype(jnp.float32)
     # H resize: [H_out, H_in] @ [H_in, Win*C]
     x = jnp.dot(wh_ref[:], x, preferred_element_type=jnp.float32)
     # W resize with channels folded: Ww ⊗ I_C as dense [Wout*C, Win*C]
