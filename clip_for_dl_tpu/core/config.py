@@ -72,7 +72,8 @@ class ModelConfig:
     vit_hidden: int = 768
     vit_mlp_dim: int = 3072
     use_multimodal_attention: bool = False
-    remat: bool = False  # per-layer/block rematerialization in the towers
+    remat: bool = False  # per-layer remat in the transformer towers
+    remat_conv: bool = False  # per-block remat in the ResNet tower
 
     def with_vit(self) -> "ModelConfig":
         return dataclasses.replace(
