@@ -63,6 +63,7 @@ class ModelConfig:
     text_layers: int = 12
     text_heads: int = 12
     text_intermediate_dim: int = 3072
+    text_max_position: int = 512  # BERT position-embedding table size
     # Vision
     resnet_stages: Tuple[int, ...] = (3, 4, 6, 3)
     resnet_width: int = 64

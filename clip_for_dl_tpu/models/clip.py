@@ -68,6 +68,7 @@ class CXRClip(nn.Module):
             vocab_size=cfg.vocab_size, hidden=cfg.text_embedding_dim,
             layers=cfg.text_layers, heads=cfg.text_heads,
             intermediate=cfg.text_intermediate_dim,
+            max_position=cfg.text_max_position,
             dropout=cfg.dropout, remat=cfg.remat, **kw,
         )
         self.image_projector = ImageProjection(
