@@ -631,9 +631,16 @@ def cmd_eval(args) -> int:
         mask = np.asarray(batch.get("mask", np.ones(len(probs)))).astype(bool)
         probs_all.append(probs[mask])
         labels_all.append(np.asarray(batch["labels"])[mask])
+    probs_cat = np.concatenate(probs_all)
+    labels_cat = np.concatenate(labels_all)
     metrics = multilabel_metrics(
-        np.concatenate(probs_all), np.concatenate(labels_all),
-        class_names=DISEASE_LABELS,
+        probs_cat, labels_cat, class_names=DISEASE_LABELS
+    )
+    from ..utils.visualization import save_predictions_csv
+
+    save_predictions_csv(
+        probs_cat, labels_cat, DISEASE_LABELS,
+        os.path.join(args.log_dir, "eval_predictions.csv"),
     )
     print(json.dumps(metrics, indent=2))
     return 0
