@@ -49,9 +49,8 @@ def run_zero_shot_eval(
     all_preds: List[List[str]] = []
     all_scores: List[List[float]] = []
     all_labels: List[np.ndarray] = []
-    for batch in loader:
+    for batch, logits in engine.stream_logits(loader):  # overlapped H2D/fetch
         mask = _mask_of(batch)
-        logits = engine.logits(batch["images"])  # [B*2, C]
         preds, scores = softmax_topk_predictions(logits, disease_list, top_k)
         b = len(batch["labels"])
         for i in range(b):

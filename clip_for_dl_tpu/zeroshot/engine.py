@@ -175,6 +175,34 @@ class ZeroShotEngine:
     def probs(self, images_u8) -> np.ndarray:
         return 1.0 / (1.0 + np.exp(-self.logits(images_u8)))
 
+    def stream_logits(self, batches):
+        """Double-buffered evaluation: dispatch batch N+1 to the device
+        before fetching batch N's logits, so H2D/compute/D2H overlap.
+        Yields (batch, logits[np]) pairs in order."""
+        assert self.text_features is not None, "call build_text_features first"
+
+        def dispatch(batch):
+            imgs = jnp.asarray(batch["images"])
+            if imgs.ndim == 5:
+                imgs = imgs.reshape((-1, *imgs.shape[2:]))
+            if self._batch_sharding is not None:
+                imgs = jax.device_put(imgs, self._batch_sharding)
+            return self._logits(
+                self.variables, imgs, self.text_features,
+                self.config.temperature,
+            )
+
+        pending = None
+        for batch in batches:
+            handle = dispatch(batch)
+            if pending is not None:
+                prev_batch, prev_handle = pending
+                yield prev_batch, np.asarray(prev_handle)
+            pending = (batch, handle)
+        if pending is not None:
+            prev_batch, prev_handle = pending
+            yield prev_batch, np.asarray(prev_handle)
+
     def predict(
         self, images_u8, threshold=None, top_k: Optional[int] = None
     ) -> Tuple[List[List[str]], List[List[float]]]:

@@ -1,0 +1,94 @@
+"""Export a serving-optimized inference weight set.
+
+Takes a training checkpoint (orbax dir or reference ``.pth``), folds
+BatchNorm into the ResNet convs (models/resnet.fold_batchnorm), casts
+parameters to the serving dtype, and writes a standalone orbax checkpoint +
+a JSON manifest (config, disease labels, preprocessing statistics) that
+`CXRClip(cfg, fold_bn=True)` loads directly — the production-serving
+counterpart of the reference's model_best.pth.
+
+Usage:
+  python tools/export_inference.py --checkpoint ckpts --out serving/
+  python tools/export_inference.py --checkpoint model_best.pth --out serving/
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--preset", default="zero_shot")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from clip_for_dl_tpu.core.config import DISEASE_LABELS, get_preset
+    from clip_for_dl_tpu.inference import load_trained_model
+    from clip_for_dl_tpu.models.resnet import fold_clip_image_tower
+
+    cfg = get_preset(args.preset)
+    if args.tiny:
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, image_size=64, max_text_length=32,
+            text_embedding_dim=64, text_layers=2, text_heads=2,
+            text_intermediate_dim=128, shared_embedding_dim=64,
+            resnet_stages=(1, 1, 1, 1), resnet_width=16, vocab_size=128,
+        ))
+
+    model, variables = load_trained_model(
+        args.checkpoint if args.checkpoint != "fresh" else None,
+        cfg, compute_dtype=jnp.float32,
+    )
+    host_vars = jax.tree.map(np.asarray, variables)
+    folded = fold_clip_image_tower(host_vars)
+    dtype = np.float32 if args.dtype == "float32" else jnp.bfloat16
+    folded = jax.tree.map(
+        lambda a: a.astype(dtype)
+        if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
+        folded,
+    )
+
+    out = os.path.abspath(args.out)
+    os.makedirs(out, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(out, "weights"), folded, force=True)
+    ckptr.wait_until_finished()
+
+    manifest = {
+        "model": dataclasses.asdict(cfg.model),
+        "fold_bn": True,
+        "dtype": args.dtype,
+        "disease_labels": list(DISEASE_LABELS),
+        "preprocess": {
+            "image_size": cfg.model.image_size,
+            "mean": list(cfg.augment.mean),
+            "std": list(cfg.augment.std),
+        },
+        "zeroshot": dataclasses.asdict(cfg.zeroshot),
+    }
+    with open(os.path.join(out, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    n_params = sum(
+        int(np.prod(np.asarray(a).shape))
+        for a in jax.tree.leaves(folded["params"])
+    )
+    print(f"exported {n_params/1e6:.1f}M params → {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
