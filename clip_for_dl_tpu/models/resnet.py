@@ -98,6 +98,7 @@ class ResNet(nn.Module):
     width: int = 64
     fold_bn: bool = False
     remat: bool = False  # per-block rematerialization for training memory
+    space_to_depth: bool = False  # MXU-efficient stem (see below)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -118,10 +119,26 @@ class ResNet(nn.Module):
             param_dtype=self.param_dtype,
         )
         x = images.astype(self.dtype)
-        x = nn.Conv(
-            self.width, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            name="conv1", **conv_kw,
-        )(x)
+        if self.space_to_depth:
+            # The 7×7/2 stem conv on 3 channels runs the MXU at <10%
+            # (measured): 3 input channels vs 128 lanes. Regroup 2×2 pixel
+            # blocks into channels ([B,224,224,3] → [B,112,112,12]) and
+            # apply the mathematically identical 4×4/1 conv (kernel mapped
+            # by convert_conv1_to_s2d; taps that fall outside the original
+            # 7×7 field are zero). Exactly equal output, ~4× channel
+            # utilization.
+            b, h, w, c = x.shape
+            x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+            x = nn.Conv(
+                self.width, (4, 4), strides=(1, 1),
+                padding=[(2, 1), (2, 1)], name="conv1_s2d", **conv_kw,
+            )(x)
+        else:
+            x = nn.Conv(
+                self.width, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                name="conv1", **conv_kw,
+            )(x)
         if not self.fold_bn:
             x = nn.BatchNorm(name="bn1", **bn_kw)(x).astype(self.dtype)
         x = nn.relu(x)
@@ -155,6 +172,51 @@ class ResNet(nn.Module):
 
 def resnet50(dtype=jnp.float32, param_dtype=jnp.float32) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), dtype=dtype, param_dtype=param_dtype)
+
+
+# ---------------------------------------------------------------------------
+# space-to-depth stem kernel mapping
+# ---------------------------------------------------------------------------
+
+
+def convert_conv1_to_s2d(kernel) -> "np.ndarray":
+    """Standard stem kernel [7,7,C,O] → s2d kernel [4,4,4C,O].
+
+    Derivation: original output (y,x) reads input row r = 2y+dy-3, dy∈[0,7).
+    In s2d coordinates (row' = y+dy'-2, parity a): dy = 2·dy' + a − 1 for
+    dy'∈[0,4), a∈{0,1}; dy=−1 and dy=7 fall outside the 7-tap field and map
+    to zero taps. Channel packing matches the reshape in ResNet.__call__:
+    c_new = (a·2 + b)·C + c.
+    """
+    import numpy as np
+
+    k = np.asarray(kernel)
+    kh, kw, c, o = k.shape
+    assert kh == 7 and kw == 7, "stem mapping is defined for 7x7/2 kernels"
+    out = np.zeros((4, 4, 4 * c, o), k.dtype)
+    for dyp in range(4):
+        for a in range(2):
+            dy = 2 * dyp + a - 1
+            if not (0 <= dy < 7):
+                continue
+            for dxp in range(4):
+                for bpar in range(2):
+                    dx = 2 * dxp + bpar - 1
+                    if not (0 <= dx < 7):
+                        continue
+                    out[dyp, dxp, (a * 2 + bpar) * c : (a * 2 + bpar + 1) * c, :] = (
+                        k[dy, dx]
+                    )
+    return out
+
+
+def to_space_to_depth_params(params, stats=None):
+    """ResNet params (standard stem) → params for space_to_depth=True."""
+    out = dict(params)
+    conv1 = dict(out.pop("conv1"))
+    conv1["kernel"] = convert_conv1_to_s2d(conv1["kernel"])
+    out["conv1_s2d"] = conv1
+    return (out, stats) if stats is not None else out
 
 
 # ---------------------------------------------------------------------------
