@@ -67,6 +67,7 @@ class ModelConfig:
     # Vision
     resnet_stages: Tuple[int, ...] = (3, 4, 6, 3)
     resnet_width: int = 64
+    space_to_depth: bool = False  # MXU-efficient ResNet stem
     vit_patch: int = 16
     vit_layers: int = 12
     vit_heads: int = 12

@@ -53,7 +53,8 @@ class CXRClip(nn.Module):
         if cfg.image_tower == "resnet50":
             self.image_tower = ResNet(
                 stage_sizes=cfg.resnet_stages, width=cfg.resnet_width,
-                fold_bn=self.fold_bn, remat=cfg.remat_conv, **kw,
+                fold_bn=self.fold_bn, remat=cfg.remat_conv,
+                space_to_depth=cfg.space_to_depth, **kw,
             )
         elif cfg.image_tower == "vit_b16":
             self.image_tower = ViT(
