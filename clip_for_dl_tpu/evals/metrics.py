@@ -135,6 +135,24 @@ def top_k_accuracy(scores: np.ndarray, true: np.ndarray, k: int) -> float:
     return float(hit[valid].mean()) if valid.any() else 0.0
 
 
+def top1_per_label_counts(
+    scores: np.ndarray, true: np.ndarray
+) -> Dict[int, Dict[str, int]]:
+    """Per-label tally of correct top-1 predictions (02 nb cell 42's
+    per-label correct counts): for each class c, how often it was the top-1
+    prediction and that prediction was in the true set."""
+    scores, true = _np(scores), _np(true).astype(bool)
+    top1 = np.argmax(scores, axis=1)
+    out: Dict[int, Dict[str, int]] = {}
+    for c in range(scores.shape[1]):
+        sel = top1 == c
+        out[c] = {
+            "predicted": int(sel.sum()),
+            "correct": int((sel & true[:, c]).sum()),
+        }
+    return out
+
+
 def average_precision(scores: np.ndarray, true: np.ndarray) -> np.ndarray:
     """Per-class AP with sklearn's step-interpolation-free definition."""
     scores, true = _np(scores).astype(np.float64), _np(true).astype(bool)

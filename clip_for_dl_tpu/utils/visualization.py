@@ -208,6 +208,35 @@ def save_history_csv(history_frame, path: str) -> str:
     return path
 
 
+def save_top_correct_csv(
+    probs: np.ndarray,
+    labels: np.ndarray,
+    disease_list: Sequence[str],
+    path: str,
+    paths_col: Optional[Sequence[str]] = None,
+) -> str:
+    """Rows whose top-1 prediction is in the true label set (02 nb cell 32's
+    top-correct filter)."""
+    import pandas as pd
+
+    probs, labels = np.asarray(probs), np.asarray(labels).astype(bool)
+    top1 = np.argmax(probs, axis=1)
+    keep = labels[np.arange(len(labels)), top1]
+    rows = []
+    for i in np.flatnonzero(keep):
+        rows.append({
+            "image": paths_col[i] if paths_col is not None else i,
+            "top1": disease_list[top1[i]],
+            "top1_prob": float(probs[i, top1[i]]),
+            "true_labels": "; ".join(
+                d for d, v in zip(disease_list, labels[i]) if v
+            ),
+        })
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pd.DataFrame(rows).to_csv(path, index=False)
+    return path
+
+
 def save_predictions_csv(
     probs: np.ndarray,
     labels: np.ndarray,

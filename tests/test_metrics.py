@@ -138,3 +138,13 @@ def test_mean_accumulator():
     acc.update(4.0, n=1)
     assert acc.mean == pytest.approx(2.0)
     assert acc.last == 4.0
+
+
+def test_top1_per_label_counts():
+    from clip_for_dl_tpu.evals import top1_per_label_counts
+
+    scores = np.array([[0.9, 0.1], [0.8, 0.2], [0.3, 0.7]])
+    true = np.array([[1, 0], [0, 1], [0, 1]])
+    counts = top1_per_label_counts(scores, true)
+    assert counts[0] == {"predicted": 2, "correct": 1}
+    assert counts[1] == {"predicted": 1, "correct": 1}

@@ -128,3 +128,14 @@ class TestVisualization:
         )
         df = pd.read_csv(tmp_path / "pred.csv")
         assert {"image", "prob/a", "true/b"} <= set(df.columns)
+
+
+def test_save_top_correct_csv(tmp_path, rng):
+    probs = np.array([[0.9, 0.1], [0.2, 0.8]])
+    labels = np.array([[1, 0], [1, 0]])
+    path = viz.save_top_correct_csv(
+        probs, labels, ["a", "b"], str(tmp_path / "tc.csv"),
+        paths_col=["x.png", "y.png"],
+    )
+    df = pd.read_csv(path)
+    assert len(df) == 1 and df.iloc[0]["top1"] == "a"
