@@ -607,6 +607,70 @@ def cmd_gradcam(args) -> int:
     return 0
 
 
+def cmd_rollout(args) -> int:
+    """ViT attention-rollout saliency for one sample (vit nb cell 34)."""
+    import jax.numpy as jnp
+
+    from ..core.config import get_preset
+    from ..interpret.gradcam import overlay_cam, upsample_cam
+    from ..ops.image_prep import preprocess_images
+    from ..utils.visualization import save_or_show_image
+
+    cfg = get_preset("vit")
+    _setup_logging(args.log_dir, "rollout")
+    tokenizer = _tokenizer(args)
+    cfg = _apply_tiny(cfg, args, len(tokenizer.vocab))
+    model, variables = _model_and_state(cfg, args, tokenizer)
+    _, val_loader = _loaders(cfg, args, multi_view=True)
+
+    idx = args.sample_index
+    for batch in val_loader:
+        if idx < len(batch["labels"]):
+            break
+        idx -= len(batch["labels"])
+    views = np.asarray(batch["images"])[idx]
+
+    x = preprocess_images(
+        jnp.asarray(views), cfg.model.image_size, cfg.model.image_size,
+        cfg.augment.mean, cfg.augment.std, jnp.float32,
+    )
+    mask = _rollout_via_clip(model, variables, x, args)
+    out_dir = os.path.join(args.log_dir, "rollout")
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for v, view_name in enumerate(("frontal", "lateral")):
+        up = upsample_cam(
+            mask[v : v + 1], cfg.model.image_size, cfg.model.image_size
+        )[0]
+        img01 = np.asarray(views[v], np.float32) / 255.0
+        overlay = overlay_cam(jnp.asarray(img01), up)
+        path = os.path.join(
+            out_dir, f"sample{args.sample_index}_{view_name}.png"
+        )
+        save_or_show_image(np.asarray(overlay), path,
+                           f"attention rollout ({view_name})")
+        written.append(path)
+    print(f"wrote {len(written)} rollout overlays to {out_dir}")
+    return 0
+
+
+def _rollout_via_clip(model, variables, images, args):
+    """Run the composite model's ViT tower with attention sowing."""
+    from ..interpret.rollout import attention_rollout
+
+    _, inter = model.apply(
+        variables, images, mutable=["intermediates"],
+        method="encode_image_sowed",
+    )
+    tree = inter["intermediates"]["image_tower"]
+    layers = sorted(
+        (k for k in tree if k.startswith("layer_")),
+        key=lambda s: int(s.split("_")[1]),
+    )
+    attns = [tree[k]["attention_weights"][0] for k in layers]
+    return attention_rollout(attns, args.head_fusion, args.discard_ratio)
+
+
 def cmd_eval(args) -> int:
     import jax.numpy as jnp
 
@@ -708,6 +772,14 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--sample_index", type=int, default=0)
     sp.set_defaults(fn=cmd_gradcam)
+
+    sp = sub.add_parser("rollout", help="ViT attention-rollout saliency")
+    common(sp)
+    sp.add_argument("--sample_index", type=int, default=0)
+    sp.add_argument("--head-fusion", default="mean",
+                    choices=["mean", "max", "min"])
+    sp.add_argument("--discard-ratio", type=float, default=0.0)
+    sp.set_defaults(fn=cmd_rollout, preset="vit")
 
     sp = sub.add_parser("eval", help="metric suite over a checkpoint")
     common(sp)

@@ -110,6 +110,11 @@ class CXRClip(nn.Module):
         emb, stage4 = self.image_tower(images, capture_stage4=True)
         return self.image_projector(emb), stage4
 
+    def encode_image_sowed(self, images: jnp.ndarray) -> jnp.ndarray:
+        """ViT tower forward with attention weights sown into
+        ``intermediates`` (rollout path; ViT tower only)."""
+        return self.image_tower(images, sow_weights=True)
+
     def project_image_features(self, pooled: jnp.ndarray) -> jnp.ndarray:
         """Tower-pooled embeddings → shared space (Grad-CAM head path)."""
         return self.image_projector(pooled)
