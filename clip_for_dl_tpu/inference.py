@@ -63,17 +63,13 @@ def load_trained_model(
                 )
         else:
             from .train.checkpoint import CheckpointManager
-            from .train.optim import base_transform
-            from .train.state import TrainState
 
-            tx = base_transform()
-            template = TrainState.create(variables, tx)
             mgr = CheckpointManager(checkpoint)
             epoch = mgr.best_epoch()
-            state, _ = mgr.restore(template, epoch)
+            restored = mgr.restore_variables(variables, epoch)
             mgr.close()
-            if state is not None:
-                variables = state.to_variables()
+            if restored is not None:
+                variables = restored
     return model, variables
 
 

@@ -81,6 +81,25 @@ class CheckpointManager:
                 extra = json.load(f)
         return restored["state"], extra
 
+    def restore_variables(self, variables_template, epoch: Optional[int] = None):
+        """Restore only params/batch_stats (inference path) — independent of
+        the optimizer structure the checkpoint was trained with."""
+        ocp = _ocp()
+        step = epoch if epoch is not None else self.manager.latest_step()
+        if step is None:
+            return None
+        template = {"state": {"params": variables_template["params"]}}
+        if variables_template.get("batch_stats"):
+            template["state"]["batch_stats"] = variables_template["batch_stats"]
+        restored = self.manager.restore(
+            step,
+            args=ocp.args.PyTreeRestore(template, partial_restore=True),
+        )
+        out = {"params": restored["state"]["params"]}
+        if "batch_stats" in restored["state"]:
+            out["batch_stats"] = restored["state"]["batch_stats"]
+        return out
+
     def latest_epoch(self) -> Optional[int]:
         return self.manager.latest_step()
 

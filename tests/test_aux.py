@@ -98,3 +98,30 @@ def test_resume_or_init(tmp_path):
     assert epoch == 5
     assert int(state.step) == 9
     mgr.close()
+
+
+def test_restore_variables_ignores_optimizer_structure(tmp_path):
+    """Inference restore works regardless of the training tx structure
+    (regression: zeroshot --checkpoint failed when the template optimizer
+    chain length differed from the trained one)."""
+    import jax.numpy as jnp
+
+    from clip_for_dl_tpu.train import (
+        CheckpointManager,
+        TrainState,
+        base_transform,
+    )
+
+    tx_train = base_transform(max_grad_norm=1.0, weight_decay=1e-3)  # 3 links
+    variables = {"params": {"w": jnp.ones(3)}, "batch_stats": {"m": jnp.zeros(2)}}
+    state = TrainState.create(variables, tx_train)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(0, state, metrics={"val_loss": 1.0})
+    mgr.wait()
+    restored = mgr.restore_variables(variables)
+    assert restored is not None
+    import numpy as np
+
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), [1, 1, 1])
+    assert "batch_stats" in restored
+    mgr.close()
