@@ -88,13 +88,18 @@ class CheckpointManager:
         step = epoch if epoch is not None else self.manager.latest_step()
         if step is None:
             return None
+        self.manager.wait_until_finished()
         template = {"state": {"params": variables_template["params"]}}
         if variables_template.get("batch_stats"):
             template["state"]["batch_stats"] = variables_template["batch_stats"]
-        restored = self.manager.restore(
-            step,
-            args=ocp.args.PyTreeRestore(template, partial_restore=True),
-        )
+        # Standalone checkpointer against the step dir: independent of this
+        # manager's registered save handler AND of the optimizer structure
+        # the checkpoint was trained with.
+        path = os.path.join(self.directory, str(step), "default")
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+            restored = ckptr.restore(
+                path, args=ocp.args.PyTreeRestore(template, partial_restore=True)
+            )
         out = {"params": restored["state"]["params"]}
         if "batch_stats" in restored["state"]:
             out["batch_stats"] = restored["state"]["batch_stats"]
