@@ -12,7 +12,6 @@ per-view encode → MultiViewFusion → similarity against
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence, Tuple
 
 import jax

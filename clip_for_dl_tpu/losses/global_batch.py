@@ -20,7 +20,6 @@ import functools
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 from .contrastive import (
     clip_self_distill_loss,

@@ -19,7 +19,7 @@ compiles once per length — the TPU contract.
 from __future__ import annotations
 
 import unicodedata
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, List, Optional, Sequence
 
 import numpy as np
 

@@ -16,7 +16,6 @@ import logging
 import time
 from typing import Any, Callable, Dict, Iterable, List, Mapping, Optional
 
-import jax
 import numpy as np
 
 from ..evals.metrics import MeanAccumulator

@@ -12,7 +12,7 @@ from __future__ import annotations
 import logging
 import signal
 import threading
-from typing import Iterable, Optional
+from typing import Iterable
 
 logger = logging.getLogger("clip_for_dl_tpu.preemption")
 

@@ -20,7 +20,6 @@ import contextlib
 from typing import Any, Callable, Dict, Iterable, Iterator, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

@@ -17,7 +17,7 @@ on host.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Dict, Iterable, List, Optional
 
 import numpy as np
 
@@ -27,7 +27,6 @@ from .predict import (
     merge_views_union_max,
     merge_views_weighted,
     predictions_to_matrix,
-    sigmoid_predictions,
     softmax_topk_predictions,
 )
 from .thresholds import calibration_split, search_thresholds

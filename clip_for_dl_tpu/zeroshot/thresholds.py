@@ -14,7 +14,7 @@ Inherently data-dependent host logic — kept out of jit by design
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 
