@@ -43,6 +43,28 @@ def create_mesh(
     return Mesh(np.array(devs), (axis_name,))
 
 
+def create_hybrid_mesh(
+    num_slices: int,
+    axis_names: tuple = ("dcn", DATA_AXIS),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """2-D mesh for multi-slice deployments: outer axis over slices (DCN),
+    inner axis over each slice's chips (ICI). Batches shard over BOTH axes
+    (pure DP); per-step all-gathers ride ICI within a slice, and only the
+    final psum'd scalars cross DCN. Slice assignment uses each device's
+    ``slice_index`` when the runtime exposes it, else a contiguous split."""
+    devs = list(devices if devices is not None else jax.devices())
+    if len(devs) % num_slices:
+        raise ValueError(
+            f"{len(devs)} devices do not split into {num_slices} slices"
+        )
+    per_slice = len(devs) // num_slices
+    if all(getattr(d, "slice_index", None) is not None for d in devs):
+        devs = sorted(devs, key=lambda d: (d.slice_index, d.id))
+    grid = np.array(devs).reshape(num_slices, per_slice)
+    return Mesh(grid, axis_names)
+
+
 def mesh_from_config(cfg: MeshConfig) -> Mesh:
     return create_mesh(cfg.num_devices, cfg.data_axis)
 
