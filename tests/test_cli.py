@@ -1,0 +1,89 @@
+"""CLI smoke tests (tiny models, synthetic data, fp32 on CPU)."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from clip_for_dl_tpu.cli import build_parser, main
+
+
+def run(args):
+    return main(args)
+
+
+def test_parser_covers_all_commands():
+    parser = build_parser()
+    subs = parser._subparsers._group_actions[0].choices
+    assert set(subs) >= {
+        "prep", "pretrain", "train", "adapter", "shared-adapter",
+        "zeroshot", "gradcam", "rollout", "eval",
+    }
+
+
+def test_prep_roundtrip(tmp_path):
+    df = pd.DataFrame({
+        "uid": [1, 2, 3],
+        "Problems": ["normal", "Cardiomegaly;Nodule", "Bullous Emphysema"],
+    })
+    src = tmp_path / "reports.csv"
+    df.to_csv(src, index=False)
+    out = tmp_path / "labeled.csv"
+    unl = tmp_path / "unlabeled.csv"
+    assert run(["prep", "--reports", str(src), "--out", str(out),
+                "--unlabeled-out", str(unl)]) == 0
+    labeled = pd.read_csv(out)
+    assert labeled["Cardiomegaly"].tolist() == [0, 1, 0]
+    assert labeled["Emphysema"].tolist() == [0, 0, 1]
+    assert labeled["Normal"].tolist() == [1, 0, 0]
+
+
+@pytest.mark.parametrize("command,extra", [
+    (["zeroshot"], []),
+    (["zeroshot", "--dynamic"], []),
+    (["eval"], []),
+])
+def test_inference_commands(tmp_path, command, extra):
+    rc = run(command + [
+        "--synthetic", "--tiny", "--fp32", "--synthetic-samples", "8",
+        "--log-dir", str(tmp_path),
+    ] + extra)
+    assert rc == 0
+
+
+def test_pretrain_then_restore_zeroshot(tmp_path):
+    ck = str(tmp_path / "ck")
+    assert run([
+        "pretrain", "--synthetic", "--tiny", "--fp32",
+        "--synthetic-samples", "8", "--epochs", "1",
+        "--log-dir", str(tmp_path), "--checkpoint-dir", ck,
+    ]) == 0
+    assert run([
+        "zeroshot", "--synthetic", "--tiny", "--fp32",
+        "--synthetic-samples", "8", "--log-dir", str(tmp_path),
+        "--checkpoint", ck,
+    ]) == 0
+    # metric stream written by the pretrain run
+    rows = [json.loads(l) for l in
+            open(tmp_path / "pretrain_metrics.jsonl") if l.strip()]
+    assert rows and "train_loss" in rows[0]
+
+
+def test_gradcam_writes_overlays(tmp_path):
+    assert run([
+        "gradcam", "--synthetic", "--tiny", "--fp32",
+        "--synthetic-samples", "8", "--sample_index", "0",
+        "--log-dir", str(tmp_path),
+    ]) == 0
+    out = list((tmp_path / "gradcam").glob("*.png"))
+    assert out
+
+
+def test_rollout_writes_overlays(tmp_path):
+    assert run([
+        "rollout", "--synthetic", "--tiny", "--fp32",
+        "--synthetic-samples", "8", "--sample_index", "0",
+        "--log-dir", str(tmp_path),
+    ]) == 0
+    assert list((tmp_path / "rollout").glob("*.png"))
