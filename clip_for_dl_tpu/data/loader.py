@@ -52,7 +52,12 @@ class HostLoader:
         drop_last: bool = False,
         pad_final: bool = True,
         prefetch: int = 2,
+        shard_index: int = 0,
+        num_shards: int = 1,
     ):
+        """`shard_index`/`num_shards`: multi-host data parallelism — every
+        host sees the same global shuffle (seed+epoch) and takes a disjoint
+        strided slice, so per-host batches stack into the global batch."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -61,10 +66,17 @@ class HostLoader:
         self.drop_last = drop_last
         self.pad_final = pad_final
         self.prefetch = prefetch
+        assert 0 <= shard_index < num_shards
+        self.shard_index = shard_index
+        self.num_shards = num_shards
         self._epoch = 0
 
-    def __len__(self) -> int:
+    def _shard_size(self) -> int:
         n = len(self.dataset)
+        return len(range(self.shard_index, n, self.num_shards))
+
+    def __len__(self) -> int:
+        n = self._shard_size()
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -75,7 +87,10 @@ class HostLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
-        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        if self.num_shards > 1:
+            order = order[self.shard_index :: self.num_shards]
+        m = len(order)
+        stop = (m // self.batch_size) * self.batch_size if self.drop_last else m
         for start in range(0, stop, self.batch_size):
             yield order[start : start + self.batch_size]
 

@@ -124,3 +124,25 @@ def test_merge_image_report_counts(frames):
     cols = list(DISEASE_LABELS)
     assert (merged[cols].sum(axis=1) >= 1).all()
     assert "image_path" in merged and "report" in merged
+
+
+class TestLoaderSharding:
+    def test_shards_are_disjoint_and_complete(self):
+        ds = SyntheticMultiViewDataset(n=20, image_size=8)
+        seen = []
+        for shard in range(4):
+            loader = HostLoader(
+                ds, batch_size=3, shuffle=True, seed=7,
+                shard_index=shard, num_shards=4, pad_final=False,
+            )
+            for batch in loader:
+                seen.extend(batch["findings"])
+        # global shuffle is shared → union covers every sample exactly once
+        all_findings = [ds[i]["findings"] for i in range(20)]
+        assert sorted(seen) == sorted(all_findings)
+
+    def test_shard_len(self):
+        ds = SyntheticMultiViewDataset(n=21, image_size=8)
+        l0 = HostLoader(ds, batch_size=4, shard_index=0, num_shards=2)
+        l1 = HostLoader(ds, batch_size=4, shard_index=1, num_shards=2)
+        assert len(l0) == 3 and len(l1) == 3  # 11 and 10 samples
