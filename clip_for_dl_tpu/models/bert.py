@@ -187,14 +187,22 @@ def bio_clinical_bert(dtype=jnp.float32, param_dtype=jnp.float32) -> BertEncoder
 # ---------------------------------------------------------------------------
 
 
-def import_hf_bert(sd: Mapping[str, Any], layers: int = 12) -> Dict[str, Any]:
+def import_hf_bert(
+    sd: Mapping[str, Any], layers: Optional[int] = None
+) -> Dict[str, Any]:
     """HF transformers BertModel state_dict → BertEncoder params pytree.
 
     Accepts both bare ("embeddings...") and prefixed ("bert.embeddings...")
     key layouts; ignores the pooler (the reference CLS-pools manually).
+    Layer count is inferred from the keys when not given.
     """
     if any(k.startswith("bert.") for k in sd):
         sd = {k[len("bert."):]: v for k, v in sd.items() if k.startswith("bert.")}
+    if layers is None:
+        layers = 1 + max(
+            (int(k.split(".")[2]) for k in sd if k.startswith("encoder.layer.")),
+            default=-1,
+        )
 
     params: Dict[str, Any] = {
         "embeddings": {
