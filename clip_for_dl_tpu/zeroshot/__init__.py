@@ -1,10 +1,13 @@
 from .driver import run_dynamic_threshold_eval, run_zero_shot_eval
 from .engine import ZeroShotEngine, encode_prompt_bank
 from .predict import (
+    adjust_predictions_by_cooccurrence,
+    frequency_thresholds,
     merge_views_union_max,
     merge_views_weighted,
     predictions_to_matrix,
     sigmoid_predictions,
+    unique_problem_labels,
     softmax_topk_predictions,
 )
 from .prompts import (
@@ -29,6 +32,9 @@ __all__ = [
     "run_zero_shot_eval",
     "ZeroShotEngine",
     "encode_prompt_bank",
+    "adjust_predictions_by_cooccurrence",
+    "frequency_thresholds",
+    "unique_problem_labels",
     "merge_views_union_max",
     "merge_views_weighted",
     "predictions_to_matrix",

@@ -129,6 +129,55 @@ def merge_views_weighted(
     return all_preds, all_scores
 
 
+def unique_problem_labels(problems_column) -> List[str]:
+    """All unique semicolon-separated diagnosis terms
+    (0425/prepare_data.py:15-30 process_multiple_labels)."""
+    seen = set()
+    for problems in problems_column:
+        if isinstance(problems, str):
+            seen.update(p.strip() for p in problems.split(";"))
+    return list(seen)
+
+
+def frequency_thresholds(
+    disease_stats, common_cutoff: int = 100,
+    common_threshold: float = 0.4, rare_threshold: float = 0.6,
+) -> List[float]:
+    """Frequency-conditioned thresholds: lower for common diseases, higher
+    for rare ones (the intent of 0425/prepare_data.py:288-301
+    predict_with_dynamic_threshold — implemented working here; the original
+    was a dead stub)."""
+    return [
+        common_threshold if stats["frequency"] > common_cutoff else rare_threshold
+        for _, stats in disease_stats.iterrows()
+    ]
+
+
+def adjust_predictions_by_cooccurrence(
+    pred_matrix: np.ndarray,
+    cooccurrence,
+    disease_list: Sequence[str],
+    min_count: int = 5,
+) -> np.ndarray:
+    """For single-prediction samples, switch on diseases that frequently
+    co-occur with the predicted one (the intent of
+    0425/prepare_data.py:316-325 adjust_predictions — the original
+    referenced undefined globals; this is the working formulation over the
+    co-occurrence frame from zeroshot.prompts.disease_cooccurrence)."""
+    pred = np.array(pred_matrix, copy=True)
+    for i, row in enumerate(pred):
+        if row.sum() == 1:
+            disease = disease_list[int(np.argmax(row))]
+            if disease not in getattr(cooccurrence, "index", []):
+                continue
+            for j, other in enumerate(disease_list):
+                if other == disease or other not in cooccurrence.columns:
+                    continue
+                if cooccurrence.loc[disease, other] > min_count:
+                    pred[i, j] = 1.0
+    return pred
+
+
 def predictions_to_matrix(
     predictions: Sequence[Sequence[str]], disease_list: Sequence[str]
 ) -> np.ndarray:

@@ -202,3 +202,34 @@ class TestEngine:
     def test_deterministic(self, engine, rng):
         imgs = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
         np.testing.assert_allclose(engine.logits(imgs), engine.logits(imgs))
+
+
+class TestAuxiliaryPredictHelpers:
+    def test_unique_problem_labels(self):
+        from clip_for_dl_tpu.zeroshot import unique_problem_labels
+
+        out = unique_problem_labels(["A;B", "B; C", None, 3])
+        assert sorted(out) == ["A", "B", "C"]
+
+    def test_frequency_thresholds(self):
+        import pandas as pd
+
+        from clip_for_dl_tpu.zeroshot import frequency_thresholds
+
+        stats = pd.DataFrame({"frequency": [200, 5]}, index=["a", "b"])
+        assert frequency_thresholds(stats) == [0.4, 0.6]
+
+    def test_adjust_predictions_by_cooccurrence(self):
+        import pandas as pd
+
+        from clip_for_dl_tpu.zeroshot import adjust_predictions_by_cooccurrence
+
+        diseases = ["a", "b", "c"]
+        cooc = pd.DataFrame(
+            [[0, 10, 0], [10, 0, 0], [0, 0, 0]],
+            index=diseases, columns=diseases,
+        )
+        pred = np.array([[1, 0, 0], [1, 1, 0]], np.float32)
+        out = adjust_predictions_by_cooccurrence(pred, cooc, diseases)
+        assert out[0].tolist() == [1, 1, 0]  # b switched on via co-occurrence
+        assert out[1].tolist() == [1, 1, 0]  # multi-pred rows untouched
