@@ -82,3 +82,26 @@ def test_label_matrix_shape():
     assert lm.shape == (2, 16)
     assert lm[0, -1] == 1.0  # Normal
     assert lm[1, 0] == 1.0  # Cardiomegaly first column
+
+
+@needs_data
+def test_rich_prompts_on_real_distribution():
+    """Rich prompt banks built from the real Problems distribution."""
+    import pandas as pd
+
+    from clip_for_dl_tpu.core.config import DISEASE_LABELS
+    from clip_for_dl_tpu.zeroshot import (
+        analyze_disease_distribution,
+        create_rich_prompts,
+        prompts_for_family,
+    )
+
+    df = pd.read_csv(RAW)
+    stats = analyze_disease_distribution(df)
+    assert stats.loc["Cardiomegaly", "frequency"] > 100
+    prompts = create_rich_prompts(stats)
+    # high-frequency disease gets the 'typical case' templates
+    assert any("typical case" in t for t in prompts["Cardiomegaly"])
+    fam = prompts_for_family("rich", DISEASE_LABELS, df)
+    assert set(fam) == set(DISEASE_LABELS)
+    assert all(len(v) >= 1 for v in fam.values())
