@@ -93,7 +93,26 @@ def _model_and_state(cfg, args, tokenizer):
     return model, variables
 
 
+def _apply_data_paths(cfg, args):
+    """--reports-csv/--projections-csv/--image-dir override the preset."""
+    import dataclasses
+
+    updates = {}
+    if getattr(args, "reports_csv", None):
+        updates["reports_csv"] = args.reports_csv
+    if getattr(args, "projections_csv", None):
+        updates["projections_csv"] = args.projections_csv
+    if getattr(args, "image_dir", None):
+        updates["image_dir"] = args.image_dir
+    if getattr(args, "batch_size", None):
+        updates["batch_size"] = args.batch_size
+    if updates:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, **updates))
+    return cfg
+
+
 def _loaders(cfg, args, multi_view=True):
+    cfg = _apply_data_paths(cfg, args)
     from ..data import (
         ChestXrayMultiViewDataset,
         HostLoader,
@@ -733,6 +752,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--synthetic-samples", type=int, default=64)
         sp.add_argument("--tiny", action="store_true",
                         help="shrink towers for smoke runs")
+        sp.add_argument("--reports-csv", default=None,
+                        help="labeled reports CSV (overrides preset)")
+        sp.add_argument("--projections-csv", default=None)
+        sp.add_argument("--image-dir", default=None)
+        sp.add_argument("--batch-size", type=int, default=None)
 
     sp = sub.add_parser("prep", help="label extraction")
     sp.add_argument("--reports", required=True)

@@ -127,3 +127,20 @@ def test_zero_shot_over_decoded_files(fake_dataset, rng):
     out = run_zero_shot_eval(engine, loader, top_k=3)
     assert out["pred_matrix"].shape == (8, 16)
     assert "auroc_macro" in out["metrics"]
+
+
+def test_cli_real_data_branch(fake_dataset, tmp_path):
+    """The CLI's real-dataset branch end-to-end: CSVs + PNGs → zeroshot."""
+    from clip_for_dl_tpu.cli import main
+
+    root, reports, projections, img_dir = fake_dataset
+    rc = main([
+        "zeroshot", "--tiny", "--fp32",
+        "--reports-csv", str(root / "reports_labeled.csv"),
+        "--projections-csv", str(root / "projections.csv"),
+        "--image-dir", img_dir,
+        "--batch-size", "4",
+        "--log-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    assert (tmp_path / "zero_shot_results.csv").exists()
