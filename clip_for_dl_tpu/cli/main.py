@@ -131,20 +131,32 @@ def _loaders(cfg, args, multi_view=True):
     if have_real:
         import pandas as pd
 
+        from ..data import frame_to_image_text_dataset, merge_image_report
+
         reports = pd.read_csv(cfg.data.reports_csv)
         projections = pd.read_csv(cfg.data.projections_csv)
-        from ..data import merge_image_report
-
         merged = merge_image_report(projections, reports)
         train_f, val_f = split_by_uid(merged, cfg.data.test_size, cfg.data.seed)
-        train_idx = build_exam_index(
-            reports[reports.uid.isin(train_f.uid)], projections, cfg.data.image_dir
-        )
-        val_idx = build_exam_index(
-            reports[reports.uid.isin(val_f.uid)], projections, cfg.data.image_dir
-        )
-        train_ds = ChestXrayMultiViewDataset(train_idx, cfg.model.image_size)
-        val_ds = ChestXrayMultiViewDataset(val_idx, cfg.model.image_size)
+        if multi_view:
+            train_idx = build_exam_index(
+                reports[reports.uid.isin(train_f.uid)], projections,
+                cfg.data.image_dir,
+            )
+            val_idx = build_exam_index(
+                reports[reports.uid.isin(val_f.uid)], projections,
+                cfg.data.image_dir,
+            )
+            train_ds = ChestXrayMultiViewDataset(train_idx, cfg.model.image_size)
+            val_ds = ChestXrayMultiViewDataset(val_idx, cfg.model.image_size)
+        else:
+            # CLIP pretrain: flat (image, report) pairs over every image
+            # (02 nb cell 12 semantics — 4497 rows, not per-exam views)
+            train_ds = frame_to_image_text_dataset(
+                train_f, cfg.data.image_dir, cfg.model.image_size
+            )
+            val_ds = frame_to_image_text_dataset(
+                val_f, cfg.data.image_dir, cfg.model.image_size
+            )
     else:
         logging.warning("Indiana images unavailable — using synthetic data")
         n = args.synthetic_samples

@@ -144,3 +144,18 @@ def test_cli_real_data_branch(fake_dataset, tmp_path):
     ])
     assert rc == 0
     assert (tmp_path / "zero_shot_results.csv").exists()
+
+
+def test_cli_real_pretrain_uses_image_text_pairs(fake_dataset, tmp_path):
+    from clip_for_dl_tpu.cli import main
+
+    root, reports, projections, img_dir = fake_dataset
+    rc = main([
+        "pretrain", "--tiny", "--fp32", "--epochs", "1",
+        "--reports-csv", str(root / "reports_labeled.csv"),
+        "--projections-csv", str(root / "projections.csv"),
+        "--image-dir", img_dir,
+        "--batch-size", "4",
+        "--log-dir", str(tmp_path),
+    ])
+    assert rc == 0
