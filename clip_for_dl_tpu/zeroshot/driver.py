@@ -91,12 +91,20 @@ def run_dynamic_threshold_eval(
     iterator over the val loader (two passes needed)."""
     disease_list = engine.disease_list
 
-    # pass 1: calibration distributions from view-max probabilities
-    loader = list(loader_fn())
-    n_calib = calibration_split(len(loader), calib_frac)
+    # pass 1: calibration distributions from view-max probabilities on the
+    # leading fraction of batches (streamed — batches are not retained)
+    first_pass = loader_fn()
+    try:
+        n_batches = len(first_pass)
+    except TypeError:
+        first_pass = list(first_pass)
+        n_batches = len(first_pass)
+    n_calib = calibration_split(n_batches, calib_frac)
     calib_scores: List[np.ndarray] = []
     calib_labels: List[np.ndarray] = []
-    for batch in loader[:n_calib]:
+    for i, batch in enumerate(first_pass):
+        if i >= n_calib:
+            break
         mask = _mask_of(batch)
         probs = engine.probs(batch["images"])  # [B*2, C]
         b = len(batch["labels"])
@@ -116,7 +124,7 @@ def run_dynamic_threshold_eval(
     all_scores: List[List[float]] = []
     all_labels: List[np.ndarray] = []
     raw_probs: List[np.ndarray] = []
-    for batch in loader:
+    for batch in loader_fn():
         mask = _mask_of(batch)
         probs = engine.probs(batch["images"])
         b = len(batch["labels"])
