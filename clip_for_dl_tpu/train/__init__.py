@@ -25,6 +25,7 @@ from .steps import (
     make_clip_pretrain_step,
     make_multiview_eval_step,
     make_multiview_train_step,
+    make_shared_adapter_eval_step,
     make_shared_adapter_train_step,
 )
 
@@ -55,5 +56,6 @@ __all__ = [
     "make_clip_pretrain_step",
     "make_multiview_eval_step",
     "make_multiview_train_step",
+    "make_shared_adapter_eval_step",
     "make_shared_adapter_train_step",
 ]

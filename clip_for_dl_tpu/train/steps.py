@@ -329,6 +329,34 @@ def make_shared_adapter_train_step(
     return step
 
 
+def make_shared_adapter_eval_step(
+    model,
+    image_size: int = 224,
+    mean: Tuple[float, ...] = (0.0, 0.0, 0.0),
+    std: Tuple[float, ...] = (1.0, 1.0, 1.0),
+    compute_dtype=jnp.bfloat16,
+):
+    """Eval twin of the shared-embedding adapter (03 nb cell 30)."""
+
+    def step(state: TrainState, batch: Batch) -> Metrics:
+        images = preprocess_images(
+            batch["images"], image_size, image_size, mean, std, compute_dtype
+        )
+        variables = state.to_variables()
+        img_f = model.apply(variables, images, method="encode_image")
+        txt_f = model.apply(
+            variables, batch["input_ids"], batch["attention_mask"],
+            method="encode_text",
+        )
+        logits = model.apply(
+            variables, img_f, txt_f, method="shared_adapter_logits"
+        )
+        loss = bce_with_logits_loss(logits, batch["labels"])
+        return {"loss": loss, "probs": jax.nn.sigmoid(logits)}
+
+    return step
+
+
 def make_adapter_eval_step(
     model,
     image_size: int = 224,

@@ -96,3 +96,28 @@ def test_shared_adapter_step(setup, rng):
         - np.asarray(state.params["image_tower"]["conv1"]["kernel"])
     ).max()
     assert moved > 0 and frozen == 0
+
+
+def test_shared_adapter_eval_step(setup, rng):
+    from clip_for_dl_tpu.train import (
+        TrainState,
+        base_transform,
+        make_shared_adapter_eval_step,
+    )
+
+    model, variables, tokenizer = setup
+    step = jax.jit(
+        make_shared_adapter_eval_step(model, image_size=32,
+                                      compute_dtype=jnp.float32)
+    )
+    state = TrainState.create(variables, base_transform())
+    enc = tokenizer.encode(["normal chest x-ray"] * 3, max_length=16)
+    batch = {
+        "images": jnp.asarray(rng.integers(0, 255, (3, 32, 32, 3), np.uint8)),
+        "input_ids": jnp.asarray(enc["input_ids"]),
+        "attention_mask": jnp.asarray(enc["attention_mask"]),
+        "labels": jnp.asarray((rng.random((3, 16)) > 0.7), jnp.float32),
+    }
+    m = step(state, batch)
+    assert m["probs"].shape == (3, 16)
+    assert np.isfinite(float(m["loss"]))
