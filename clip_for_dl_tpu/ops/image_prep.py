@@ -41,6 +41,9 @@ def _resize_weights(in_size: int, out_size: int) -> np.ndarray:
         return w
     scale = in_size / out_size
     dst = np.arange(out_size, dtype=np.float64)
+    # float64 coordinates: cv2's FLOAT-input path matches doubles (verified
+    # to 2e-7 at 2048→224). Only its uint8 fixed-point path rounds the
+    # coordinates to float32 — the native runtime reproduces that variant.
     src = (dst + 0.5) * scale - 0.5
     i0 = np.floor(src).astype(np.int64)
     frac = src - i0
@@ -67,8 +70,17 @@ def resize_bilinear(images: jax.Array, out_h: int, out_w: int) -> jax.Array:
     wh = jnp.asarray(_resize_weights(in_h, out_h))
     ww = jnp.asarray(_resize_weights(in_w, out_w))
     x = images.astype(jnp.float32)
-    x = jnp.einsum("Hh,bhwc->bHwc", wh, x, preferred_element_type=jnp.float32)
-    x = jnp.einsum("Ww,bhwc->bhWc", ww, x, preferred_element_type=jnp.float32)
+    # HIGHEST precision: TPU f32 matmuls otherwise run at bf16 input
+    # precision (~7e-3 error at 2048→224), breaking the cv2-parity claim.
+    # The resize contractions are tiny next to the tower, so this is free.
+    x = jnp.einsum(
+        "Hh,bhwc->bHwc", wh, x, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    x = jnp.einsum(
+        "Ww,bhwc->bhWc", ww, x, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return x
 
 

@@ -57,7 +57,8 @@ class TestSimilarity:
 class TestResize:
     @pytest.mark.parametrize("in_hw,out_hw", [((448, 512), (224, 224)),
                                               ((100, 80), (224, 224)),
-                                              ((224, 224), (224, 224))])
+                                              ((224, 224), (224, 224)),
+                                              ((2048, 1500), (224, 224))])
     def test_matches_cv2_float(self, rng, in_hw, out_hw):
         cv2 = pytest.importorskip("cv2")
         img = rng.random((*in_hw, 3)).astype(np.float32)
