@@ -67,6 +67,8 @@ def _norm_scale_bias(
 def resize_bilinear(images: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """Batched NHWC bilinear resize via two MXU contractions."""
     _, in_h, in_w, _ = images.shape
+    if (in_h, in_w) == (out_h, out_w):
+        return images.astype(jnp.float32)  # identity resize: skip the matmuls
     wh = jnp.asarray(_resize_weights(in_h, out_h))
     ww = jnp.asarray(_resize_weights(in_w, out_w))
     x = images.astype(jnp.float32)
