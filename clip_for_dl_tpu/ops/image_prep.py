@@ -63,31 +63,43 @@ def _norm_scale_bias(
     return (np.float32(input_scale) / std, -mean / std)
 
 
-@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
-def resize_bilinear(images: jax.Array, out_h: int, out_w: int) -> jax.Array:
-    """Batched NHWC bilinear resize via two MXU contractions."""
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "precision"))
+def resize_bilinear(
+    images: jax.Array, out_h: int, out_w: int, precision: str = "highest"
+) -> jax.Array:
+    """Batched NHWC bilinear resize via two MXU contractions.
+
+    precision: "highest" (default) matches cv2's float path to ~1e-7 on TPU
+    (f32 matmuls otherwise run at bf16 input precision, ~7e-3 error at
+    2048→224). At 224-target the matmuls are tiny so this is free; for
+    native-resolution (~2048px) inputs feeding a bf16 tower, pass "default"
+    — the ≤7e-3 resize error is below the uint8 quantization the tower
+    already sees, and the fp32 passes would otherwise rival the tower cost.
+    """
     _, in_h, in_w, _ = images.shape
     if (in_h, in_w) == (out_h, out_w):
         return images.astype(jnp.float32)  # identity resize: skip the matmuls
     wh = jnp.asarray(_resize_weights(in_h, out_h))
     ww = jnp.asarray(_resize_weights(in_w, out_w))
     x = images.astype(jnp.float32)
-    # HIGHEST precision: TPU f32 matmuls otherwise run at bf16 input
-    # precision (~7e-3 error at 2048→224), breaking the cv2-parity claim.
-    # The resize contractions are tiny next to the tower, so this is free.
+    prec = (
+        jax.lax.Precision.HIGHEST if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
     x = jnp.einsum(
         "Hh,bhwc->bHwc", wh, x, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
     x = jnp.einsum(
         "Ww,bhwc->bhWc", ww, x, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
     return x
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_h", "out_w", "mean", "std", "out_dtype")
+    jax.jit,
+    static_argnames=("out_h", "out_w", "mean", "std", "out_dtype", "precision"),
 )
 def preprocess_images(
     images: jax.Array,
@@ -96,6 +108,7 @@ def preprocess_images(
     mean: Tuple[float, ...] = (0.0, 0.0, 0.0),
     std: Tuple[float, ...] = (1.0, 1.0, 1.0),
     out_dtype: jnp.dtype = jnp.bfloat16,
+    precision: str = "highest",
 ) -> jax.Array:
     """uint8/float NHWC batch → resized, normalized `out_dtype` batch.
 
@@ -104,7 +117,7 @@ def preprocess_images(
     """
     input_scale = 1.0 / 255.0 if images.dtype == jnp.uint8 else 1.0
     scale, bias = _norm_scale_bias(mean, std, input_scale)
-    x = resize_bilinear(images, out_h, out_w)
+    x = resize_bilinear(images, out_h, out_w, precision)
     x = x * jnp.asarray(scale) + jnp.asarray(bias)
     return x.astype(out_dtype)
 
