@@ -157,20 +157,29 @@ class ZeroShotEngine:
 
     # -- images -------------------------------------------------------------
 
-    def logits(self, images_u8) -> np.ndarray:
-        """[B, H, W, 3] uint8 (or [B, V, H, W, 3], flattened) → [B, C]."""
-        assert self.text_features is not None, "call build_text_features first"
+    def _dispatch(self, images_u8):
         imgs = jnp.asarray(images_u8)
         if imgs.ndim == 5:
             imgs = imgs.reshape((-1, *imgs.shape[2:]))
+        n_real = imgs.shape[0]
         if self._batch_sharding is not None:
+            n_dev = len(self._batch_sharding.mesh.devices.reshape(-1))
+            pad = (-n_real) % n_dev
+            if pad:  # pad rows so the batch shards evenly; sliced off below
+                imgs = jnp.concatenate(
+                    [imgs, jnp.zeros((pad, *imgs.shape[1:]), imgs.dtype)]
+                )
             imgs = jax.device_put(imgs, self._batch_sharding)
-        return np.asarray(
-            self._logits(
-                self.variables, imgs, self.text_features,
-                self.config.temperature,
-            )
+        out = self._logits(
+            self.variables, imgs, self.text_features, self.config.temperature
         )
+        return out, n_real
+
+    def logits(self, images_u8) -> np.ndarray:
+        """[B, H, W, 3] uint8 (or [B, V, H, W, 3], flattened) → [B, C]."""
+        assert self.text_features is not None, "call build_text_features first"
+        out, n_real = self._dispatch(images_u8)
+        return np.asarray(out)[:n_real]
 
     def probs(self, images_u8) -> np.ndarray:
         return 1.0 / (1.0 + np.exp(-self.logits(images_u8)))
@@ -180,28 +189,16 @@ class ZeroShotEngine:
         before fetching batch N's logits, so H2D/compute/D2H overlap.
         Yields (batch, logits[np]) pairs in order."""
         assert self.text_features is not None, "call build_text_features first"
-
-        def dispatch(batch):
-            imgs = jnp.asarray(batch["images"])
-            if imgs.ndim == 5:
-                imgs = imgs.reshape((-1, *imgs.shape[2:]))
-            if self._batch_sharding is not None:
-                imgs = jax.device_put(imgs, self._batch_sharding)
-            return self._logits(
-                self.variables, imgs, self.text_features,
-                self.config.temperature,
-            )
-
         pending = None
         for batch in batches:
-            handle = dispatch(batch)
+            handle, n_real = self._dispatch(batch["images"])
             if pending is not None:
-                prev_batch, prev_handle = pending
-                yield prev_batch, np.asarray(prev_handle)
-            pending = (batch, handle)
+                prev_batch, prev_handle, prev_n = pending
+                yield prev_batch, np.asarray(prev_handle)[:prev_n]
+            pending = (batch, handle, n_real)
         if pending is not None:
-            prev_batch, prev_handle = pending
-            yield prev_batch, np.asarray(prev_handle)
+            prev_batch, prev_handle, prev_n = pending
+            yield prev_batch, np.asarray(prev_handle)[:prev_n]
 
     def predict(
         self, images_u8, threshold=None, top_k: Optional[int] = None

@@ -121,3 +121,16 @@ def test_shared_adapter_eval_step(setup, rng):
     m = step(state, batch)
     assert m["probs"].shape == (3, 16)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_sharded_engine_pads_uneven_batches(setup, rng, eight_devices):
+    from clip_for_dl_tpu.core.mesh import create_mesh
+
+    model, variables, tokenizer = setup
+    mesh = create_mesh(8)
+    eng = _engine(model, variables, tokenizer, mesh)
+    imgs = rng.integers(0, 255, (13, 32, 32, 3), dtype=np.uint8)  # 13 % 8 != 0
+    sharded = eng.logits(imgs)
+    assert sharded.shape == (13, 16)
+    single = _engine(model, variables, tokenizer).logits(imgs)
+    np.testing.assert_allclose(sharded, single, atol=2e-4, rtol=1e-4)
