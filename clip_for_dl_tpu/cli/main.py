@@ -225,7 +225,15 @@ def cmd_pretrain(args) -> int:
 
     def tokenize_batch(batch):
         texts = batch.get("text") or batch.get("findings")
-        enc = tokenizer.encode(list(texts), max_length=max_len)
+        if args.bucket_text:
+            # length bucketing: identical outputs (masked attention), but
+            # short reports skip most of the 200/512-token pad compute
+            enc = tokenizer.encode_bucketed(
+                list(texts), max_length=max_len,
+                buckets=(32, 64, 128),
+            )
+        else:
+            enc = tokenizer.encode(list(texts), max_length=max_len)
         out = {
             "images": np.asarray(batch.get("image", batch.get("images"))),
             "input_ids": enc["input_ids"],
@@ -769,6 +777,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--projections-csv", default=None)
         sp.add_argument("--image-dir", default=None)
         sp.add_argument("--batch-size", type=int, default=None)
+        sp.add_argument("--bucket-text", action="store_true",
+                        help="length-bucket text batches (identical math, "
+                             "faster text tower on short reports)")
 
     sp = sub.add_parser("prep", help="label extraction")
     sp.add_argument("--reports", required=True)

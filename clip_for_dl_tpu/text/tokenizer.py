@@ -221,6 +221,40 @@ class BertTokenizer:
             "token_type_ids": np.zeros_like(input_ids),
         }
 
+    def encode_bucketed(
+        self,
+        texts: Sequence[str] | str,
+        max_length: int = 512,
+        buckets: Sequence[int] = (32, 64, 128),
+    ) -> Dict[str, np.ndarray]:
+        """Length-bucketed encode: pad to the smallest bucket ≥ the batch's
+        longest sequence (capped at max_length).
+
+        Mathematically identical to padding='max_length' — masked attention
+        makes padded positions inert — but on TPU a batch of ~50-token
+        reports runs the text tower 2-4× faster than at the 200/512-token
+        pad (one compile per bucket, bounded set)."""
+        enc = self.encode(texts, max_length=max_length, padding="longest")
+        cur = enc["input_ids"].shape[1]
+        target = max_length
+        for b in sorted(buckets):
+            if cur <= b <= max_length:
+                target = b
+                break
+        if target > cur:
+            pad = target - cur
+            n = enc["input_ids"].shape[0]
+            enc["input_ids"] = np.concatenate(
+                [enc["input_ids"], np.full((n, pad), self.pad_id, np.int32)], 1
+            )
+            enc["attention_mask"] = np.concatenate(
+                [enc["attention_mask"], np.zeros((n, pad), np.int32)], 1
+            )
+            enc["token_type_ids"] = np.zeros_like(enc["input_ids"])
+        elif target < cur:
+            enc = {k: v[:, :target] for k, v in enc.items()}
+        return enc
+
     def decode(self, ids: Iterable[int], skip_special: bool = True) -> str:
         special = {self.cls_id, self.sep_id, self.pad_id}
         toks = [

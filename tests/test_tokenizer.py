@@ -67,3 +67,42 @@ def test_decode_roundtrip(tokenizers):
     enc = ours.encode(["cardiomegaly effusion"], max_length=12)
     text = ours.decode(enc["input_ids"][0])
     assert "cardiomegaly" in text.lower()
+
+
+def test_encode_bucketed_selects_bucket(tokenizers):
+    ours, _ = tokenizers
+    enc = ours.encode_bucketed(["cardiomegaly effusion"], max_length=128,
+                               buckets=(16, 32, 64))
+    assert enc["input_ids"].shape[1] == 16
+    long = " ".join(["cardiomegaly"] * 40)
+    enc = ours.encode_bucketed([long], max_length=128, buckets=(16, 32, 64))
+    assert enc["input_ids"].shape[1] in (64, 128)
+
+
+def test_bucketed_equals_maxlength_through_bert(tokenizers, rng):
+    """Masked attention makes the pad length invisible: BERT CLS features
+    from bucketed encoding equal the max_length encoding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clip_for_dl_tpu.models.bert import BertEncoder
+
+    ours, _ = tokenizers
+    texts = ["cardiomegaly effusion", "mediastinum lungs are clear"]
+    full = ours.encode(texts, max_length=48)
+    buck = ours.encode_bucketed(texts, max_length=48, buckets=(16,))
+    assert buck["input_ids"].shape[1] < full["input_ids"].shape[1]
+
+    model = BertEncoder(vocab_size=len(ours.vocab), hidden=32, layers=1,
+                        heads=2, intermediate=64, max_position=64, dropout=0.0)
+    variables = model.init(jax.random.key(0),
+                           jnp.asarray(full["input_ids"]),
+                           jnp.asarray(full["attention_mask"]))
+
+    def cls(enc):
+        h = model.apply(variables, jnp.asarray(enc["input_ids"]),
+                        jnp.asarray(enc["attention_mask"]))
+        return np.asarray(h[:, 0, :])
+
+    np.testing.assert_allclose(cls(buck), cls(full), atol=1e-5)
