@@ -446,7 +446,12 @@ def cmd_shared_adapter(args) -> int:
         if imgs.ndim == 5:
             imgs = imgs[:, 0]
         texts = batch.get("findings") or batch.get("text")
-        enc = tokenizer.encode(list(texts), max_length=max_len)
+        if args.bucket_text:
+            enc = tokenizer.encode_bucketed(
+                list(texts), max_length=max_len, buckets=(32, 64, 128)
+            )
+        else:
+            enc = tokenizer.encode(list(texts), max_length=max_len)
         return {
             "images": imgs,
             "input_ids": enc["input_ids"],

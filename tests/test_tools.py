@@ -1,0 +1,54 @@
+"""tools/ scripts: export, parity harness (tiny smoke)."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_export_inference_writes_weights_and_manifest(tmp_path):
+    from tools.export_inference import main
+
+    out = tmp_path / "serving"
+    rc = main(["--checkpoint", "fresh", "--out", str(out), "--tiny"])
+    assert rc == 0
+    manifest = json.loads((out / "manifest.json").read_text())
+    assert manifest["fold_bn"] is True
+    assert len(manifest["disease_labels"]) == 16
+    assert (out / "weights").exists()
+
+    # exported weights reload and run through the folded model
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from clip_for_dl_tpu.core.config import ModelConfig
+    from clip_for_dl_tpu.models import CXRClip
+
+    cfg = ModelConfig(**{
+        k: (tuple(v) if isinstance(v, list) else v)
+        for k, v in manifest["model"].items()
+    })
+    model = CXRClip(cfg, fold_bn=True)
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        variables = ckptr.restore(str(out / "weights"))
+    feats = model.apply(
+        jax.tree.map(jnp.asarray, variables),
+        jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+        method="encode_image",
+    )
+    assert feats.shape == (1, cfg.shared_embedding_dim)
+    assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_parity_harness_tiny(capsys):
+    from tools.parity_harness import main
+
+    rc = main(["--random-weights", "--tiny", "--batch", "4"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["prob_max_abs_err"] < 1e-3
+    assert report["decision_agreement"] == 1.0
