@@ -1,0 +1,27 @@
+.PHONY: test bench native smoke parity latency clean
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+native:
+	$(MAKE) -C native
+
+smoke:  ## every pipeline end-to-end on synthetic data (CPU-friendly)
+	python -m clip_for_dl_tpu pretrain --synthetic --tiny --fp32 --epochs 1 --log-dir /tmp/smoke
+	python -m clip_for_dl_tpu adapter  --synthetic --tiny --fp32 --epochs 1 --log-dir /tmp/smoke
+	python -m clip_for_dl_tpu zeroshot --synthetic --tiny --fp32 --log-dir /tmp/smoke
+	python -m clip_for_dl_tpu gradcam  --synthetic --tiny --fp32 --log-dir /tmp/smoke
+	python -m clip_for_dl_tpu rollout  --synthetic --tiny --fp32 --log-dir /tmp/smoke
+
+parity:
+	python tools/parity_harness.py --random-weights
+
+latency:
+	python tools/latency_bench.py
+
+clean:
+	$(MAKE) -C native clean
+	find . -name __pycache__ -type d -exec rm -rf {} +
