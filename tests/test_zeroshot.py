@@ -233,3 +233,18 @@ class TestAuxiliaryPredictHelpers:
         out = adjust_predictions_by_cooccurrence(pred, cooc, diseases)
         assert out[0].tolist() == [1, 1, 0]  # b switched on via co-occurrence
         assert out[1].tolist() == [1, 1, 0]  # multi-pred rows untouched
+
+
+class TestStreaming:
+    def test_stream_logits_matches_sync_and_preserves_order(self, engine, rng):
+        batches = [
+            {"images": rng.integers(0, 255, (3, 32, 32, 3), dtype=np.uint8),
+             "tag": i}
+            for i in range(4)
+        ]
+        streamed = list(engine.stream_logits(iter(batches)))
+        assert [b["tag"] for b, _ in streamed] == [0, 1, 2, 3]
+        for b, logits in streamed:
+            np.testing.assert_allclose(
+                logits, engine.logits(b["images"]), atol=1e-5
+            )
