@@ -44,6 +44,20 @@ def test_export_inference_writes_weights_and_manifest(tmp_path):
     assert np.isfinite(np.asarray(feats)).all()
 
 
+def test_host_pipeline_bench_tiny(capsys):
+    from tools.host_pipeline_bench import main
+
+    rc = main(["--tiny"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 2  # device-resize + host-resize
+    for line in lines:
+        rec = json.loads(line)
+        assert rec["value"] > 0
+        assert rec["host_decode_img_s"] > 0
+        assert rec["h2d_MBps"] > 0
+
+
 def test_parity_harness_tiny(capsys):
     from tools.parity_harness import main
 
