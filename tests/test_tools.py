@@ -58,6 +58,36 @@ def test_host_pipeline_bench_tiny(capsys):
         assert rec["h2d_MBps"] > 0
 
 
+def test_scaling_report_tiny(capsys):
+    from tools.scaling_report import main
+
+    rc = main(["--devices", "1", "4"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 2
+    one, four = (json.loads(l) for l in lines)
+    assert one["devices"] == 1 and not one["collectives"]
+    assert four["devices"] == 4 and four["global_batch"] == 32
+    # DP step must gather embeddings and reduce gradients
+    assert four["collectives"]["all-gather"]["count"] >= 1
+    assert four["collectives"]["all-reduce"]["count"] >= 1
+    assert four["collective_mb_per_device"] > 0
+
+
+def test_collective_traffic_parser():
+    from tools.scaling_report import collective_traffic
+
+    hlo = """
+  %ag = bf16[16,64]{1,0} all-gather(bf16[4,64]{1,0} %x), dimensions={0}
+  %ar = (f32[128]{0}, f32[2,2]{1,0}) all-reduce(f32[128]{0} %a, f32[2,2]{1,0} %b)
+  %add = f32[128]{0} add(f32[128]{0} %p, f32[128]{0} %q)
+"""
+    t = collective_traffic(hlo)
+    assert t["all-gather"] == {"count": 1, "bytes": 16 * 64 * 2}
+    assert t["all-reduce"] == {"count": 1, "bytes": 128 * 4 + 4 * 4}
+    assert t["reduce-scatter"]["count"] == 0
+
+
 def test_parity_harness_tiny(capsys):
     from tools.parity_harness import main
 

@@ -1,0 +1,218 @@
+"""Multi-chip scaling report from partitioned-HLO cost analysis.
+
+One real chip is available, so scaling is validated analytically: the full
+data-parallel CLIP pretrain step (both towers, global-batch self-distill
+loss, AdamW) is jitted over 1/2/4/8-device meshes (virtual CPU devices —
+the same GSPMD partitioning a real slice gets), and for each mesh size this
+reports, per device:
+
+  - FLOPs (XLA cost analysis of the compiled, SPMD-partitioned module)
+  - collective traffic: op counts and bytes for all-gather / all-reduce /
+    reduce-scatter / collective-permute parsed from the optimized HLO
+  - an ICI roofline estimate: compute time at a stated MXU efficiency vs
+    collective time at a stated per-chip ICI bandwidth, and the implied
+    weak-scaling efficiency  max-overlap model: step ≈ max(compute, comm).
+
+With per-device batch held constant (weak scaling), DP scales until
+collective bytes/ICI catch compute; the report makes that crossover
+visible without hardware. Constants default to TPU v5e: 197 bf16
+TFLOP/s peak and 9e10 B/s effective per-chip ICI bandwidth for a 1-D
+ring axis (2 × 45 GB/s one-way links; jax-ml.github.io/scaling-book).
+
+Usage: python tools/scaling_report.py [--devices 1 2 4 8]
+       [--per-device-batch 8] [--full] [--mxu-eff 0.35] [--ici-bw 9e10]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import re
+
+_DTYPE_BYTES = {
+    "pred": 1, "u8": 1, "s8": 1, "u16": 2, "s16": 2, "bf16": 2, "f16": 2,
+    "u32": 4, "s32": 4, "f32": 4, "u64": 8, "s64": 8, "f64": 8, "c64": 8,
+    "c128": 16,
+}
+
+_SHAPE_RE = re.compile(r"\b([a-z]+\d*)\[([0-9,]*)\]")
+_COLLECTIVES = ("all-gather", "all-reduce", "reduce-scatter",
+                "collective-permute")
+
+
+def _shape_bytes(dtype: str, dims: str) -> int:
+    if dtype not in _DTYPE_BYTES:
+        return 0
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * _DTYPE_BYTES[dtype]
+
+
+def collective_traffic(hlo_text: str) -> dict:
+    """Optimized HLO → {op: {"count": n, "bytes": output bytes}}.
+
+    Bytes are the op's result shapes (the full gathered/reduced size — what
+    lands in each device's memory; for ring algorithms the wire traffic per
+    device is (n-1)/n of this)."""
+    out = {op: {"count": 0, "bytes": 0} for op in _COLLECTIVES}
+    for line in hlo_text.splitlines():
+        stripped = line.strip()
+        for op in _COLLECTIVES:
+            # result shapes appear between '=' and the op name
+            marker = f" {op}("
+            if marker not in stripped or "=" not in stripped:
+                continue
+            lhs = stripped.split(marker, 1)[0]
+            result = lhs.split("=", 1)[1] if "=" in lhs else lhs
+            size = sum(
+                _shape_bytes(d, dims) for d, dims in _SHAPE_RE.findall(result)
+            )
+            out[op]["count"] += 1
+            out[op]["bytes"] += size
+            break
+    return out
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--per-device-batch", type=int, default=8)
+    p.add_argument("--full", action="store_true",
+                   help="full-size model (slow CPU compiles); default tiny")
+    p.add_argument("--mxu-eff", type=float, default=0.35,
+                   help="assumed MXU utilization for the compute roofline")
+    p.add_argument("--ici-bw", type=float, default=9e10,
+                   help="effective per-chip ICI bytes/s on the ring axis")
+    p.add_argument("--peak-flops", type=float, default=197e12,
+                   help="per-chip peak bf16 FLOP/s (v5e)")
+    args = p.parse_args(argv)
+    if min(args.devices) < 1:
+        p.error("--devices entries must be >= 1")
+    if args.per_device_batch < 1:
+        p.error("--per-device-batch must be >= 1")
+    for name in ("mxu_eff", "ici_bw", "peak_flops"):
+        if getattr(args, name) <= 0:
+            p.error(f"--{name.replace('_', '-')} must be > 0")
+
+    max_dev = max(args.devices)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={max_dev}"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if len(jax.devices()) < max_dev:
+        import jax.extend.backend
+
+        jax.extend.backend.clear_backends()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clip_for_dl_tpu.core.config import ModelConfig
+    from clip_for_dl_tpu.core.mesh import create_mesh
+    from clip_for_dl_tpu.models import CXRClip
+    from clip_for_dl_tpu.parallel import (
+        data_parallel_step,
+        replicate_state,
+        shard_batch,
+    )
+    from clip_for_dl_tpu.train import (
+        TrainState,
+        base_transform,
+        make_clip_pretrain_step,
+        make_label_fn,
+    )
+
+    if args.full:
+        cfg = ModelConfig(max_text_length=200)
+    else:
+        cfg = ModelConfig(
+            image_size=32, max_text_length=16, vocab_size=128,
+            text_embedding_dim=32, text_layers=2, text_heads=2,
+            text_intermediate_dim=64, shared_embedding_dim=64,
+            resnet_stages=(1, 1, 1, 1), resnet_width=8,
+        )
+    size = cfg.image_size
+    seq = cfg.max_text_length
+    model = CXRClip(cfg, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, size, size, 3)),
+        jnp.zeros((1, seq), jnp.int32),
+    )
+    tx = base_transform(weight_decay=1e-3)
+    label_fn = make_label_fn(
+        ["image_tower", "text_tower", "image_projector", "text_projector"]
+    )
+    step = make_clip_pretrain_step(
+        model, tx, label_fn, temperature=2.0, image_size=size,
+        compute_dtype=jnp.bfloat16,
+    )
+    lrs = {
+        "image_tower": 1e-4, "text_tower": 1e-5, "image_projector": 1e-3,
+        "text_projector": 1e-3, "default": 1e-4,
+    }
+    rng = np.random.default_rng(0)
+
+    base_compute_ms = None
+    for n in args.devices:
+        mesh = create_mesh(n)
+        state = replicate_state(TrainState.create(variables, tx), mesh)
+        b = args.per_device_batch * n
+        batch = shard_batch(
+            {
+                "images": rng.integers(0, 255, (b, size, size, 3),
+                                       dtype=np.uint8),
+                "input_ids": rng.integers(0, cfg.vocab_size, (b, seq))
+                .astype(np.int32),
+                "attention_mask": np.ones((b, seq), np.int32),
+            },
+            mesh,
+        )
+        dp_step = data_parallel_step(step, mesh, donate_state=False)
+        compiled = jax.jit(dp_step).lower(
+            state, batch, lrs, jax.random.key(1)
+        ).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        traffic = collective_traffic(compiled.as_text())
+        coll_bytes = sum(v["bytes"] for v in traffic.values())
+        # ring algorithms move (n-1)/n of the payload through each chip
+        wire_bytes = coll_bytes * (n - 1) / n if n > 1 else 0.0
+        compute_ms = flops / (args.peak_flops * args.mxu_eff) * 1e3
+        comm_ms = wire_bytes / args.ici_bw * 1e3
+        if base_compute_ms is None:
+            base_compute_ms = compute_ms
+        step_ms = max(compute_ms, comm_ms)
+        eff = base_compute_ms / step_ms if step_ms else 1.0
+        print(json.dumps({
+            "devices": n,
+            "global_batch": b,
+            "per_device_gflop": round(flops / 1e9, 3),
+            "collectives": {
+                op: v for op, v in traffic.items() if v["count"]
+            },
+            "collective_mb_per_device": round(coll_bytes / 1e6, 3),
+            "est_compute_ms": round(compute_ms, 3),
+            "est_comm_ms": round(comm_ms, 4),
+            "est_weak_scaling_efficiency": round(min(1.0, eff), 4),
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
