@@ -9,6 +9,8 @@ BASELINE.json configs):
   zeroshot  zero-shot evaluation (union-max or dynamic-threshold pipeline)
   gradcam   Grad-CAM saliency for one sample (--sample_index)
   eval      metric suite over a checkpoint on the held-out split
+  serve     dynamic-batching HTTP inference server (beyond the reference:
+            it has no serving surface — SURVEY.md §3.5 is a python helper)
 
 Every command runs end-to-end on synthetic data when the Indiana images are
 absent (--synthetic, auto-detected), so the pipelines stay executable in any
@@ -754,6 +756,70 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Dynamic-batching HTTP inference server over the zero-shot engine."""
+    import jax.numpy as jnp
+
+    from ..core.config import DISEASE_LABELS, get_preset
+    from ..serving import ZeroShotService, create_server
+    from ..zeroshot import ZeroShotEngine, prompts_for_family
+
+    if min(args.buckets) < 1:
+        print("error: --buckets entries must be >= 1", file=sys.stderr)
+        return 2
+    cfg = get_preset(args.preset)
+    _setup_logging(args.log_dir, "serve")
+    tokenizer = _tokenizer(args)
+    cfg = _apply_tiny(cfg, args, len(tokenizer.vocab))
+    model, variables = _model_and_state(cfg, args, tokenizer)
+    engine = ZeroShotEngine(
+        model, variables, tokenizer, DISEASE_LABELS, cfg.zeroshot,
+        cfg.augment.mean, cfg.augment.std, cfg.model.image_size,
+        cfg.model.max_text_length,
+        jnp.float32 if args.fp32 else jnp.bfloat16,
+        use_enhance=cfg.model.use_multimodal_attention,
+    )
+    engine.build_text_features(
+        prompts_for_family(args.prompts, DISEASE_LABELS)
+    )
+    service = ZeroShotService(
+        engine, DISEASE_LABELS,
+        threshold=args.threshold,
+        buckets=tuple(sorted(args.buckets)),
+        max_wait_ms=args.max_wait_ms,
+        image_size=cfg.model.image_size,
+    )
+    # warm every bucket so no request pays a compile
+    for b in sorted(set(args.buckets)):
+        engine.probs(np.zeros(
+            (b, cfg.model.image_size, cfg.model.image_size, 3), np.uint8
+        ))
+        logging.info("warmed batch bucket %d", b)
+    try:
+        server = create_server(
+            service, args.host, args.port,
+            model_info={"image_size": cfg.model.image_size,
+                        "checkpoint": args.checkpoint or "fresh",
+                        "buckets": sorted(set(args.buckets))},
+        )
+    except OSError as exc:
+        print(f"error: cannot bind {args.host}:{args.port}: {exc}",
+              file=sys.stderr)
+        service.close()
+        return 2
+    host, port = server.server_address[:2]
+    logging.info("serving on http://%s:%d (POST /predict, GET /healthz, "
+                 "GET /stats)", host, port)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        logging.info("shutting down")
+    finally:
+        server.server_close()
+        service.close()
+    return 0
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -836,6 +902,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("eval", help="metric suite over a checkpoint")
     common(sp)
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser(
+        "serve", help="dynamic-batching HTTP inference server"
+    )
+    common(sp)
+    sp.add_argument("--prompts", default="prediction",
+                    choices=["prediction", "basic", "showing", "rich",
+                             "findings"])
+    sp.add_argument("--host", default="0.0.0.0")
+    sp.add_argument("--port", type=int, default=8008)
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--buckets", type=int, nargs="+", default=[1, 4, 16, 64],
+                    help="pre-compiled batch sizes for the micro-batcher")
+    sp.add_argument("--max-wait-ms", type=float, default=5.0,
+                    help="max coalescing wait for a lone request")
+    sp.set_defaults(fn=cmd_serve)
     return p
 
 

@@ -1,0 +1,260 @@
+"""Production serving: dynamic-batching HTTP server over the zero-shot path.
+
+The reference has no serving story — inference is notebook cells and
+`load_model.py`'s batch helper (0426/load_model.py:73-135). This is the
+TPU-native production path:
+
+- a **micro-batcher** coalesces concurrent requests into fixed batch-size
+  buckets (1/4/16/64 by default) so every request executes a pre-compiled
+  XLA program — dynamic batching as in production model servers, but with
+  TPU-static shapes (no shape polymorphism, one executable per bucket);
+- images are decoded and resized to the model resolution on the host
+  (native C++ resize when built), shipped as uint8 — minimum H2D bytes;
+- the model side is the same single fused program the benchmark measures
+  (ops/image_prep → image tower → similarity → sigmoid), via
+  `zeroshot.engine.ZeroShotEngine`.
+
+Endpoints:
+  POST /predict   body = image bytes (png/jpeg, any content type) or JSON
+                  {"image_b64": "..."} → per-disease probabilities,
+                  threshold predictions, latency
+  GET  /healthz   model/readiness info
+  GET  /stats     batcher counters (requests, batches, mean batch size)
+
+Serve with `python -m clip_for_dl_tpu serve [--port 8008] [--tiny]`.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from queue import Empty, Queue
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+DEFAULT_BUCKETS = (1, 4, 16, 64)
+
+
+class MicroBatcher:
+    """Coalesce single-image requests into bucketed device batches.
+
+    A worker thread takes the first queued request, waits up to
+    `max_wait_ms` for more (up to the largest bucket), pads the batch up to
+    the next bucket size, runs `predict_fn` once, and resolves each
+    request's Future with its row. Under load, batches fill to the largest
+    bucket and the wait never triggers; at low rates, a lone request pays
+    at most `max_wait_ms` extra latency.
+    """
+
+    def __init__(
+        self,
+        predict_fn: Callable[[np.ndarray], np.ndarray],
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        max_wait_ms: float = 5.0,
+    ):
+        self.predict_fn = predict_fn
+        self.buckets = tuple(sorted(buckets))
+        self.max_wait_ms = max_wait_ms
+        self.queue: "Queue[Tuple[np.ndarray, Future]]" = Queue()
+        self.requests = 0
+        self.batches = 0
+        self.rows_padded = 0
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, image_u8: np.ndarray) -> Future:
+        fut: Future = Future()
+        self.queue.put((image_u8, fut))
+        with self._lock:
+            self.requests += 1
+        return fut
+
+    def stats(self) -> Dict[str, float]:
+        with self._lock:
+            batches = max(1, self.batches)
+            return {
+                "requests": self.requests,
+                "batches": self.batches,
+                "mean_batch_size": round(self.requests / batches, 3),
+                "rows_padded": self.rows_padded,
+            }
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _run(self):
+        max_bucket = self.buckets[-1]
+        while not self._stop.is_set():
+            try:
+                first = self.queue.get(timeout=0.05)
+            except Empty:
+                continue
+            items = [first]
+            deadline = time.monotonic() + self.max_wait_ms / 1e3
+            while len(items) < max_bucket:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    items.append(self.queue.get(timeout=remaining))
+                except Empty:
+                    break
+            images = np.stack([im for im, _ in items])
+            size = self._bucket(len(items))
+            if size > len(items):
+                pad = np.zeros((size - len(items), *images.shape[1:]),
+                               images.dtype)
+                images = np.concatenate([images, pad])
+            try:
+                probs = self.predict_fn(images)
+                for i, (_, fut) in enumerate(items):
+                    fut.set_result(np.asarray(probs)[i])
+            except Exception as exc:  # surface the failure to every caller
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(exc)
+            with self._lock:
+                self.batches += 1
+                self.rows_padded += size - len(items)
+
+
+def decode_request_image(body: bytes, content_type: str,
+                         image_size: int) -> np.ndarray:
+    """Request payload → RGB uint8 [image_size, image_size, 3].
+
+    Accepts raw encoded image bytes, or JSON {"image_b64": ...}.
+    Raises ValueError on undecodable input."""
+    import cv2
+
+    if content_type.startswith("application/json"):
+        try:
+            payload = json.loads(body)
+            raw = base64.b64decode(payload["image_b64"])
+        except Exception as exc:
+            raise ValueError(f"bad JSON request: {exc}") from exc
+    else:
+        raw = body
+    img = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError("could not decode image bytes")
+    from .native import bindings as native
+
+    img = native.resize_u8(img, image_size, image_size)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+class ZeroShotService:
+    """Engine + batcher + prediction formatting, independent of HTTP."""
+
+    def __init__(
+        self,
+        engine,
+        disease_list: Sequence[str],
+        threshold: float = 0.5,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        max_wait_ms: float = 5.0,
+        image_size: int = 224,
+    ):
+        self.disease_list = list(disease_list)
+        self.threshold = threshold
+        self.image_size = image_size
+        self.batcher = MicroBatcher(engine.probs, buckets, max_wait_ms)
+        self._engine = engine
+
+    def predict_one(self, image_u8: np.ndarray,
+                    timeout_s: float = 30.0) -> Dict:
+        t0 = time.perf_counter()
+        probs = self.batcher.submit(image_u8).result(timeout=timeout_s)
+        positive = [
+            (d, float(p))
+            for d, p in zip(self.disease_list, probs)
+            if p > self.threshold
+        ]
+        return {
+            "probs": {d: float(p) for d, p in zip(self.disease_list, probs)},
+            "predictions": [d for d, _ in positive],
+            "latency_ms": round((time.perf_counter() - t0) * 1e3, 2),
+        }
+
+    def close(self):
+        self.batcher.close()
+
+
+def _make_handler(service: ZeroShotService, model_info: Dict):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: Dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "diseases": service.disease_list,
+                    **model_info,
+                })
+            elif self.path == "/stats":
+                self._send(200, service.batcher.stats())
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": f"no route {self.path}"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0:
+                self._send(400, {"error": "empty body"})
+                return
+            body = self.rfile.read(length)
+            try:
+                image = decode_request_image(
+                    body, self.headers.get("Content-Type", ""),
+                    service.image_size,
+                )
+            except ValueError as exc:
+                self._send(400, {"error": str(exc)})
+                return
+            try:
+                self._send(200, service.predict_one(image))
+            except Exception as exc:
+                self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+        def log_message(self, fmt, *args):  # route to logging, not stderr
+            import logging
+
+            logging.getLogger("clip_for_dl_tpu.serving").info(
+                fmt, *args
+            )
+
+    return Handler
+
+
+def create_server(
+    service: ZeroShotService,
+    host: str = "0.0.0.0",
+    port: int = 8008,
+    model_info: Optional[Dict] = None,
+) -> ThreadingHTTPServer:
+    """Bind (port 0 → ephemeral) and return the server; call
+    `serve_forever()` on it (or run it in a thread) to start handling."""
+    handler = _make_handler(service, model_info or {})
+    return ThreadingHTTPServer((host, port), handler)

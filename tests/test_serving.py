@@ -1,0 +1,225 @@
+"""Serving layer: micro-batcher coalescing, request decoding, HTTP API."""
+
+import base64
+import http.client
+import json
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pytest
+
+from clip_for_dl_tpu.core.config import DISEASE_LABELS
+from clip_for_dl_tpu.serving import (
+    MicroBatcher,
+    ZeroShotService,
+    create_server,
+    decode_request_image,
+)
+
+
+class TestMicroBatcher:
+    def test_single_request_roundtrip(self):
+        batcher = MicroBatcher(lambda x: x.sum(axis=(1, 2, 3)),
+                               buckets=(1, 4), max_wait_ms=1.0)
+        img = np.ones((8, 8, 3), np.uint8)
+        assert batcher.submit(img).result(timeout=5) == 8 * 8 * 3
+        batcher.close()
+
+    def test_concurrent_requests_coalesce(self):
+        seen_batches = []
+
+        def predict(x):
+            seen_batches.append(x.shape[0])
+            time.sleep(0.01)  # give the queue time to fill
+            return x.sum(axis=(1, 2, 3))
+
+        batcher = MicroBatcher(predict, buckets=(1, 4, 16), max_wait_ms=50.0)
+        imgs = [np.full((4, 4, 3), i, np.uint8) for i in range(16)]
+        with ThreadPoolExecutor(16) as pool:
+            futs = list(pool.map(batcher.submit, imgs))
+            results = [f.result(timeout=10) for f in futs]
+        batcher.close()
+        # every request got ITS OWN image's sum back, in submit order
+        assert results == [i * 4 * 4 * 3 for i in range(16)]
+        stats = batcher.stats()
+        assert stats["requests"] == 16
+        assert stats["batches"] < 16  # coalescing happened
+        assert all(b in (1, 4, 16) for b in seen_batches)  # bucketed shapes
+
+    def test_padding_counted_and_sliced_off(self):
+        batcher = MicroBatcher(lambda x: x.sum(axis=(1, 2, 3)),
+                               buckets=(4,), max_wait_ms=1.0)
+        out = batcher.submit(np.ones((2, 2, 3), np.uint8)).result(timeout=5)
+        assert out == 12  # own row, not a padded zero row
+        assert batcher.stats()["rows_padded"] >= 3
+        batcher.close()
+
+    def test_predict_failure_propagates(self):
+        def boom(x):
+            raise RuntimeError("device fell over")
+
+        batcher = MicroBatcher(boom, buckets=(1,), max_wait_ms=1.0)
+        fut = batcher.submit(np.zeros((2, 2, 3), np.uint8))
+        with pytest.raises(RuntimeError, match="fell over"):
+            fut.result(timeout=5)
+        batcher.close()
+
+
+class TestDecodeRequestImage:
+    def _png_bytes(self, size=32):
+        import cv2
+
+        img = np.random.default_rng(0).integers(
+            0, 255, (size, size, 3), dtype=np.uint8
+        )
+        ok, buf = cv2.imencode(".png", img)
+        assert ok
+        return buf.tobytes()
+
+    def test_raw_bytes(self):
+        out = decode_request_image(self._png_bytes(), "image/png", 24)
+        assert out.shape == (24, 24, 3) and out.dtype == np.uint8
+
+    def test_json_b64(self):
+        body = json.dumps(
+            {"image_b64": base64.b64encode(self._png_bytes()).decode()}
+        ).encode()
+        out = decode_request_image(body, "application/json", 24)
+        assert out.shape == (24, 24, 3)
+
+    def test_garbage_raises_value_error(self):
+        with pytest.raises(ValueError, match="could not decode"):
+            decode_request_image(b"not an image", "image/png", 24)
+        with pytest.raises(ValueError, match="bad JSON"):
+            decode_request_image(b"{oops", "application/json", 24)
+
+
+@pytest.fixture(scope="module")
+def live_server():
+    """Tiny real engine behind the real HTTP server on an ephemeral port."""
+    import jax.numpy as jnp
+
+    from clip_for_dl_tpu.core.config import ModelConfig
+    from clip_for_dl_tpu.models import CXRClip
+    from clip_for_dl_tpu.text import BertTokenizer, build_tiny_vocab
+    from clip_for_dl_tpu.zeroshot import ZeroShotEngine, prompts_for_family
+
+    size = 32
+    cfg = ModelConfig(
+        image_size=size, max_text_length=16, vocab_size=None,
+        text_embedding_dim=32, text_layers=1, text_heads=2,
+        text_intermediate_dim=64, shared_embedding_dim=32,
+        resnet_stages=(1, 1, 1, 1), resnet_width=8,
+    )
+    tokenizer = BertTokenizer(build_tiny_vocab(
+        "a chest x-ray of showing this is normal".split()
+        + [w for d in DISEASE_LABELS for w in d.lower().split()]
+    ))
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, vocab_size=len(tokenizer.vocab))
+    model = CXRClip(cfg, dtype=jnp.float32)
+    import jax
+
+    variables = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, size, size, 3)),
+        jnp.zeros((1, 16), jnp.int32),
+    )
+    engine = ZeroShotEngine(
+        model, variables, tokenizer, DISEASE_LABELS,
+        image_size=size, max_text_length=16, compute_dtype=jnp.float32,
+    )
+    engine.build_text_features(
+        prompts_for_family("basic", DISEASE_LABELS)
+    )
+    service = ZeroShotService(
+        engine, DISEASE_LABELS, buckets=(1, 4), max_wait_ms=2.0,
+        image_size=size,
+    )
+    server = create_server(service, "127.0.0.1", 0,
+                           model_info={"image_size": size})
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield server.server_address
+    server.shutdown()
+    server.server_close()
+    service.close()
+
+
+def _request(addr, method, path, body=None, content_type="image/png"):
+    conn = http.client.HTTPConnection(*addr, timeout=30)
+    headers = {"Content-Type": content_type} if body else {}
+    conn.request(method, path, body=body, headers=headers)
+    resp = conn.getresponse()
+    data = json.loads(resp.read())
+    conn.close()
+    return resp.status, data
+
+
+class TestHTTPAPI:
+    def _png(self):
+        import cv2
+
+        img = np.random.default_rng(1).integers(
+            0, 255, (48, 48, 3), dtype=np.uint8
+        )
+        return cv2.imencode(".png", img)[1].tobytes()
+
+    def test_healthz(self, live_server):
+        status, data = _request(live_server, "GET", "/healthz")
+        assert status == 200
+        assert data["status"] == "ok"
+        assert data["diseases"] == list(DISEASE_LABELS)
+
+    def test_predict_png(self, live_server):
+        status, data = _request(live_server, "POST", "/predict", self._png())
+        assert status == 200
+        assert set(data["probs"]) == set(DISEASE_LABELS)
+        assert all(0.0 <= p <= 1.0 for p in data["probs"].values())
+        assert data["latency_ms"] > 0
+        # predictions are exactly the above-threshold diseases
+        assert set(data["predictions"]) == {
+            d for d, p in data["probs"].items() if p > 0.5
+        }
+
+    def test_predict_json_b64(self, live_server):
+        body = json.dumps(
+            {"image_b64": base64.b64encode(self._png()).decode()}
+        ).encode()
+        status, data = _request(live_server, "POST", "/predict", body,
+                                "application/json")
+        assert status == 200 and set(data["probs"]) == set(DISEASE_LABELS)
+
+    def test_bad_body_400(self, live_server):
+        status, data = _request(live_server, "POST", "/predict", b"garbage")
+        assert status == 400 and "could not decode" in data["error"]
+
+    def test_empty_body_400(self, live_server):
+        status, data = _request(live_server, "POST", "/predict")
+        assert status == 400
+
+    def test_unknown_route_404(self, live_server):
+        status, _ = _request(live_server, "GET", "/nope")
+        assert status == 404
+        status, _ = _request(live_server, "POST", "/nope", b"x")
+        assert status == 404
+
+    def test_stats_and_concurrent_load(self, live_server):
+        png = self._png()
+        with ThreadPoolExecutor(8) as pool:
+            out = list(pool.map(
+                lambda _: _request(live_server, "POST", "/predict", png),
+                range(8),
+            ))
+        assert all(s == 200 for s, _ in out)
+        # deterministic engine → identical probs for identical images,
+        # whatever batch each request landed in
+        first = out[0][1]["probs"]
+        for _, data in out[1:]:
+            for d in first:
+                assert abs(first[d] - data["probs"][d]) < 1e-5
+        status, stats = _request(live_server, "GET", "/stats")
+        assert status == 200 and stats["requests"] >= 9
