@@ -1,4 +1,4 @@
-.PHONY: test bench native smoke parity latency clean
+.PHONY: test bench native smoke parity latency pipeline scaling clean
 
 test:
 	python -m pytest tests/ -q
@@ -21,6 +21,12 @@ parity:
 
 latency:
 	python tools/latency_bench.py
+
+pipeline:  ## end-to-end disk→decode→H2D→TPU throughput
+	python tools/host_pipeline_bench.py
+
+scaling:  ## multi-chip roofline from partitioned HLO (virtual mesh)
+	python tools/scaling_report.py
 
 clean:
 	$(MAKE) -C native clean
