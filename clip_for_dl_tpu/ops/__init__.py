@@ -1,3 +1,4 @@
+from .attention import fused_mha, mha_reference, multihead_attention
 from .image_prep import (
     fused_resize_normalize,
     preprocess_images,
@@ -11,6 +12,9 @@ from .similarity import (
 )
 
 __all__ = [
+    "fused_mha",
+    "mha_reference",
+    "multihead_attention",
     "fused_resize_normalize",
     "preprocess_images",
     "resize_bilinear",
