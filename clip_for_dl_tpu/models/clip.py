@@ -61,7 +61,8 @@ class CXRClip(nn.Module):
                 image_size=cfg.image_size, patch=cfg.vit_patch,
                 hidden=cfg.vit_hidden, layers=cfg.vit_layers,
                 heads=cfg.vit_heads, mlp_dim=cfg.vit_mlp_dim,
-                remat=cfg.remat, **kw,
+                remat=cfg.remat,
+                gelu_approximate=cfg.vit_gelu_approximate, **kw,
             )
         else:
             raise ValueError(f"unknown image tower {cfg.image_tower!r}")

@@ -32,6 +32,7 @@ class ViTEncoderLayer(nn.Module):
     heads: int
     mlp_dim: int
     dropout: float = 0.0
+    gelu_approximate: bool = False  # see ViT.gelu_approximate
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -69,7 +70,7 @@ class ViTEncoderLayer(nn.Module):
 
         y = nn.LayerNorm(name="ln_2", **ln)(x.astype(jnp.float32)).astype(self.dtype)
         y = nn.Dense(self.mlp_dim, name="mlp_1", **kw)(y)
-        y = nn.gelu(y, approximate=False)
+        y = nn.gelu(y, approximate=self.gelu_approximate)
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
         y = nn.Dense(self.hidden, name="mlp_2", **kw)(y)
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
@@ -87,6 +88,10 @@ class ViT(nn.Module):
     mlp_dim: int = 3072
     dropout: float = 0.0
     remat: bool = False  # per-layer rematerialization for training memory
+    # Serving knob: tanh-approximate GELU is 1.19× end-to-end on v5e
+    # (111.6 → 93.8 ms at B=256, measured) but departs from torchvision's
+    # exact-erf GELU by ~1e-3 relative — parity runs must keep it False.
+    gelu_approximate: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -127,6 +132,7 @@ class ViT(nn.Module):
         for i in range(self.layers):
             x = layer_cls(
                 self.hidden, self.heads, self.mlp_dim, self.dropout,
+                self.gelu_approximate,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",
             )(x, deterministic, sow_weights)

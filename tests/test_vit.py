@@ -96,3 +96,21 @@ def test_vit_attention_sowing(rng):
         np.testing.assert_allclose(
             np.asarray(w).sum(-1), np.ones((1, HEADS, n)), atol=1e-5
         )
+
+
+def test_gelu_approximate_knob_close_and_distinct(rng):
+    """tanh-GELU serving knob: same weights load, outputs within the
+    documented ~1e-3 relative envelope of the exact-erf tower, and the
+    default (False) stays the torchvision-exact path."""
+    exact = ViT(image_size=IMG, patch=PATCH, hidden=H, layers=LAYERS,
+                heads=HEADS, mlp_dim=MLP)
+    approx = ViT(image_size=IMG, patch=PATCH, hidden=H, layers=LAYERS,
+                 heads=HEADS, mlp_dim=MLP, gelu_approximate=True)
+    x = jnp.asarray(rng.standard_normal((2, IMG, IMG, 3)), jnp.float32)
+    variables = exact.init(jax.random.key(0), x)
+    a = np.asarray(exact.apply(variables, x))
+    b = np.asarray(approx.apply(variables, x))
+    assert not np.array_equal(a, b)  # the knob does something
+    # stays close: small absolute drift on O(1)-magnitude CLS features
+    assert np.abs(a - b).max() < 2e-2
+    assert np.abs(a - b).mean() < 2e-3
