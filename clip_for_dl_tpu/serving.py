@@ -89,6 +89,15 @@ class MicroBatcher:
     def close(self):
         self._stop.set()
         self._worker.join(timeout=5)
+        # fail pending work fast instead of leaving callers to hit their
+        # result() timeout during shutdown
+        while True:
+            try:
+                _, fut = self.queue.get_nowait()
+            except Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("batcher closed"))
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -113,13 +122,15 @@ class MicroBatcher:
                     items.append(self.queue.get(timeout=remaining))
                 except Empty:
                     break
-            images = np.stack([im for im, _ in items])
-            size = self._bucket(len(items))
-            if size > len(items):
-                pad = np.zeros((size - len(items), *images.shape[1:]),
-                               images.dtype)
-                images = np.concatenate([images, pad])
             try:
+                # batch assembly is inside the guard too: a shape-mismatched
+                # submission must fail its callers, not kill the worker
+                images = np.stack([im for im, _ in items])
+                size = self._bucket(len(items))
+                if size > len(items):
+                    pad = np.zeros((size - len(items), *images.shape[1:]),
+                                   images.dtype)
+                    images = np.concatenate([images, pad])
                 probs = self.predict_fn(images)
                 for i, (_, fut) in enumerate(items):
                     fut.set_result(np.asarray(probs)[i])
@@ -127,6 +138,7 @@ class MicroBatcher:
                 for _, fut in items:
                     if not fut.done():
                         fut.set_exception(exc)
+                size = len(items)
             with self._lock:
                 self.batches += 1
                 self.rows_padded += size - len(items)

@@ -44,12 +44,22 @@ class TestFusedMHA:
         ref = np.asarray(mha_reference(q, k, v), np.float32)
         assert np.abs(out - ref).max() < 1e-2
 
-    def test_padded_rows_do_not_leak(self, rng):
-        # identical valid prefix, different would-be-padding: results equal
+    def test_mask_boundary_last_valid_key(self, rng):
+        # An off-by-one in the key-column mask (col < n_real) would either
+        # drop the LAST valid key or admit the first padded one. Make the
+        # last valid key row dominate the logits: any boundary error then
+        # diverges wildly from the reference.
         q, k, v = _qkv(rng, n=197)
+        k = k.at[:, :, 196, :].set(8.0)   # last valid key: huge logit
+        v = v.at[:, :, 196, :].set(5.0)   # distinctive value row
         out = _fused_mha_fwd(q, k, v, interpret=True)
-        assert out.shape == q.shape
-        assert np.isfinite(np.asarray(out)).all()
+        ref = mha_reference(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+        # the boosted key visibly shifts the output toward v=5.0 rows
+        # (plain random attention averages ~0) — sanity that the test bites
+        assert np.asarray(out).mean() > 0.1
 
     def test_gradients_match_reference(self, rng):
         q, k, v = _qkv(rng, b=1, h=2, n=63, d=32)

@@ -87,3 +87,9 @@ def test_rollout_writes_overlays(tmp_path):
         "--log-dir", str(tmp_path),
     ]) == 0
     assert list((tmp_path / "rollout").glob("*.png"))
+
+
+def test_serve_rejects_bad_buckets():
+    # validation fires before any model construction — fast
+    assert run(["serve", "--tiny", "--buckets", "0"]) == 2
+    assert run(["serve", "--tiny", "--buckets", "4", "-1"]) == 2

@@ -56,6 +56,46 @@ class TestMicroBatcher:
         assert batcher.stats()["rows_padded"] >= 3
         batcher.close()
 
+    def test_shape_mismatch_fails_callers_not_worker(self):
+        # batch assembly errors must resolve the futures AND leave the
+        # worker alive for later requests (no zombie server)
+        batcher = MicroBatcher(lambda x: x.sum(axis=(1, 2, 3)),
+                               buckets=(4,), max_wait_ms=500.0)
+        f1 = batcher.submit(np.ones((4, 4, 3), np.uint8))
+        f2 = batcher.submit(np.ones((8, 8, 3), np.uint8))  # mismatched
+        errs = 0
+        for f in (f1, f2):
+            try:
+                f.result(timeout=5)
+            except ValueError:
+                errs += 1
+        assert errs >= 1  # at least the coalesced pair failed
+        # worker survived: a clean request still succeeds
+        out = batcher.submit(np.ones((4, 4, 3), np.uint8)).result(timeout=5)
+        assert out == 4 * 4 * 3
+        batcher.close()
+
+    def test_close_drains_pending_futures(self):
+        import threading
+
+        release = threading.Event()
+
+        def slow_predict(x):
+            release.wait(5)
+            return x.sum(axis=(1, 2, 3))
+
+        batcher = MicroBatcher(slow_predict, buckets=(1,), max_wait_ms=1.0)
+        first = batcher.submit(np.ones((2, 2, 3), np.uint8))  # occupies worker
+        time.sleep(0.1)
+        queued = batcher.submit(np.ones((2, 2, 3), np.uint8))
+        release.set()
+        first.result(timeout=5)
+        batcher.close()
+        # the still-queued request fails fast instead of hanging
+        if not queued.done():
+            with pytest.raises(RuntimeError, match="batcher closed"):
+                queued.result(timeout=1)
+
     def test_predict_failure_propagates(self):
         def boom(x):
             raise RuntimeError("device fell over")

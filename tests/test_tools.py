@@ -75,7 +75,7 @@ def test_scaling_report_tiny(capsys):
 
 
 def test_collective_traffic_parser():
-    from tools.scaling_report import collective_traffic
+    from tools.scaling_report import collective_traffic, wire_bytes_per_device
 
     hlo = """
   %ag = bf16[16,64]{1,0} all-gather(bf16[4,64]{1,0} %x), dimensions={0}
@@ -86,6 +86,23 @@ def test_collective_traffic_parser():
     assert t["all-gather"] == {"count": 1, "bytes": 16 * 64 * 2}
     assert t["all-reduce"] == {"count": 1, "bytes": 128 * 4 + 4 * 4}
     assert t["reduce-scatter"]["count"] == 0
+    # ring wire cost: all-reduce pays both phases (2x), all-gather one
+    ar, ag = 128 * 4 + 4 * 4, 16 * 64 * 2
+    assert wire_bytes_per_device(t, 4) == ag * 0.75 + ar * 2 * 0.75
+    assert wire_bytes_per_device(t, 1) == 0.0
+
+
+def test_collective_traffic_parser_async_spellings():
+    from tools.scaling_report import collective_traffic
+
+    hlo = """
+  %s = f32[256]{0} all-reduce-start(f32[256]{0} %a)
+  %d = f32[256]{0} all-reduce-done(f32[256]{0} %s)
+  %g = bf16[8,8]{1,0} all-gather-start(bf16[2,8]{1,0} %x)
+"""
+    t = collective_traffic(hlo)
+    assert t["all-reduce"] == {"count": 1, "bytes": 256 * 4}  # -done not double-counted
+    assert t["all-gather"] == {"count": 1, "bytes": 64 * 2}
 
 
 def test_parity_harness_tiny(capsys):

@@ -157,7 +157,7 @@ def main(argv=None) -> int:
         paths = _write_pngs(root, args.num_images, args.stored_size)
         labels = synthetic_labels(args.num_images, rng)
 
-        def run_epoch(dataset, host_transform=None, timed=True):
+        def run_epoch(dataset, host_transform=None):
             loader = HostLoader(
                 dataset, args.batch_size, shuffle=False,
                 num_threads=args.threads, drop_last=True, pad_final=False,
@@ -205,7 +205,7 @@ def main(argv=None) -> int:
                     )
                     return batch
 
-            run_epoch(dataset, transform, timed=False)  # compile + page cache
+            run_epoch(dataset, transform)  # warm: compile + page cache
             best = 0.0
             for _ in range(args.epochs):
                 n, dt = run_epoch(dataset, transform)

@@ -59,15 +59,17 @@ def collective_traffic(hlo_text: str) -> dict:
     """Optimized HLO → {op: {"count": n, "bytes": output bytes}}.
 
     Bytes are the op's result shapes (the full gathered/reduced size — what
-    lands in each device's memory; for ring algorithms the wire traffic per
-    device is (n-1)/n of this)."""
+    lands in each device's memory). Matches both synchronous spellings
+    (``all-reduce(``) and async pairs (``all-reduce-start(``; the matching
+    ``-done`` is not counted, so async ops are not double-counted)."""
     out = {op: {"count": 0, "bytes": 0} for op in _COLLECTIVES}
     for line in hlo_text.splitlines():
         stripped = line.strip()
         for op in _COLLECTIVES:
             # result shapes appear between '=' and the op name
-            marker = f" {op}("
-            if marker not in stripped or "=" not in stripped:
+            markers = (f" {op}(", f" {op}-start(")
+            marker = next((m for m in markers if m in stripped), None)
+            if marker is None or "=" not in stripped:
                 continue
             lhs = stripped.split(marker, 1)[0]
             result = lhs.split("=", 1)[1] if "=" in lhs else lhs
@@ -78,6 +80,23 @@ def collective_traffic(hlo_text: str) -> dict:
             out[op]["bytes"] += size
             break
     return out
+
+
+def wire_bytes_per_device(traffic: dict, n: int) -> float:
+    """Ring-algorithm wire traffic through each chip.
+
+    all-gather / reduce-scatter move (n-1)/n of the payload; all-reduce is
+    both phases (reduce-scatter + all-gather) → 2(n-1)/n. collective-permute
+    moves its full payload once."""
+    if n <= 1:
+        return 0.0
+    ring = (n - 1) / n
+    return (
+        traffic["all-gather"]["bytes"] * ring
+        + traffic["reduce-scatter"]["bytes"] * ring
+        + traffic["all-reduce"]["bytes"] * 2 * ring
+        + traffic["collective-permute"]["bytes"]
+    )
 
 
 def main(argv=None) -> int:
@@ -102,6 +121,15 @@ def main(argv=None) -> int:
             p.error(f"--{name.replace('_', '-')} must be > 0")
 
     max_dev = max(args.devices)
+
+    # The analysis needs a virtual CPU mesh. NOTE this is process-global
+    # state: XLA_FLAGS is parsed once per process at first backend creation,
+    # so the flag must be set BEFORE any jax backend query (do not touch
+    # jax.devices()/default_backend() above this point). Fine for the CLI;
+    # a no-op under the test suite's 8-device CPU conftest (flag already
+    # present, platform already cpu, enough devices → no clear_backends);
+    # but an in-process caller holding live TPU arrays must not call this —
+    # its backend would be switched and existing arrays invalidated.
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -191,8 +219,14 @@ def main(argv=None) -> int:
         flops = float(cost.get("flops", 0.0))
         traffic = collective_traffic(compiled.as_text())
         coll_bytes = sum(v["bytes"] for v in traffic.values())
-        # ring algorithms move (n-1)/n of the payload through each chip
-        wire_bytes = coll_bytes * (n - 1) / n if n > 1 else 0.0
+        if n > 1 and coll_bytes == 0:
+            # a DP step with no detected collectives means the HLO spelling
+            # changed — fail loudly rather than print a perfect-scaling lie
+            raise RuntimeError(
+                f"no collectives matched in the {n}-device partitioned HLO; "
+                "update collective_traffic() for this XLA version"
+            )
+        wire_bytes = wire_bytes_per_device(traffic, n)
         compute_ms = flops / (args.peak_flops * args.mxu_eff) * 1e3
         comm_ms = wire_bytes / args.ici_bw * 1e3
         if base_compute_ms is None:
