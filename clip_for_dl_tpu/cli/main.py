@@ -212,6 +212,9 @@ def cmd_pretrain(args) -> int:
         make_label_fn,
     )
 
+    if args.lora < 0:
+        print("error: --lora rank must be >= 1 (0 disables)", file=sys.stderr)
+        return 2
     cfg = get_preset(args.preset)
     _setup_logging(args.log_dir, "pretrain")
     tokenizer = _tokenizer(args)
@@ -247,26 +250,80 @@ def cmd_pretrain(args) -> int:
             out["images"] = out["images"][:, 0]
         return out
 
-    step = jax.jit(
-        make_clip_pretrain_step(
-            model, tx, label_fn, cfg.train.loss
-            if cfg.train.loss in ("clip_self_distill", "info_nce")
-            else "clip_self_distill",
-            cfg.model.temperature, cfg.model.image_size,
-            cfg.augment.mean, cfg.augment.std, compute,
-        ),
-        donate_argnums=(0,) if cfg.train.donate_state else (),
+    loss_name = (
+        cfg.train.loss
+        if cfg.train.loss in ("clip_self_distill", "info_nce")
+        else "clip_self_distill"
     )
-    eval_step = jax.jit(
-        make_clip_eval_step(
+    if args.lora:
+        # Parameter-efficient fine-tuning: frozen towers + rank-r deltas on
+        # the attention/MLP kernels (models/lora.py). The frozen base rides
+        # through the jitted step as an argument, not a constant.
+        from ..models import init_lora, lora_param_count
+        from ..models.lora import make_lora_pretrain_step, merge_lora
+
+        lora = init_lora(
+            jax.random.key(cfg.data.seed), variables["params"],
+            rank=args.lora,
+        )
+        frozen = jax.device_put(variables)
+        logging.info(
+            "LoRA rank %d: %d trainable params (%.2f%% of the model)",
+            args.lora, lora_param_count(lora),
+            100 * lora_param_count(lora)
+            / sum(int(x.size) for x in jax.tree.leaves(variables["params"])),
+        )
+        lora_step = jax.jit(make_lora_pretrain_step(
+            model, tx, loss_name, cfg.model.temperature, args.lora_alpha,
+            cfg.model.image_size, cfg.augment.mean, cfg.augment.std, compute,
+        ))
+
+        def step(state, batch, lrs, rng):
+            return lora_step(state, frozen, batch, lrs, rng)
+
+        base_eval = make_clip_eval_step(
             model, "clip_self_distill", cfg.model.temperature,
             cfg.model.image_size, cfg.augment.mean, cfg.augment.std, compute,
         )
-    )
+
+        @jax.jit
+        def lora_eval(lora_params, frozen_vars, batch):
+            merged = TrainState(
+                params=merge_lora(
+                    frozen_vars["params"], lora_params, args.lora_alpha
+                ),
+                batch_stats=frozen_vars.get("batch_stats", {}),
+                opt_state=(), step=jnp.zeros((), jnp.int32),
+            )
+            return base_eval(merged, batch)
+
+        def eval_step(state, batch):
+            return lora_eval(state.params, frozen, batch)
+
+        state = TrainState(
+            params=lora, batch_stats={}, opt_state=tx.init(lora),
+            step=jnp.zeros((), jnp.int32),
+        )
+    else:
+        step = jax.jit(
+            make_clip_pretrain_step(
+                model, tx, label_fn, loss_name,
+                cfg.model.temperature, cfg.model.image_size,
+                cfg.augment.mean, cfg.augment.std, compute,
+            ),
+            donate_argnums=(0,) if cfg.train.donate_state else (),
+        )
+        eval_step = jax.jit(
+            make_clip_eval_step(
+                model, "clip_self_distill", cfg.model.temperature,
+                cfg.model.image_size, cfg.augment.mean, cfg.augment.std,
+                compute,
+            )
+        )
+        state = TrainState.create(variables, tx)
     from ..evals import MetricWriter
     from ..train import PreemptionGuard, resume_or_init
 
-    state = TrainState.create(variables, tx)
     kc = KeyChain(cfg.data.seed)
 
     ckpt = None
@@ -866,6 +923,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("pretrain", help="CLIP contrastive pretraining")
     common(sp)
+    sp.add_argument("--lora", type=int, default=0, metavar="RANK",
+                    help="parameter-efficient fine-tuning: freeze the "
+                         "towers, train rank-RANK LoRA deltas on the "
+                         "attention/MLP kernels")
+    sp.add_argument("--lora-alpha", type=float, default=16.0)
     sp.set_defaults(fn=cmd_pretrain, preset="pretrain_clip")
 
     sp = sub.add_parser(

@@ -14,6 +14,14 @@ from .heads import (
     SharedEmbeddingAdapter,
     TextProjection,
 )
+from .lora import (
+    fold_lora,
+    init_lora,
+    lora_param_count,
+    lora_paths,
+    make_lora_pretrain_step,
+    merge_lora,
+)
 from .resnet import ResNet, import_torchvision_resnet50, resnet50
 from .vit import ViT, import_torchvision_vit_b16, vit_b16
 
@@ -32,6 +40,12 @@ __all__ = [
     "ResidualProjection",
     "SharedEmbeddingAdapter",
     "TextProjection",
+    "fold_lora",
+    "init_lora",
+    "lora_param_count",
+    "lora_paths",
+    "make_lora_pretrain_step",
+    "merge_lora",
     "ResNet",
     "import_torchvision_resnet50",
     "resnet50",

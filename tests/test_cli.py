@@ -93,3 +93,13 @@ def test_serve_rejects_bad_buckets():
     # validation fires before any model construction — fast
     assert run(["serve", "--tiny", "--buckets", "0"]) == 2
     assert run(["serve", "--tiny", "--buckets", "4", "-1"]) == 2
+
+
+def test_pretrain_lora(tmp_path):
+    assert run([
+        "pretrain", "--synthetic", "--tiny", "--fp32", "--lora", "2",
+        "--epochs", "1", "--synthetic-samples", "16",
+        "--log-dir", str(tmp_path),
+    ]) == 0
+    assert (tmp_path / "training_history.csv").exists()
+    assert run(["pretrain", "--tiny", "--lora", "-3"]) == 2
