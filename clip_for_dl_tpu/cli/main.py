@@ -357,6 +357,24 @@ def cmd_pretrain(args) -> int:
         )
     writer.close()
     history.save_csv(os.path.join(args.log_dir, "training_history.csv"))
+    if args.lora and args.checkpoint_dir:
+        # the LoRA checkpoint holds only the factors (for resume); also
+        # fold them into the frozen base and save a full-model checkpoint
+        # that zeroshot/serve/eval --checkpoint can load directly
+        from ..models import fold_lora
+        from ..train import CheckpointManager
+
+        folded = fold_lora(
+            jax.tree.map(np.asarray, frozen), state.params, args.lora_alpha
+        )
+        folded_dir = os.path.join(args.checkpoint_dir, "folded")
+        fm = CheckpointManager(folded_dir, max_to_keep=1)
+        fm.save(0, {"params": folded["params"],
+                    "batch_stats": folded.get("batch_stats", {})})
+        fm.wait()
+        fm.close()
+        print(f"folded LoRA model saved to {folded_dir} "
+              f"(servable: --checkpoint {folded_dir})")
     print(f"pretrain done: {len(history.rows)} epochs")
     return 0
 

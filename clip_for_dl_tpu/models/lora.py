@@ -11,10 +11,10 @@ clinical embedding models; fixed-budget PEFT with frozen encoders).
 TPU-native design: LoRA state is a flat {path: {"a", "b"}} pytree and the
 merge is pure tree surgery executed INSIDE the jitted step — the deltas fuse
 into the forward like any other op, gradients flow only to the A/B factors
-(the frozen base rides through as a step argument, not a captured constant,
-so it is donated device memory rather than baked into the executable), and
-`fold_lora` bakes trained deltas back into plain params for serving — zero
-inference-time overhead.
+(the frozen base rides through as a step ARGUMENT — device-resident data,
+not a constant baked into the executable; it must NOT be donated, the same
+buffers are re-passed every step), and `fold_lora` bakes trained deltas back
+into plain params for serving — zero inference-time overhead.
 """
 
 from __future__ import annotations
@@ -27,10 +27,14 @@ import jax.numpy as jnp
 from flax import traverse_util
 
 # every attention / MLP projection in the BERT and ViT towers and the
-# projection heads; embeddings, LayerNorms and conv kernels stay frozen
+# projection heads; embeddings (incl. ViT patch_embed), LayerNorms and conv
+# kernels stay frozen — the attention+MLP-only set the PEFT literature uses.
+# NOTE with the ResNet-50 image tower this means LoRA adapts the text tower
+# and the projection heads only (the conv tower has no 2-D kernels); the
+# ViT tower's q/k/v/out/mlp kernels are all adapted.
 DEFAULT_TARGETS = (
     r"(query|key|value|attention_output|intermediate|output"
-    r"|q_proj|k_proj|v_proj|out_proj|mlp_1|mlp_2|patch_embed"
+    r"|q_proj|k_proj|v_proj|out_proj|mlp_1|mlp_2"
     r"|projection|fc1|fc2)/kernel$"
 )
 
@@ -55,16 +59,17 @@ def init_lora(
 ) -> Dict[str, Dict[str, jax.Array]]:
     """LoRA state {path: {"a": [in, r], "b": [r, out]}}.
 
-    A ~ N(0, 1/r), B = 0 — the standard init: the merged model starts
-    bit-identical to the frozen base."""
+    A ~ N(0, 1/r) (std 1/√r), B = 0 — the standard init: the merged model
+    starts bit-identical to the frozen base."""
     flat = traverse_util.flatten_dict(params)
     by_path = {"/".join(str(k) for k in key): leaf for key, leaf in flat.items()}
     lora: Dict[str, Dict[str, jax.Array]] = {}
+    a_std = 1.0 / float(rank) ** 0.5
     for path in lora_paths(params, pattern):
         d_in, d_out = by_path[path].shape
         rng, sub = jax.random.split(rng)
         lora[path] = {
-            "a": jax.random.normal(sub, (d_in, rank), dtype) / rank,
+            "a": jax.random.normal(sub, (d_in, rank), dtype) * a_std,
             "b": jnp.zeros((rank, d_out), dtype),
         }
     if not lora:
@@ -124,25 +129,28 @@ def make_lora_pretrain_step(
     """CLIP contrastive pretrain step training ONLY the LoRA factors.
 
     ``step(lora_state, frozen_variables, batch, lrs, rng) → (lora_state,
-    metrics)`` — frozen_variables is a step argument (donatable device
-    memory, not a compiled-in constant); `lrs["default"]` scales the
-    lr-free transform's updates (train/optim.py convention, so the host
-    schedulers work unchanged). BatchNorm runs in inference mode (running
-    stats): the base, including its BN statistics, is frozen by
-    construction."""
+    metrics)`` — frozen_variables is a runtime step argument (do NOT donate
+    it: the same buffers are re-passed every step). Per-group learning
+    rates apply by each LoRA path's top-level module (image_tower /
+    text_tower / …, train/optim.py convention), so the preset's group lrs
+    and the host schedulers work unchanged.
+
+    The whole frozen base runs in inference mode: BatchNorm uses running
+    statistics AND dropout is off (a deterministic forward — flax gates
+    both behind the same `train` flag, and train=True would require
+    mutating the frozen BN stats). This matches the common PEFT setup of
+    adapting a frozen inference-mode backbone; `rng` is accepted for step-
+    signature symmetry but unused while the forward is deterministic."""
     import optax
 
-    from ..losses import clip_self_distill_loss, info_nce_loss
     from ..ops.image_prep import preprocess_images
     from ..train.optim import DEFAULT_GROUP
+    from ..train.steps import PRETRAIN_LOSSES
 
-    losses = {
-        "clip_self_distill": clip_self_distill_loss,
-        "info_nce": lambda txt, img, t: info_nce_loss(img, txt, t),
-    }
-    loss_fn_base = losses[loss_name]
+    loss_fn_base = PRETRAIN_LOSSES[loss_name]
 
     def step(state: "TrainState", frozen_variables, batch, lrs, rng):
+        del rng  # deterministic forward (see docstring)
         images = preprocess_images(
             batch["images"], image_size, image_size, mean, std, compute_dtype
         )
@@ -157,16 +165,24 @@ def make_lora_pretrain_step(
                 images,
                 batch["input_ids"],
                 batch["attention_mask"],
-                rngs={"dropout": rng},
             )
             return loss_fn_base(txt_f, img_f, temperature)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        lr = jnp.asarray(
-            lrs[DEFAULT_GROUP] if isinstance(lrs, Mapping) else lrs
-        )
-        updates = jax.tree.map(lambda u: u * (-lr).astype(u.dtype), updates)
+
+        def lr_for(path: str) -> jax.Array:
+            if isinstance(lrs, Mapping):
+                group = path.split("/", 1)[0]
+                return jnp.asarray(lrs.get(group, lrs[DEFAULT_GROUP]))
+            return jnp.asarray(lrs)
+
+        updates = {
+            path: jax.tree.map(
+                lambda u, lr=lr_for(path): u * (-lr).astype(u.dtype), ab
+            )
+            for path, ab in updates.items()
+        }
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             params=new_params, opt_state=new_opt, step=state.step + 1
