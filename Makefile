@@ -1,4 +1,4 @@
-.PHONY: test bench native smoke parity latency pipeline scaling clean
+.PHONY: test bench native smoke parity latency pipeline scaling trainbench clean
 
 test:
 	python -m pytest tests/ -q
@@ -27,6 +27,9 @@ pipeline:  ## end-to-end disk→decode→H2D→TPU throughput
 
 scaling:  ## multi-chip roofline from partitioned HLO (virtual mesh)
 	python tools/scaling_report.py
+
+trainbench:  ## pretrain step img/s on the chip (first compile is slow)
+	python tools/train_bench.py --batch-size 128 --seq-lens 200 64
 
 clean:
 	$(MAKE) -C native clean

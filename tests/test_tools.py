@@ -105,6 +105,15 @@ def test_collective_traffic_parser_async_spellings():
     assert t["all-gather"] == {"count": 1, "bytes": 64 * 2}
 
 
+def test_train_bench_tiny(capsys):
+    from tools.train_bench import main
+
+    rc = main(["--tiny", "--seq-lens", "16"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert rec["value"] > 0 and rec["seq_len"] == 16
+
+
 def test_parity_harness_tiny(capsys):
     from tools.parity_harness import main
 

@@ -1,0 +1,137 @@
+"""CLIP pretrain step throughput (images/sec/chip) — reproducible.
+
+The reference trains at ~17.7 img/s (02 nb cell 25: ~203 s/epoch over 3595
+images on an RTX A5000). Here the same two-tower contrastive step (ResNet-50
++ BERT fwd+bwd, self-distill loss, AdamW with per-group lrs) is one jitted
+XLA program; this tool measures it at a configurable batch size / sequence
+length on the current chip and prints one JSON line per config.
+
+Sequence length matters: the text tower is ~84% of the step FLOPs at the
+notebook's padded seq 200, which is why `--bucket-text` (length-bucketed
+batches, identical math) gives ~3.6× on real Indiana reports whose median
+length is far below the pad. Benchmark both with `--seq-lens 200 64`.
+
+Usage: python tools/train_bench.py [--batch-size 128] [--seq-lens 200]
+       [--iters 20] [--remat] [--tiny]
+NOTE: first compile of the full train step through a tunneled transport
+takes minutes (cached afterwards).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--seq-lens", type=int, nargs="+", default=[200])
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the text tower (fits B=256)")
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args(argv)
+    if args.batch_size < 1:
+        p.error("--batch-size must be >= 1")
+    if min(args.seq_lens) < 1:
+        p.error("--seq-lens entries must be >= 1")
+    if args.iters < 1:
+        p.error("--iters must be >= 1")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clip_for_dl_tpu.core.config import ModelConfig
+    from clip_for_dl_tpu.models import CXRClip
+    from clip_for_dl_tpu.train import (
+        TrainState,
+        base_transform,
+        make_clip_pretrain_step,
+        make_label_fn,
+    )
+
+    baseline = 17.7  # img/s, 02 nb cell 25
+    if args.tiny:
+        args.batch_size = min(args.batch_size, 8)
+        args.seq_lens = [min(s, 16) for s in args.seq_lens]
+        args.iters = min(args.iters, 3)
+
+    size = 64 if args.tiny else 224
+    rng = np.random.default_rng(0)
+    for seq in args.seq_lens:
+        if args.tiny:
+            cfg = ModelConfig(
+                image_size=size, max_text_length=seq, vocab_size=64,
+                text_embedding_dim=32, text_layers=1, text_heads=2,
+                text_intermediate_dim=64, shared_embedding_dim=32,
+                resnet_stages=(1, 1, 1, 1), resnet_width=8,
+                remat=args.remat,
+            )
+        else:
+            cfg = ModelConfig(max_text_length=seq, remat=args.remat)
+        model = CXRClip(cfg, dtype=jnp.bfloat16)
+        variables = model.init(
+            jax.random.key(0),
+            jnp.zeros((1, size, size, 3)),
+            jnp.zeros((1, seq), jnp.int32),
+        )
+        tx = base_transform(max_grad_norm=1.0, weight_decay=1e-3)
+        label_fn = make_label_fn(
+            ["image_tower", "text_tower", "image_projector", "text_projector"]
+        )
+        step = jax.jit(
+            make_clip_pretrain_step(
+                model, tx, label_fn, "clip_self_distill",
+                temperature=2.0, image_size=size,
+                compute_dtype=jnp.bfloat16,
+            ),
+            donate_argnums=(0,),
+        )
+        lrs = {
+            "image_tower": 1e-4, "text_tower": 1e-5,
+            "image_projector": 1e-3, "text_projector": 1e-3,
+            "default": 1e-4,
+        }
+        state = TrainState.create(variables, tx)
+        b = args.batch_size
+        batch = {
+            "images": jax.device_put(
+                rng.integers(0, 255, (b, size, size, 3), dtype=np.uint8)
+            ),
+            "input_ids": jax.device_put(
+                rng.integers(0, cfg.vocab_size, (b, seq)).astype(np.int32)
+            ),
+            "attention_mask": jax.device_put(np.ones((b, seq), np.int32)),
+        }
+        for i in range(args.warmup):
+            state, metrics = step(state, batch, lrs, jax.random.key(i))
+            float(np.asarray(metrics["loss"]))  # fence
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            state, metrics = step(state, batch, lrs, jax.random.key(i))
+        float(np.asarray(metrics["loss"]))  # fence (axon: asarray, not BUR)
+        dt = time.perf_counter() - t0
+        img_s = b * args.iters / dt
+        print(json.dumps({
+            "metric": "CLIP pretrain img/s/chip",
+            "value": round(img_s, 1),
+            "unit": "images/sec",
+            "batch": b,
+            "seq_len": seq,
+            "remat": args.remat,
+            "vs_baseline": round(img_s / baseline, 2),
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
