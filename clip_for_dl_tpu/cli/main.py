@@ -419,6 +419,12 @@ def cmd_train(args) -> int:
             image_size=cfg.model.image_size,
             mean=cfg.augment.mean, std=cfg.augment.std,
             compute_dtype=compute, use_enhance=use_enhance,
+            # the scripts' train transform stack, on device
+            # (0425/prepare_data.py:39-55; eval stays un-augmented)
+            augment=cfg.augment.enabled,
+            flip_prob=cfg.augment.horizontal_flip_prob,
+            rotation_degrees=cfg.augment.rotation_degrees,
+            translate_frac=cfg.augment.translate_frac,
         )
     )
     eval_step = jax.jit(

@@ -149,10 +149,16 @@ def make_multiview_train_step(
     std: Tuple[float, ...] = (1.0, 1.0, 1.0),
     compute_dtype=jnp.bfloat16,
     use_enhance: bool = False,
+    augment: bool = False,
+    flip_prob: float = 0.5,
+    rotation_degrees: float = 10.0,
+    translate_frac: float = 0.1,
 ):
     """Batch: images [B,2,H,W,3] u8, labels [B,C]; text_features [C,D]
     precomputed once per epoch (the 0426 hoisting fix, not 0425's per-batch
-    recompute — SURVEY.md §2.9)."""
+    recompute — SURVEY.md §2.9). ``augment=True`` applies the scripts'
+    train transform stack (flip / rotate / translate,
+    0425/prepare_data.py:39-55) on device, fused into the step."""
 
     def step(
         state: TrainState, batch: Batch, text_features, lrs, rng
@@ -162,6 +168,13 @@ def make_multiview_train_step(
         images = preprocess_images(
             flat, image_size, image_size, mean, std, compute_dtype
         )
+        if augment:
+            from ..ops.augment import augment_batch
+
+            rng, aug_rng = jax.random.split(rng)
+            images = augment_batch(
+                images, aug_rng, flip_prob, rotation_degrees, translate_frac
+            ).astype(compute_dtype)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}

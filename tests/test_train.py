@@ -199,6 +199,42 @@ class TestSteps:
         assert em["probs"].shape == (4, 16)
         assert em["per_class_accuracy"].shape == (16,)
 
+    def test_multiview_step_augmented(self, rng):
+        """augment=True (the scripts' train transform stack, on device)
+        trains, and the augmentation actually changes the computation."""
+        model, variables = tiny_model()
+        tx = base_transform()
+        label_fn = make_label_fn([])
+
+        def build(augment):
+            return jax.jit(
+                make_multiview_train_step(
+                    model, tx, label_fn, temperature=0.07, image_size=16,
+                    compute_dtype=jnp.float32, augment=augment,
+                )
+            )
+
+        batch = {
+            "images": jnp.asarray(
+                rng.integers(0, 255, (4, 2, 16, 16, 3), np.uint8)
+            ),
+            "labels": jnp.asarray((rng.random((4, 16)) > 0.7), jnp.float32),
+        }
+        text_features = jnp.asarray(rng.standard_normal((16, 32)), jnp.float32)
+        lrs = {"default": 1e-3}
+        state = TrainState.create(variables, tx)
+        _, m_aug = build(True)(state, batch, text_features, lrs,
+                               jax.random.key(0))
+        _, m_plain = build(False)(state, batch, text_features, lrs,
+                                  jax.random.key(0))
+        assert np.isfinite(float(m_aug["loss"]))
+        # flips/rotations/translations make the augmented loss differ
+        assert float(m_aug["loss"]) != float(m_plain["loss"])
+        # and different rng keys give different augmented losses
+        _, m_aug2 = build(True)(state, batch, text_features, lrs,
+                                jax.random.key(7))
+        assert float(m_aug["loss"]) != float(m_aug2["loss"])
+
     def test_adapter_step_only_trains_adapter(self, rng):
         model, variables = tiny_model()
         tx = base_transform(weight_decay=0.0)
