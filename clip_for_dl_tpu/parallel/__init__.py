@@ -1,3 +1,23 @@
 from .dp import data_parallel_step, replicate_state, shard_batch
+from .tp import (
+    MODEL_AXIS,
+    create_dp_tp_mesh,
+    shard_state_tp,
+    tensor_parallel_step,
+    tp_shardings,
+    tp_spec,
+    validate_tp,
+)
 
-__all__ = ["data_parallel_step", "replicate_state", "shard_batch"]
+__all__ = [
+    "data_parallel_step",
+    "replicate_state",
+    "shard_batch",
+    "MODEL_AXIS",
+    "create_dp_tp_mesh",
+    "shard_state_tp",
+    "tensor_parallel_step",
+    "tp_shardings",
+    "tp_spec",
+    "validate_tp",
+]
