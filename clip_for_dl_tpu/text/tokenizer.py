@@ -178,11 +178,21 @@ class BertTokenizer:
         self.cls_id = vocab[cls_token]
         self.sep_id = vocab[sep_token]
         self.pad_id = vocab[pad_token]
+        # word → pieces memo: radiology reports reuse a small vocabulary,
+        # so the greedy WordPiece scan runs once per distinct word
+        self._word_cache: Dict[str, List[str]] = {}
+        self._word_cache_cap = 1 << 16
 
     def tokenize(self, text: str) -> List[str]:
         out: List[str] = []
+        cache = self._word_cache
         for word in self.basic.tokenize(text):
-            out.extend(self.wordpiece.tokenize(word))
+            pieces = cache.get(word)
+            if pieces is None:
+                pieces = self.wordpiece.tokenize(word)
+                if len(cache) < self._word_cache_cap:
+                    cache[word] = pieces
+            out.extend(pieces)
         return out
 
     def encode(
