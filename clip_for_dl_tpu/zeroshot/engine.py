@@ -91,15 +91,28 @@ class ZeroShotEngine:
         use_enhance: bool = False,
         mesh=None,
     ):
-        """`mesh`: an optional 1-D data mesh — image batches shard across it
-        and the whole pipeline runs SPMD (params replicated, ICI-local)."""
+        """`mesh`: an optional device mesh. 1-D: image batches shard across
+        the data axis, params replicated (pure DP, ICI-local). 2-D
+        ``(data, model)``: additionally the transformer towers' weights are
+        tensor-parallel over the ``model`` axis (parallel/tp.py rules) —
+        the serving-latency regime where per-chip tower time, not batch
+        throughput, is the budget."""
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             self._batch_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
-            variables = jax.device_put(variables, NamedSharding(mesh, P()))
+            self._batch_shards = int(mesh.shape[mesh.axis_names[0]])
+            if len(mesh.axis_names) > 1:
+                from ..parallel.tp import shard_state_tp
+
+                variables = shard_state_tp(
+                    variables, mesh, axis_name=mesh.axis_names[1]
+                )
+            else:
+                variables = jax.device_put(variables, NamedSharding(mesh, P()))
         else:
             self._batch_sharding = None
+            self._batch_shards = 1
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
@@ -163,8 +176,7 @@ class ZeroShotEngine:
             imgs = imgs.reshape((-1, *imgs.shape[2:]))
         n_real = imgs.shape[0]
         if self._batch_sharding is not None:
-            n_dev = len(self._batch_sharding.mesh.devices.reshape(-1))
-            pad = (-n_real) % n_dev
+            pad = (-n_real) % self._batch_shards
             if pad:  # pad rows so the batch shards evenly; sliced off below
                 imgs = jnp.concatenate(
                     [imgs, jnp.zeros((pad, *imgs.shape[1:]), imgs.dtype)]

@@ -213,3 +213,46 @@ def test_tp_train_step_equivalence(rng, eight_devices):
         got_state.params,
         ref_state.params,
     )
+
+
+def test_tp_zeroshot_engine(rng, eight_devices):
+    """ZeroShotEngine on a 2-D (data, model) mesh — TP-sharded towers —
+    matches the single-device engine, including uneven-batch padding."""
+    import dataclasses
+
+    from clip_for_dl_tpu.core.config import DISEASE_LABELS, ZeroShotConfig
+    from clip_for_dl_tpu.text import BertTokenizer, build_tiny_vocab
+    from clip_for_dl_tpu.zeroshot import ZeroShotEngine, prompts_for_family
+
+    vocab = build_tiny_vocab(
+        "this chest x-ray shows a of normal".split()
+        + [w for d in DISEASE_LABELS for w in d.split()]
+    )
+    cfg = dataclasses.replace(
+        tiny_cfg(text_heads=2), vocab_size=len(vocab)
+    )
+    tokenizer = BertTokenizer(vocab)
+    model = CXRClip(cfg)
+    variables = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, 32, 32, 3)),
+        jnp.zeros((1, 16), jnp.int32),
+    )
+
+    def engine(mesh=None):
+        eng = ZeroShotEngine(
+            model, variables, tokenizer, DISEASE_LABELS, ZeroShotConfig(),
+            image_size=32, max_text_length=16, compute_dtype=jnp.float32,
+            mesh=mesh,
+        )
+        eng.build_text_features(
+            prompts_for_family("prediction", DISEASE_LABELS)
+        )
+        return eng
+
+    imgs = rng.integers(0, 255, (10, 32, 32, 3), dtype=np.uint8)  # uneven
+    want = engine().logits(imgs)
+    validate_tp(cfg.text_heads, cfg.text_intermediate_dim, 2)
+    got = engine(create_dp_tp_mesh(2)).logits(imgs)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
