@@ -79,7 +79,9 @@ def sequence_sharded_fn(
         out = compiled[key](params, input_ids, attention_mask)
         if pad_b:
             out = out[:b]
-        if pad_s and out.ndim >= 2 and out.shape[1] == s + pad_s:
+        # slice the seq dim only on per-token outputs ([B, S, ...]); pooled
+        # [B, D] outputs have no seq dim even if D == padded length
+        if pad_s and out.ndim >= 3 and out.shape[1] == s + pad_s:
             out = out[:, :s]
         return out
 
