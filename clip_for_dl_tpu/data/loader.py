@@ -70,6 +70,8 @@ class HostLoader:
         self.shard_index = shard_index
         self.num_shards = num_shards
         self._epoch = 0
+        self._step = 0
+        self._resume = False
 
     def _shard_size(self) -> int:
         n = len(self.dataset)
@@ -94,14 +96,37 @@ class HostLoader:
         for start in range(0, stop, self.batch_size):
             yield order[start : start + self.batch_size]
 
+    # -- mid-epoch resume ---------------------------------------------------
+
+    def state_dict(self) -> Dict[str, int]:
+        """Deterministic iterator state: the in-flight epoch and how many
+        batches the consumer has taken from it. Save alongside the model
+        checkpoint to resume mid-epoch after preemption — the shuffle is a
+        pure function of (seed, epoch), so skipping `step` batches replays
+        the exact remaining order."""
+        return {"epoch": self._epoch, "step": self._step}
+
+    def load_state_dict(self, state: Dict[str, int]) -> None:
+        self._epoch = int(state["epoch"])
+        self._step = int(state["step"])
+        self._resume = True
+
     def __iter__(self) -> Iterator[Dict[str, Any]]:
-        self._epoch += 1
+        if self._resume:
+            skip = self._step  # continue the in-flight epoch
+            self._resume = False
+        else:
+            self._epoch += 1
+            self._step = 0
+            skip = 0
         queue: Queue = Queue(maxsize=self.prefetch)
         sentinel = object()
 
         def producer():
             with ThreadPoolExecutor(self.num_threads) as pool:
-                for idx in self._batch_indices():
+                for i, idx in enumerate(self._batch_indices()):
+                    if i < skip:
+                        continue
                     samples = list(pool.map(self.dataset.__getitem__, idx))
                     batch = _collate(samples)
                     real = len(idx)
@@ -118,6 +143,7 @@ class HostLoader:
             item = queue.get()
             if item is sentinel:
                 break
+            self._step += 1
             yield item
 
 

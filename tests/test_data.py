@@ -100,6 +100,26 @@ class TestLoader:
         b1b = next(iter(l1))
         assert b1b["text"] != b1["text"]
 
+    def test_mid_epoch_resume_replays_remaining_order(self):
+        ds = SyntheticImageTextDataset(n=16, image_size=8)
+        loader = HostLoader(ds, batch_size=2, shuffle=True, seed=5)
+        it = iter(loader)
+        consumed = [next(it)["text"], next(it)["text"]]
+        snap = loader.state_dict()
+        rest = [b["text"] for b in it]  # what an uninterrupted run yields
+
+        fresh = HostLoader(ds, batch_size=2, shuffle=True, seed=5)
+        fresh.load_state_dict(snap)
+        resumed = [b["text"] for b in fresh]
+        assert resumed == rest
+        assert snap == {"epoch": 1, "step": 2}
+        # next epoch after a resume shuffles as epoch 2, same as uninterrupted
+        again = next(iter(fresh))["text"]
+        loader2 = HostLoader(ds, batch_size=2, shuffle=True, seed=5)
+        next(iter(loader2))  # consume one batch of epoch 1
+        assert again == next(iter(loader2))["text"]  # epoch 2 matches
+        assert consumed[0] != consumed[1]
+
     def test_prefetch_to_device(self):
         ds = SyntheticMultiViewDataset(n=6, image_size=8)
         loader = HostLoader(ds, batch_size=3)
