@@ -189,6 +189,41 @@ def _loaders(cfg, args, multi_view=True):
 # ---------------------------------------------------------------------------
 
 
+def _num_devices(args) -> int:
+    return int(getattr(args, "num_devices", None) or 0)
+
+
+def _maybe_dp(args, cfg, raw_step, raw_eval, state, donate=False):
+    """--num-devices N: wrap raw train/eval step fns in GSPMD data
+    parallelism over a 1-D mesh (batches shard, params/opt state
+    replicate, collectives ride ICI). N absent/1 → plain single-device
+    jit, preserving each command's original behavior."""
+    import jax
+
+    n = _num_devices(args)
+    if n <= 1:
+        step = jax.jit(raw_step, donate_argnums=(0,) if donate else ())
+        eval_step = jax.jit(raw_eval) if raw_eval is not None else None
+        return step, eval_step, state
+    bs = args.batch_size or cfg.data.batch_size
+    if bs % n:
+        raise SystemExit(
+            f"--num-devices {n} must divide the batch size ({bs})"
+        )
+    from ..core.mesh import create_mesh
+    from ..parallel import data_parallel_step, replicate_state
+
+    mesh = create_mesh(n)
+    logging.info("data-parallel over %d devices: %s", n, mesh)
+    step = data_parallel_step(raw_step, mesh, donate_state=donate)
+    eval_step = (
+        data_parallel_step(raw_eval, mesh, donate_state=False)
+        if raw_eval is not None
+        else None
+    )
+    return step, eval_step, replicate_state(state, mesh)
+
+
 def cmd_prep(args) -> int:
     from ..data.labels import prepare_labeled_csv
 
@@ -305,21 +340,17 @@ def cmd_pretrain(args) -> int:
             step=jnp.zeros((), jnp.int32),
         )
     else:
-        step = jax.jit(
-            make_clip_pretrain_step(
-                model, tx, label_fn, loss_name,
-                cfg.model.temperature, cfg.model.image_size,
-                cfg.augment.mean, cfg.augment.std, compute,
-            ),
-            donate_argnums=(0,) if cfg.train.donate_state else (),
+        raw_step = make_clip_pretrain_step(
+            model, tx, label_fn, loss_name,
+            cfg.model.temperature, cfg.model.image_size,
+            cfg.augment.mean, cfg.augment.std, compute,
         )
-        eval_step = jax.jit(
-            make_clip_eval_step(
-                model, "clip_self_distill", cfg.model.temperature,
-                cfg.model.image_size, cfg.augment.mean, cfg.augment.std,
-                compute,
-            )
+        raw_eval = make_clip_eval_step(
+            model, "clip_self_distill", cfg.model.temperature,
+            cfg.model.image_size, cfg.augment.mean, cfg.augment.std,
+            compute,
         )
+        step = eval_step = None  # wrapped after resume (placement-aware)
         state = TrainState.create(variables, tx)
     from ..evals import MetricWriter
     from ..train import PreemptionGuard, resume_or_init
@@ -334,6 +365,14 @@ def cmd_pretrain(args) -> int:
             args.checkpoint_dir, cfg.train.max_checkpoints_to_keep
         )
     state, start_epoch = resume_or_init(ckpt, state)
+    if args.lora:
+        if _num_devices(args) > 1:
+            raise SystemExit("--num-devices is not supported with --lora")
+    else:
+        step, eval_step, state = _maybe_dp(
+            args, cfg, raw_step, raw_eval, state,
+            donate=cfg.train.donate_state,
+        )
     writer = MetricWriter(args.log_dir, "pretrain")
 
     with PreemptionGuard() as guard:
@@ -412,27 +451,23 @@ def cmd_train(args) -> int:
 
     tx = base_transform(cfg.train.max_grad_norm, cfg.train.weight_decay)
     label_fn = make_label_fn([])
-    step = jax.jit(
-        make_multiview_train_step(
-            model, tx, label_fn,
-            temperature=cfg.model.temperature,
-            image_size=cfg.model.image_size,
-            mean=cfg.augment.mean, std=cfg.augment.std,
-            compute_dtype=compute, use_enhance=use_enhance,
-            # the scripts' train transform stack, on device
-            # (0425/prepare_data.py:39-55; eval stays un-augmented)
-            augment=cfg.augment.enabled,
-            flip_prob=cfg.augment.horizontal_flip_prob,
-            rotation_degrees=cfg.augment.rotation_degrees,
-            translate_frac=cfg.augment.translate_frac,
-        )
+    raw_step = make_multiview_train_step(
+        model, tx, label_fn,
+        temperature=cfg.model.temperature,
+        image_size=cfg.model.image_size,
+        mean=cfg.augment.mean, std=cfg.augment.std,
+        compute_dtype=compute, use_enhance=use_enhance,
+        # the scripts' train transform stack, on device
+        # (0425/prepare_data.py:39-55; eval stays un-augmented)
+        augment=cfg.augment.enabled,
+        flip_prob=cfg.augment.horizontal_flip_prob,
+        rotation_degrees=cfg.augment.rotation_degrees,
+        translate_frac=cfg.augment.translate_frac,
     )
-    eval_step = jax.jit(
-        make_multiview_eval_step(
-            model, cfg.model.temperature, cfg.model.image_size,
-            cfg.augment.mean, cfg.augment.std, compute,
-            use_enhance=use_enhance,
-        )
+    raw_eval = make_multiview_eval_step(
+        model, cfg.model.temperature, cfg.model.image_size,
+        cfg.augment.mean, cfg.augment.std, compute,
+        use_enhance=use_enhance,
     )
     train_loader, val_loader = _loaders(cfg, args, multi_view=True)
     prompts = prompts_for_family("prediction", DISEASE_LABELS)
@@ -466,6 +501,7 @@ def cmd_train(args) -> int:
         )
     state = TrainState.create(variables, tx)
     state, start_epoch = resume_or_init(ckpt, state)
+    step, eval_step, state = _maybe_dp(args, cfg, raw_step, raw_eval, state)
     writer = MetricWriter(args.log_dir, "train")
     kc = KeyChain(cfg.data.seed)
     with PreemptionGuard() as guard:
@@ -517,11 +553,9 @@ def cmd_shared_adapter(args) -> int:
     tx = base_transform(None, 0.0)
     label_fn = make_label_fn(["shared_adapter"])
     freeze = freeze_mask(variables["params"], ["shared_adapter"])
-    step = jax.jit(
-        make_shared_adapter_train_step(
-            model, tx, label_fn, freeze, cfg.model.image_size,
-            cfg.augment.mean, cfg.augment.std, compute,
-        )
+    raw_step = make_shared_adapter_train_step(
+        model, tx, label_fn, freeze, cfg.model.image_size,
+        cfg.augment.mean, cfg.augment.std, compute,
     )
     train_loader, _ = _loaders(cfg, args, multi_view=True)
     max_len = cfg.model.max_text_length
@@ -545,6 +579,7 @@ def cmd_shared_adapter(args) -> int:
         }
 
     state = TrainState.create(variables, tx)
+    step, _, state = _maybe_dp(args, cfg, raw_step, None, state)
     kc = KeyChain(cfg.data.seed)
     state, history = fit(
         state, step, None,
@@ -587,17 +622,13 @@ def cmd_adapter(args) -> int:
     tx = base_transform(None, 0.0)
     label_fn = make_label_fn(["adapter"])
     freeze = freeze_mask(variables["params"], ["adapter"])
-    step = jax.jit(
-        make_adapter_train_step(
-            model, tx, label_fn, freeze, cfg.model.image_size,
-            cfg.augment.mean, cfg.augment.std, compute,
-        )
+    raw_step = make_adapter_train_step(
+        model, tx, label_fn, freeze, cfg.model.image_size,
+        cfg.augment.mean, cfg.augment.std, compute,
     )
-    eval_step = jax.jit(
-        make_adapter_eval_step(
-            model, cfg.model.image_size, cfg.augment.mean, cfg.augment.std,
-            compute,
-        )
+    raw_eval = make_adapter_eval_step(
+        model, cfg.model.image_size, cfg.augment.mean, cfg.augment.std,
+        compute,
     )
     train_loader, val_loader = _loaders(cfg, args, multi_view=True)
 
@@ -609,6 +640,7 @@ def cmd_adapter(args) -> int:
                 "mask": batch.get("mask")}
 
     state = TrainState.create(variables, tx)
+    step, eval_step, state = _maybe_dp(args, cfg, raw_step, raw_eval, state)
     kc = KeyChain(cfg.data.seed)
     state, history = fit(
         state, step, eval_step,
@@ -642,12 +674,18 @@ def cmd_zeroshot(args) -> int:
     tokenizer = _tokenizer(args)
     cfg = _apply_tiny(cfg, args, len(tokenizer.vocab))
     model, variables = _model_and_state(cfg, args, tokenizer)
+    mesh = None
+    if _num_devices(args) > 1:
+        from ..core.mesh import create_mesh
+
+        mesh = create_mesh(_num_devices(args))
     engine = ZeroShotEngine(
         model, variables, tokenizer, DISEASE_LABELS, cfg.zeroshot,
         cfg.augment.mean, cfg.augment.std, cfg.model.image_size,
         cfg.model.max_text_length,
         jnp.float32 if args.fp32 else jnp.bfloat16,
         use_enhance=cfg.model.use_multimodal_attention,
+        mesh=mesh,
     )
     engine.build_text_features(
         prompts_for_family(args.prompts, DISEASE_LABELS)
@@ -855,12 +893,18 @@ def cmd_serve(args) -> int:
     tokenizer = _tokenizer(args)
     cfg = _apply_tiny(cfg, args, len(tokenizer.vocab))
     model, variables = _model_and_state(cfg, args, tokenizer)
+    mesh = None
+    if _num_devices(args) > 1:
+        from ..core.mesh import create_mesh
+
+        mesh = create_mesh(_num_devices(args))
     engine = ZeroShotEngine(
         model, variables, tokenizer, DISEASE_LABELS, cfg.zeroshot,
         cfg.augment.mean, cfg.augment.std, cfg.model.image_size,
         cfg.model.max_text_length,
         jnp.float32 if args.fp32 else jnp.bfloat16,
         use_enhance=cfg.model.use_multimodal_attention,
+        mesh=mesh,
     )
     engine.build_text_features(
         prompts_for_family(args.prompts, DISEASE_LABELS)
@@ -931,6 +975,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--projections-csv", default=None)
         sp.add_argument("--image-dir", default=None)
         sp.add_argument("--batch-size", type=int, default=None)
+        sp.add_argument("--num-devices", type=int, default=None,
+                        help="run data-parallel over the first N visible "
+                             "devices (GSPMD mesh: batches shard, params "
+                             "replicate); default single-device")
         sp.add_argument("--bucket-text", action="store_true",
                         help="length-bucket text batches (identical math, "
                              "faster text tower on short reports)")

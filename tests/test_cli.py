@@ -103,3 +103,44 @@ def test_pretrain_lora(tmp_path):
     ]) == 0
     assert (tmp_path / "training_history.csv").exists()
     assert run(["pretrain", "--tiny", "--lora", "-3"]) == 2
+
+
+class TestNumDevices:
+    def test_pretrain_data_parallel(self, tmp_path, eight_devices):
+        assert run([
+            "pretrain", "--synthetic", "--tiny", "--fp32",
+            "--synthetic-samples", "16", "--epochs", "1",
+            "--batch-size", "8", "--num-devices", "8",
+            "--log-dir", str(tmp_path),
+        ]) == 0
+
+    def test_adapter_data_parallel(self, tmp_path, eight_devices):
+        assert run([
+            "adapter", "--synthetic", "--tiny", "--fp32",
+            "--synthetic-samples", "16", "--epochs", "1",
+            "--batch-size", "8", "--num-devices", "4",
+            "--log-dir", str(tmp_path),
+        ]) == 0
+
+    def test_zeroshot_data_parallel(self, tmp_path, eight_devices):
+        assert run([
+            "zeroshot", "--synthetic", "--tiny", "--fp32",
+            "--synthetic-samples", "8", "--num-devices", "4",
+            "--log-dir", str(tmp_path),
+        ]) == 0
+
+    def test_indivisible_batch_rejected(self, tmp_path, eight_devices):
+        with pytest.raises(SystemExit):
+            run([
+                "pretrain", "--synthetic", "--tiny", "--fp32",
+                "--epochs", "1", "--batch-size", "9", "--num-devices", "8",
+                "--log-dir", str(tmp_path),
+            ])
+
+    def test_lora_rejects_num_devices(self, tmp_path, eight_devices):
+        with pytest.raises(SystemExit):
+            run([
+                "pretrain", "--synthetic", "--tiny", "--fp32",
+                "--epochs", "1", "--batch-size", "8", "--lora", "2",
+                "--num-devices", "8", "--log-dir", str(tmp_path),
+            ])
