@@ -676,9 +676,15 @@ def cmd_zeroshot(args) -> int:
     model, variables = _model_and_state(cfg, args, tokenizer)
     mesh = None
     if _num_devices(args) > 1:
-        from ..core.mesh import create_mesh
+        tp = int(getattr(args, "tp", None) or 1)
+        if tp > 1:
+            from ..parallel import create_dp_tp_mesh
 
-        mesh = create_mesh(_num_devices(args))
+            mesh = create_dp_tp_mesh(tp, num_devices=_num_devices(args))
+        else:
+            from ..core.mesh import create_mesh
+
+            mesh = create_mesh(_num_devices(args))
     engine = ZeroShotEngine(
         model, variables, tokenizer, DISEASE_LABELS, cfg.zeroshot,
         cfg.augment.mean, cfg.augment.std, cfg.model.image_size,
@@ -895,9 +901,15 @@ def cmd_serve(args) -> int:
     model, variables = _model_and_state(cfg, args, tokenizer)
     mesh = None
     if _num_devices(args) > 1:
-        from ..core.mesh import create_mesh
+        tp = int(getattr(args, "tp", None) or 1)
+        if tp > 1:
+            from ..parallel import create_dp_tp_mesh
 
-        mesh = create_mesh(_num_devices(args))
+            mesh = create_dp_tp_mesh(tp, num_devices=_num_devices(args))
+        else:
+            from ..core.mesh import create_mesh
+
+            mesh = create_mesh(_num_devices(args))
     engine = ZeroShotEngine(
         model, variables, tokenizer, DISEASE_LABELS, cfg.zeroshot,
         cfg.augment.mean, cfg.augment.std, cfg.model.image_size,
@@ -1024,6 +1036,9 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["prediction", "basic", "showing", "rich", "findings"])
     sp.add_argument("--dynamic", action="store_true",
                     help="two-pass dynamic-threshold pipeline")
+    sp.add_argument("--tp", type=int, default=1,
+                    help="with --num-devices: tensor-parallel degree for "
+                         "the transformer towers (N/tp × tp mesh)")
     sp.set_defaults(fn=cmd_zeroshot)
 
     sp = sub.add_parser("gradcam", help="Grad-CAM saliency maps")
@@ -1057,6 +1072,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="pre-compiled batch sizes for the micro-batcher")
     sp.add_argument("--max-wait-ms", type=float, default=5.0,
                     help="max coalescing wait for a lone request")
+    sp.add_argument("--tp", type=int, default=1,
+                    help="with --num-devices: tensor-parallel degree for "
+                         "the transformer towers (N/tp × tp mesh)")
     sp.set_defaults(fn=cmd_serve)
     return p
 

@@ -144,3 +144,10 @@ class TestNumDevices:
                 "--epochs", "1", "--batch-size", "8", "--lora", "2",
                 "--num-devices", "8", "--log-dir", str(tmp_path),
             ])
+
+    def test_zeroshot_tensor_parallel(self, tmp_path, eight_devices):
+        assert run([
+            "zeroshot", "--synthetic", "--tiny", "--fp32",
+            "--synthetic-samples", "8", "--num-devices", "8", "--tp", "2",
+            "--log-dir", str(tmp_path),
+        ]) == 0
