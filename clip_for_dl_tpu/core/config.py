@@ -79,6 +79,12 @@ class ModelConfig:
     use_multimodal_attention: bool = False
     remat: bool = False  # per-layer remat in the transformer towers
     remat_conv: bool = False  # per-block remat in the ResNet tower
+    # Mixture-of-experts text tower (beyond reference; Switch-Transformer
+    # top-1 routing, models/moe.py). 0 experts = dense MLP everywhere.
+    text_moe_experts: int = 0
+    text_moe_every: int = 2  # every k-th block's MLP is MoE (Switch default)
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01  # load-balancing aux-loss weight
 
     def with_vit(self) -> "ModelConfig":
         return dataclasses.replace(

@@ -94,6 +94,10 @@ class BertLayer(nn.Module):
     heads: int
     intermediate: int
     dropout: float = 0.1
+    # >0: this block's MLP is a Switch-routed expert FFN (models/moe.py),
+    # shardable over the `expert` mesh axis (parallel/ep.py).
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -112,9 +116,17 @@ class BertLayer(nn.Module):
         x = nn.LayerNorm(name="attention_layer_norm", **ln)(
             (x + attn).astype(jnp.float32)
         ).astype(self.dtype)
-        h = nn.Dense(self.intermediate, name="intermediate", **kw)(x)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.hidden, name="output", **kw)(h)
+        if self.moe_experts:
+            from .moe import SwitchMoEMLP
+
+            h = SwitchMoEMLP(
+                self.moe_experts, self.intermediate,
+                self.moe_capacity_factor, name="moe_mlp", **kw,
+            )(x)
+        else:
+            h = nn.Dense(self.intermediate, name="intermediate", **kw)(x)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dense(self.hidden, name="output", **kw)(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return nn.LayerNorm(name="output_layer_norm", **ln)(
             (x + h).astype(jnp.float32)
@@ -132,6 +144,11 @@ class BertEncoder(nn.Module):
     max_position: int = 512
     dropout: float = 0.1
     remat: bool = False  # per-layer rematerialization (memory ↔ FLOPs)
+    # MoE (beyond reference): every `moe_every`-th block's MLP routes over
+    # `moe_experts` experts (0 = dense everywhere).
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_capacity_factor: float = 1.25
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -165,8 +182,15 @@ class BertEncoder(nn.Module):
         if self.remat:
             layer_cls = nn.remat(BertLayer, static_argnums=(3, 4))
         for i in range(self.layers):
+            moe = (
+                self.moe_experts
+                if self.moe_experts and i % self.moe_every == self.moe_every - 1
+                else 0
+            )
             x = layer_cls(
                 self.hidden, self.heads, self.intermediate, self.dropout,
+                moe_experts=moe,
+                moe_capacity_factor=self.moe_capacity_factor,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",
             )(x, bias, deterministic, sow_weights)

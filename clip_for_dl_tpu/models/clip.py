@@ -71,7 +71,9 @@ class CXRClip(nn.Module):
             layers=cfg.text_layers, heads=cfg.text_heads,
             intermediate=cfg.text_intermediate_dim,
             max_position=cfg.text_max_position,
-            dropout=cfg.dropout, remat=cfg.remat, **kw,
+            dropout=cfg.dropout, remat=cfg.remat,
+            moe_experts=cfg.text_moe_experts, moe_every=cfg.text_moe_every,
+            moe_capacity_factor=cfg.moe_capacity_factor, **kw,
         )
         self.image_projector = ImageProjection(
             out_dim=cfg.shared_embedding_dim, dropout=cfg.dropout, **kw

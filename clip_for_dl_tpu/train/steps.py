@@ -83,6 +83,11 @@ def make_clip_pretrain_step(
     compute_dtype=jnp.bfloat16,
 ):
     loss_fn_base = PRETRAIN_LOSSES[loss_name]
+    # MoE text tower sows its load-balancing loss into the "losses"
+    # collection (models/moe.py); weight comes from the model config.
+    aux_weight = getattr(
+        getattr(model, "config", None), "moe_aux_weight", 0.0
+    )
 
     def step(state: TrainState, batch: Batch, lrs, rng) -> Tuple[TrainState, Metrics]:
         images = preprocess_images(
@@ -97,10 +102,13 @@ def make_clip_pretrain_step(
                 batch["input_ids"],
                 batch["attention_mask"],
                 train=True,
-                mutable=["batch_stats"],
+                mutable=["batch_stats", "losses"],
                 rngs={"dropout": rng},
             )
             loss = loss_fn_base(txt_f, img_f, temperature)
+            sown = jax.tree.leaves(mutated.get("losses", {}))
+            if sown:
+                loss = loss + aux_weight * sum(jnp.sum(v) for v in sown)
             return loss, mutated["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
