@@ -74,6 +74,10 @@ def _apply_tiny(cfg, args, vocab_size: int):
     model = dataclasses.replace(cfg.model, vocab_size=vocab_size)
     if getattr(args, "fast_gelu", False):
         model = dataclasses.replace(model, vit_gelu_approximate=True)
+    if getattr(args, "moe_experts", 0):
+        model = dataclasses.replace(
+            model, text_moe_experts=args.moe_experts
+        )
     if getattr(args, "tiny", False):
         model = dataclasses.replace(
             model,
@@ -365,9 +369,98 @@ def cmd_pretrain(args) -> int:
             args.checkpoint_dir, cfg.train.max_checkpoints_to_keep
         )
     state, start_epoch = resume_or_init(ckpt, state)
+    pp = 0 if args.lora else (getattr(args, "pp", 0) or 0)
     if args.lora:
         if _num_devices(args) > 1:
             raise SystemExit("--num-devices is not supported with --lora")
+    elif pp > 1:
+        # pipeline parallelism: text-tower blocks staged over a
+        # (data, stage) mesh; checkpoints written during the run hold the
+        # stacked layout (resume with the same --pp), and a canonical
+        # unstacked copy is written at the end for zeroshot/serve.
+        if (getattr(args, "ep", 1) or 1) > 1:
+            raise SystemExit("--pp does not compose with --ep")
+        from ..parallel import (
+            create_dp_pp_mesh,
+            make_pp_clip_pretrain_step,
+            pipeline_parallel_step,
+            pp_train_state,
+            shard_state_pp,
+            unpp_params,
+            validate_pp,
+        )
+
+        n = _num_devices(args) or pp
+        bs = args.batch_size or cfg.data.batch_size
+        if n % pp:
+            raise SystemExit(f"--num-devices {n} must divide into --pp {pp}")
+        try:
+            validate_pp(cfg.model.text_layers, pp, args.pp_microbatches, bs)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        if (bs // args.pp_microbatches) % (n // pp):
+            raise SystemExit(
+                f"microbatch size {bs // args.pp_microbatches} must divide "
+                f"over the data axis ({n // pp})"
+            )
+        mesh = create_dp_pp_mesh(pp, num_devices=n)
+        logging.info(
+            "pipeline-parallel over %s (%d microbatches)",
+            mesh, args.pp_microbatches,
+        )
+        pp_raw = make_pp_clip_pretrain_step(
+            model, tx, label_fn, mesh, args.pp_microbatches, loss_name,
+            cfg.model.temperature, cfg.model.image_size,
+            cfg.augment.mean, cfg.augment.std, compute,
+        )
+        if "pipeline_stack" not in state.params.get("text_tower", {}):
+            # restack params AND optimizer moments (Adam mu/nu mirror the
+            # param tree) into pipeline layout
+            state = pp_train_state(state, pp)
+        state = shard_state_pp(state, mesh)
+        step = pipeline_parallel_step(
+            pp_raw, mesh, donate_state=cfg.train.donate_state
+        )
+        _eval_jit = jax.jit(raw_eval)
+
+        def eval_step(s, batch):
+            return _eval_jit(s.replace(params=unpp_params(s.params)), batch)
+
+    elif (getattr(args, "ep", 1) or 1) > 1:
+        # expert parallelism: MoE expert weights sharded over a
+        # (data, expert) mesh; checkpoint layout is unchanged.
+        if not cfg.model.text_moe_experts:
+            raise SystemExit("--ep requires --moe-experts")
+        from ..parallel import (
+            create_dp_ep_mesh,
+            expert_parallel_step,
+            shard_state_ep,
+            validate_ep,
+        )
+
+        ep_deg = args.ep
+        n = _num_devices(args) or ep_deg
+        if n % ep_deg:
+            raise SystemExit(
+                f"--num-devices {n} must divide into --ep {ep_deg}"
+            )
+        try:
+            validate_ep(cfg.model.text_moe_experts, ep_deg)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        bs = args.batch_size or cfg.data.batch_size
+        if bs % (n // ep_deg):
+            raise SystemExit(
+                f"batch size {bs} must divide over the data axis "
+                f"({n // ep_deg})"
+            )
+        mesh = create_dp_ep_mesh(ep_deg, num_devices=n)
+        logging.info("expert-parallel over %s", mesh)
+        state = shard_state_ep(state, mesh)
+        step = expert_parallel_step(
+            raw_step, mesh, donate_state=cfg.train.donate_state
+        )
+        eval_step = expert_parallel_step(raw_eval, mesh, donate_state=False)
     else:
         step, eval_step, state = _maybe_dp(
             args, cfg, raw_step, raw_eval, state,
@@ -414,6 +507,24 @@ def cmd_pretrain(args) -> int:
         fm.close()
         print(f"folded LoRA model saved to {folded_dir} "
               f"(servable: --checkpoint {folded_dir})")
+    if pp > 1 and args.checkpoint_dir:
+        # in-run checkpoints hold the stage-stacked layout (resume with
+        # the same --pp); write a canonical unstacked full-model copy that
+        # zeroshot/serve/eval --checkpoint can load directly
+        from ..parallel import unpp_params
+        from ..train import CheckpointManager
+
+        canon = {
+            "params": unpp_params(jax.tree.map(np.asarray, state.params)),
+            "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+        }
+        canon_dir = os.path.join(args.checkpoint_dir, "unstacked")
+        fm = CheckpointManager(canon_dir, max_to_keep=1)
+        fm.save(0, canon)
+        fm.wait()
+        fm.close()
+        print(f"canonical model checkpoint saved to {canon_dir} "
+              f"(servable: --checkpoint {canon_dir})")
     print(f"pretrain done: {len(history.rows)} epochs")
     return 0
 
@@ -991,6 +1102,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="run data-parallel over the first N visible "
                              "devices (GSPMD mesh: batches shard, params "
                              "replicate); default single-device")
+        sp.add_argument("--virtual-devices", type=int, default=None,
+                        metavar="N",
+                        help="debug: emulate N CPU devices (XLA host-"
+                             "platform trick) so --num-devices/--tp/--pp/"
+                             "--ep run without real chips")
         sp.add_argument("--bucket-text", action="store_true",
                         help="length-bucket text batches (identical math, "
                              "faster text tower on short reports)")
@@ -1012,6 +1128,18 @@ def build_parser() -> argparse.ArgumentParser:
                          "towers, train rank-RANK LoRA deltas on the "
                          "attention/MLP kernels")
     sp.add_argument("--lora-alpha", type=float, default=16.0)
+    sp.add_argument("--moe-experts", type=int, default=0, metavar="E",
+                    help="Switch-MoE text tower: every other block's MLP "
+                         "routes over E experts (0 = dense parity path)")
+    sp.add_argument("--ep", type=int, default=1,
+                    help="with --num-devices and --moe-experts: expert-"
+                         "parallel degree (N/ep × ep mesh, expert weights "
+                         "sharded)")
+    sp.add_argument("--pp", type=int, default=0, metavar="S",
+                    help="with --num-devices: pipeline-parallel stages for "
+                         "the text tower (GPipe microbatch schedule; text "
+                         "dropout off inside the pipeline)")
+    sp.add_argument("--pp-microbatches", type=int, default=2)
     sp.set_defaults(fn=cmd_pretrain, preset="pretrain_clip")
 
     sp = sub.add_parser(
@@ -1079,8 +1207,31 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _force_virtual_devices(n: int) -> None:
+    """--virtual-devices N: run on N virtual CPU devices (the XLA
+    host-platform trick) so multi-chip flags (--num-devices/--tp/--pp/--ep)
+    are drivable without TPU hardware. Must run before the JAX backend
+    initializes; also flips the platform through jax.config because a
+    pre-imported jax (e.g. a sitecustomize) ignores late env changes."""
+    import jax
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+    if len(jax.devices()) < n:
+        import jax.extend.backend
+
+        jax.extend.backend.clear_backends()
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "virtual_devices", None):
+        _force_virtual_devices(args.virtual_devices)
     return args.fn(args)
 
 

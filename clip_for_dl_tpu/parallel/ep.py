@@ -119,9 +119,17 @@ def expert_parallel_step(
                 {k: batch_shard for k in batch},
                 *[jax.tree.map(lambda _: repl, r) for r in rest],
             )
+            # pin outputs too: without this GSPMD may emit e.g. an
+            # expert-sharded router bias in the updated state, which then
+            # mismatches the next call's replicated in_sharding
+            out_shardings = ep_shardings(
+                jax.eval_shape(step_fn, state, batch, *rest),
+                mesh, expert_axis,
+            )
             compiled[key] = jax.jit(
                 step_fn,
                 in_shardings=in_shardings,
+                out_shardings=out_shardings,
                 donate_argnums=(0,) if donate_state else (),
             )
         return compiled[key](state, batch, *rest)

@@ -140,6 +140,37 @@ def unpp_params(params: Mapping[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def pp_train_state(state, num_stages: int):
+    """Restack EVERY ``text_tower`` subtree in a TrainState into pipeline
+    layout — params and the optimizer moments (whose trees mirror the
+    params, e.g. Adam mu/nu) alike, so a state created or resumed in the
+    canonical per-layer layout drops into the pp step."""
+
+    def walk(node):
+        if isinstance(node, Mapping):
+            out = {}
+            for k, v in node.items():
+                if (
+                    k == "text_tower"
+                    and isinstance(v, Mapping)
+                    and any(str(kk).startswith("layer_") for kk in v)
+                ):
+                    out[k] = stack_bert_layers(v, num_stages)
+                else:
+                    out[k] = walk(v)
+            return out
+        if isinstance(node, tuple):
+            vals = [walk(v) for v in node]
+            return type(node)(*vals) if hasattr(node, "_fields") else tuple(vals)
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return state.replace(
+        params=walk(state.params), opt_state=walk(state.opt_state)
+    )
+
+
 def pp_spec(path, value, axis_name: str = STAGE_AXIS) -> P:
     """P('stage') on leading dim of pipeline-stack leaves; replicated
     elsewhere. Works on params, opt-state moments and whole TrainStates
@@ -371,9 +402,17 @@ def pipeline_parallel_step(
                 {k: batch_shard for k in batch},
                 *[jax.tree.map(lambda _: repl, r) for r in rest],
             )
+            # pin outputs so the updated state keeps exactly the pp layout
+            # (stage-sharded stack, everything else replicated) across
+            # repeated calls
+            out_shardings = pp_shardings(
+                jax.eval_shape(step_fn, state, batch, *rest),
+                mesh, stage_axis,
+            )
             compiled[key] = jax.jit(
                 step_fn,
                 in_shardings=in_shardings,
+                out_shardings=out_shardings,
                 donate_argnums=(0,) if donate_state else (),
             )
         return compiled[key](state, batch, *rest)

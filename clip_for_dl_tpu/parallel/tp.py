@@ -158,9 +158,17 @@ def tensor_parallel_step(
                 {k: batch_shard for k in batch},
                 *[jax.tree.map(lambda _: repl, r) for r in rest],
             )
+            # pin outputs so the updated state keeps exactly the TP layout
+            # across repeated calls (GSPMD may otherwise pick a different
+            # output sharding that mismatches the next call's in_shardings)
+            out_shardings = tp_shardings(
+                jax.eval_shape(step_fn, state, batch, *rest),
+                mesh, model_axis,
+            )
             compiled[key] = jax.jit(
                 step_fn,
                 in_shardings=in_shardings,
+                out_shardings=out_shardings,
                 donate_argnums=(0,) if donate_state else (),
             )
         return compiled[key](state, batch, *rest)

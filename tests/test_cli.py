@@ -151,3 +151,48 @@ class TestNumDevices:
             "--synthetic-samples", "8", "--num-devices", "8", "--tp", "2",
             "--log-dir", str(tmp_path),
         ]) == 0
+
+    def test_pretrain_pipeline_parallel(self, tmp_path, eight_devices):
+        """--pp 2 over 4 devices: trains, writes stacked in-run checkpoints
+        plus a canonical unstacked copy that zeroshot can load."""
+        ck = str(tmp_path / "ck")
+        assert run([
+            "pretrain", "--synthetic", "--tiny", "--fp32",
+            "--synthetic-samples", "16", "--epochs", "1",
+            "--batch-size", "8", "--num-devices", "4", "--pp", "2",
+            "--pp-microbatches", "2",
+            "--log-dir", str(tmp_path), "--checkpoint-dir", ck,
+        ]) == 0
+        unstacked = str(tmp_path / "ck" / "unstacked")
+        assert run([
+            "zeroshot", "--synthetic", "--tiny", "--fp32",
+            "--synthetic-samples", "8", "--checkpoint", unstacked,
+            "--log-dir", str(tmp_path),
+        ]) == 0
+
+    def test_pretrain_moe_expert_parallel(self, tmp_path, eight_devices):
+        assert run([
+            "pretrain", "--synthetic", "--tiny", "--fp32",
+            "--synthetic-samples", "16", "--epochs", "1",
+            "--batch-size", "8", "--num-devices", "4",
+            "--moe-experts", "4", "--ep", "2",
+            "--log-dir", str(tmp_path),
+        ]) == 0
+
+    def test_ep_requires_moe(self, tmp_path, eight_devices):
+        with pytest.raises(SystemExit):
+            run([
+                "pretrain", "--synthetic", "--tiny", "--fp32",
+                "--epochs", "1", "--batch-size", "8",
+                "--num-devices", "4", "--ep", "2",
+                "--log-dir", str(tmp_path),
+            ])
+
+    def test_pp_rejects_bad_microbatches(self, tmp_path, eight_devices):
+        with pytest.raises(SystemExit):
+            run([
+                "pretrain", "--synthetic", "--tiny", "--fp32",
+                "--epochs", "1", "--batch-size", "8",
+                "--num-devices", "4", "--pp", "2", "--pp-microbatches", "3",
+                "--log-dir", str(tmp_path),
+            ])
