@@ -368,18 +368,19 @@ def cmd_pretrain(args) -> int:
         ckpt = CheckpointManager(
             args.checkpoint_dir, cfg.train.max_checkpoints_to_keep
         )
-    state, start_epoch = resume_or_init(ckpt, state)
     pp = 0 if args.lora else (getattr(args, "pp", 0) or 0)
-    if args.lora:
-        if _num_devices(args) > 1:
-            raise SystemExit("--num-devices is not supported with --lora")
-    elif pp > 1:
+    if pp > 1:
         # pipeline parallelism: text-tower blocks staged over a
         # (data, stage) mesh; checkpoints written during the run hold the
-        # stacked layout (resume with the same --pp), and a canonical
-        # unstacked copy is written at the end for zeroshot/serve.
+        # stacked layout (resume requires the same --pp flags), and a
+        # canonical unstacked copy is written at the end for
+        # zeroshot/serve. Validations + the template restack must happen
+        # BEFORE resume_or_init so orbax restores against the stacked
+        # structure the in-run checkpoints actually have.
         if (getattr(args, "ep", 1) or 1) > 1:
             raise SystemExit("--pp does not compose with --ep")
+        if cfg.model.text_moe_experts:
+            raise SystemExit("--pp does not compose with --moe-experts")
         from ..parallel import (
             create_dp_pp_mesh,
             make_pp_clip_pretrain_step,
@@ -403,6 +404,14 @@ def cmd_pretrain(args) -> int:
                 f"microbatch size {bs // args.pp_microbatches} must divide "
                 f"over the data axis ({n // pp})"
             )
+        # restack params AND optimizer moments (Adam mu/nu mirror the
+        # param tree) into pipeline layout
+        state = pp_train_state(state, pp)
+    state, start_epoch = resume_or_init(ckpt, state)
+    if args.lora:
+        if _num_devices(args) > 1:
+            raise SystemExit("--num-devices is not supported with --lora")
+    elif pp > 1:
         mesh = create_dp_pp_mesh(pp, num_devices=n)
         logging.info(
             "pipeline-parallel over %s (%d microbatches)",
@@ -413,18 +422,23 @@ def cmd_pretrain(args) -> int:
             cfg.model.temperature, cfg.model.image_size,
             cfg.augment.mean, cfg.augment.std, compute,
         )
-        if "pipeline_stack" not in state.params.get("text_tower", {}):
-            # restack params AND optimizer moments (Adam mu/nu mirror the
-            # param tree) into pipeline layout
-            state = pp_train_state(state, pp)
         state = shard_state_pp(state, mesh)
         step = pipeline_parallel_step(
             pp_raw, mesh, donate_state=cfg.train.donate_state
         )
         _eval_jit = jax.jit(raw_eval)
+        _eval_cache = {}
 
         def eval_step(s, batch):
-            return _eval_jit(s.replace(params=unpp_params(s.params)), batch)
+            # unstack once per eval pass (state is constant within it),
+            # keyed on the step counter
+            key = int(s.step)
+            if _eval_cache.get("key") != key:
+                _eval_cache["key"] = key
+                _eval_cache["params"] = unpp_params(s.params)
+            return _eval_jit(
+                s.replace(params=_eval_cache["params"]), batch
+            )
 
     elif (getattr(args, "ep", 1) or 1) > 1:
         # expert parallelism: MoE expert weights sharded over a
@@ -1114,6 +1128,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="tanh-approximate GELU in the ViT tower "
                              "(1.19x on v5e, ~1e-3 departure from the "
                              "torchvision-exact erf — not for parity runs)")
+        sp.add_argument("--moe-experts", type=int, default=0, metavar="E",
+                        help="Switch-MoE text tower: every other block's "
+                             "MLP routes over E experts (0 = dense parity "
+                             "path). Pass the SAME value to every command "
+                             "that loads a MoE checkpoint — the geometry "
+                             "is not stored in the checkpoint")
 
     sp = sub.add_parser("prep", help="label extraction")
     sp.add_argument("--reports", required=True)
@@ -1128,9 +1148,6 @@ def build_parser() -> argparse.ArgumentParser:
                          "towers, train rank-RANK LoRA deltas on the "
                          "attention/MLP kernels")
     sp.add_argument("--lora-alpha", type=float, default=16.0)
-    sp.add_argument("--moe-experts", type=int, default=0, metavar="E",
-                    help="Switch-MoE text tower: every other block's MLP "
-                         "routes over E experts (0 = dense parity path)")
     sp.add_argument("--ep", type=int, default=1,
                     help="with --num-devices and --moe-experts: expert-"
                          "parallel degree (N/ep × ep mesh, expert weights "
@@ -1213,13 +1230,20 @@ def _force_virtual_devices(n: int) -> None:
     are drivable without TPU hardware. Must run before the JAX backend
     initializes; also flips the platform through jax.config because a
     pre-imported jax (e.g. a sitecustomize) ignores late env changes."""
+    import re
+
     import jax
 
     flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={n}"
-        ).strip()
+    flag = f"--xla_force_host_platform_device_count={n}"
+    if "xla_force_host_platform_device_count" in flags:
+        # replace (not keep) any pre-existing count — the user asked for N
+        flags = re.sub(
+            r"--xla_force_host_platform_device_count=\d+", flag, flags
+        )
+    else:
+        flags = (flags + " " + flag).strip()
+    os.environ["XLA_FLAGS"] = flags
     os.environ["JAX_PLATFORMS"] = "cpu"
     jax.config.update("jax_platforms", "cpu")
     if len(jax.devices()) < n:

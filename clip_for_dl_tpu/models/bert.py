@@ -119,10 +119,16 @@ class BertLayer(nn.Module):
         if self.moe_experts:
             from .moe import SwitchMoEMLP
 
+            # recover the token mask from the additive attention bias
+            # (0 for real tokens, -1e10 for padding) so pads neither
+            # consume expert capacity nor skew the aux loss
+            mask = None
+            if bias is not None:
+                mask = (bias[:, 0, 0, :] > -1e4).astype(jnp.float32)
             h = SwitchMoEMLP(
                 self.moe_experts, self.intermediate,
                 self.moe_capacity_factor, name="moe_mlp", **kw,
-            )(x)
+            )(x, mask)
         else:
             h = nn.Dense(self.intermediate, name="intermediate", **kw)(x)
             h = nn.gelu(h, approximate=False)

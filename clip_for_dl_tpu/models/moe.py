@@ -51,12 +51,27 @@ class SwitchMoEMLP(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """[B, L, D] → [B, L, D]; routing/softmax in fp32, FFN in dtype."""
+    def __call__(
+        self, x: jnp.ndarray, mask: jnp.ndarray | None = None
+    ) -> jnp.ndarray:
+        """[B, L, D] → [B, L, D]; routing/softmax in fp32, FFN in dtype.
+
+        ``mask`` [B, L] (1 = real token): padding positions are excluded
+        from routing — they consume no expert capacity, contribute zero
+        update (the residual passes them through), and are left out of
+        the load-balancing statistics. With this codebase's fixed
+        max_length padding, omitting the mask would let pads dominate
+        both capacity and the aux loss.
+        """
         b, l, d = x.shape
         t, e = b * l, self.num_experts
         capacity = int(np.ceil(self.capacity_factor * t / e))
         xf = x.reshape(t, d)
+        mask_flat = (
+            jnp.ones((t,), jnp.float32)
+            if mask is None
+            else mask.reshape(t).astype(jnp.float32)
+        )
 
         # router (fp32 for a stable softmax/argmax)
         logits = nn.Dense(
@@ -65,12 +80,17 @@ class SwitchMoEMLP(nn.Module):
         )(xf.astype(jnp.float32))
         probs = jax.nn.softmax(logits, axis=-1)  # [T, E]
         gate = jnp.max(probs, axis=-1)  # [T]
-        onehot = jax.nn.one_hot(
-            jnp.argmax(probs, axis=-1), e, dtype=jnp.float32
-        )  # [T, E]
+        onehot = (
+            jax.nn.one_hot(jnp.argmax(probs, axis=-1), e, dtype=jnp.float32)
+            * mask_flat[:, None]
+        )  # [T, E]; pad rows are all-zero
 
-        # Switch load-balancing loss: E * Σ_e (token fraction)·(prob mass)
-        aux = e * jnp.sum(onehot.mean(axis=0) * probs.mean(axis=0))
+        # Switch load-balancing loss over REAL tokens:
+        # E * Σ_e (token fraction)·(prob mass)
+        denom = jnp.maximum(mask_flat.sum(), 1.0)
+        density = onehot.sum(axis=0) / denom
+        proxy = (probs * mask_flat[:, None]).sum(axis=0) / denom
+        aux = e * jnp.sum(density * proxy)
         self.sow(LOSS_COLLECTION, "moe_aux", aux)
 
         # slot assignment: position of each token within its expert's queue;

@@ -17,11 +17,11 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import jax
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.tree_util import DictKey, GetAttrKey
 
 from ..core.mesh import DATA_AXIS
+from .common import create_2d_mesh, shard_tree, spec_parallel_step, tree_shardings
 
 EXPERT_AXIS = "expert"
 
@@ -37,17 +37,7 @@ def create_dp_ep_mesh(
 ) -> Mesh:
     """2-D ``(data, expert)`` mesh; ``expert`` innermost so the combine
     all-reduce rides the shortest ICI hops."""
-    devs = list(devices if devices is not None else jax.devices())
-    if num_devices is not None:
-        if len(devs) < num_devices:
-            raise ValueError(
-                f"requested {num_devices} devices, {len(devs)} visible"
-            )
-        devs = devs[:num_devices]
-    if ep < 1 or len(devs) % ep:
-        raise ValueError(f"{len(devs)} devices do not split into ep={ep}")
-    grid = np.array(devs).reshape(len(devs) // ep, ep)
-    return Mesh(grid, axis_names)
+    return create_2d_mesh(ep, axis_names, num_devices, devices)
 
 
 def validate_ep(num_experts: int, ep: int) -> None:
@@ -82,20 +72,13 @@ def ep_spec(path, value, axis_name: str = EXPERT_AXIS) -> P:
 
 def ep_shardings(tree, mesh: Mesh, axis_name: str = EXPERT_AXIS):
     """NamedShardings for params / opt-state / TrainState pytrees."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, v: NamedSharding(mesh, ep_spec(path, v, axis_name)), tree
-    )
+    return tree_shardings(tree, mesh, ep_spec, axis_name)
 
 
 def shard_state_ep(state, mesh: Mesh, axis_name: str = EXPERT_AXIS):
     """Place a TrainState (or any pytree) on a (data, expert) mesh with
     expert weights/moments sharded, everything else replicated."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, x: jax.device_put(
-            x, NamedSharding(mesh, ep_spec(path, x, axis_name))
-        ),
-        state,
-    )
+    return shard_tree(state, mesh, ep_spec, axis_name)
 
 
 def expert_parallel_step(
@@ -106,32 +89,8 @@ def expert_parallel_step(
     donate_state: bool = True,
 ):
     """jit a ``step(state, batch, *rest)`` over a (data, expert) mesh:
-    batch sharded on ``data``, expert weights sharded on ``expert``."""
-    repl = NamedSharding(mesh, P())
-    batch_shard = NamedSharding(mesh, P(data_axis))
-    compiled = {}
-
-    def wrapped(state, batch, *rest):
-        key = tuple(sorted(batch))
-        if key not in compiled:
-            in_shardings = (
-                ep_shardings(state, mesh, expert_axis),
-                {k: batch_shard for k in batch},
-                *[jax.tree.map(lambda _: repl, r) for r in rest],
-            )
-            # pin outputs too: without this GSPMD may emit e.g. an
-            # expert-sharded router bias in the updated state, which then
-            # mismatches the next call's replicated in_sharding
-            out_shardings = ep_shardings(
-                jax.eval_shape(step_fn, state, batch, *rest),
-                mesh, expert_axis,
-            )
-            compiled[key] = jax.jit(
-                step_fn,
-                in_shardings=in_shardings,
-                out_shardings=out_shardings,
-                donate_argnums=(0,) if donate_state else (),
-            )
-        return compiled[key](state, batch, *rest)
-
-    return wrapped
+    batch sharded on ``data``, expert weights sharded on ``expert``
+    (in- and out-pinned — see ``common.spec_parallel_step``)."""
+    return spec_parallel_step(
+        step_fn, mesh, ep_spec, expert_axis, data_axis, donate_state
+    )

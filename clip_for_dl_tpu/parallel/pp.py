@@ -32,11 +32,11 @@ from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax, shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.mesh import DATA_AXIS
+from .common import create_2d_mesh, shard_tree, spec_parallel_step, tree_shardings
 
 STAGE_AXIS = "stage"
 # params['text_tower'] key holding the [S, layers_per_stage, ...] stack.
@@ -51,17 +51,7 @@ def create_dp_pp_mesh(
 ) -> Mesh:
     """2-D ``(data, stage)`` mesh; ``stage`` innermost so the per-step
     ppermute hops ride nearest-neighbor ICI links."""
-    devs = list(devices if devices is not None else jax.devices())
-    if num_devices is not None:
-        if len(devs) < num_devices:
-            raise ValueError(
-                f"requested {num_devices} devices, {len(devs)} visible"
-            )
-        devs = devs[:num_devices]
-    if pp < 1 or len(devs) % pp:
-        raise ValueError(f"{len(devs)} devices do not split into pp={pp}")
-    grid = np.array(devs).reshape(len(devs) // pp, pp)
-    return Mesh(grid, axis_names)
+    return create_2d_mesh(pp, axis_names, num_devices, devices)
 
 
 def validate_pp(
@@ -183,20 +173,13 @@ def pp_spec(path, value, axis_name: str = STAGE_AXIS) -> P:
 
 
 def pp_shardings(tree, mesh: Mesh, axis_name: str = STAGE_AXIS):
-    return jax.tree_util.tree_map_with_path(
-        lambda path, v: NamedSharding(mesh, pp_spec(path, v, axis_name)), tree
-    )
+    return tree_shardings(tree, mesh, pp_spec, axis_name)
 
 
 def shard_state_pp(state, mesh: Mesh, axis_name: str = STAGE_AXIS):
     """Place a TrainState (params already in pp layout) on a (data, stage)
     mesh — each device holds its own stage's weights + moments."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, x: jax.device_put(
-            x, NamedSharding(mesh, pp_spec(path, x, axis_name))
-        ),
-        state,
-    )
+    return shard_tree(state, mesh, pp_spec, axis_name)
 
 
 # ---------------------------------------------------------------------------
@@ -333,6 +316,11 @@ def make_pp_clip_pretrain_step(
     from ..models.bert import BertEncoder
 
     cfg = model.config
+    if getattr(cfg, "text_moe_experts", 0):
+        raise ValueError(
+            "pipeline parallelism does not support a MoE text tower: the "
+            "stage stack requires homogeneous (dense) blocks"
+        )
     loss_fn_base = PRETRAIN_LOSSES[loss_name]
     encoder = BertEncoder(
         vocab_size=cfg.vocab_size, hidden=cfg.text_embedding_dim,
@@ -366,8 +354,12 @@ def make_pp_clip_pretrain_step(
                 encoder, params["text_tower"], batch["input_ids"],
                 batch["attention_mask"], mesh, num_microbatches,
             )
+            # the projector sits outside the pipelined shard_map, so its
+            # dropout stays active like every other regime's step
             txt_f = projector.apply(
-                {"params": params["text_projector"]}, hidden[:, 0, :]
+                {"params": params["text_projector"]}, hidden[:, 0, :],
+                deterministic=False,
+                rngs={"dropout": jax.random.fold_in(rng, 1)},
             )
             loss = loss_fn_base(txt_f, img_f, temperature)
             return loss, mutated["batch_stats"]
@@ -389,32 +381,8 @@ def pipeline_parallel_step(
     donate_state: bool = True,
 ):
     """jit a pp ``step(state, batch, *rest)`` over a (data, stage) mesh:
-    batch sharded on ``data``, pipeline stack sharded on ``stage``."""
-    repl = NamedSharding(mesh, P())
-    batch_shard = NamedSharding(mesh, P(data_axis))
-    compiled = {}
-
-    def wrapped(state, batch, *rest):
-        key = tuple(sorted(batch))
-        if key not in compiled:
-            in_shardings = (
-                pp_shardings(state, mesh, stage_axis),
-                {k: batch_shard for k in batch},
-                *[jax.tree.map(lambda _: repl, r) for r in rest],
-            )
-            # pin outputs so the updated state keeps exactly the pp layout
-            # (stage-sharded stack, everything else replicated) across
-            # repeated calls
-            out_shardings = pp_shardings(
-                jax.eval_shape(step_fn, state, batch, *rest),
-                mesh, stage_axis,
-            )
-            compiled[key] = jax.jit(
-                step_fn,
-                in_shardings=in_shardings,
-                out_shardings=out_shardings,
-                donate_argnums=(0,) if donate_state else (),
-            )
-        return compiled[key](state, batch, *rest)
-
-    return wrapped
+    batch sharded on ``data``, pipeline stack sharded on ``stage`` (in-
+    and out-pinned — see ``common.spec_parallel_step``)."""
+    return spec_parallel_step(
+        step_fn, mesh, pp_spec, stage_axis, data_axis, donate_state
+    )

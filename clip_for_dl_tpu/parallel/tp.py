@@ -34,11 +34,11 @@ import re
 from typing import Optional, Sequence, Tuple
 
 import jax
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.tree_util import DictKey, GetAttrKey
 
 from ..core.mesh import DATA_AXIS
+from .common import create_2d_mesh, shard_tree, spec_parallel_step, tree_shardings
 
 MODEL_AXIS = "model"
 
@@ -63,17 +63,7 @@ def create_dp_tp_mesh(
     """2-D ``(data, model)`` mesh: ``model`` innermost (fastest-varying
     device order) so the per-layer TP all-reduces ride the shortest ICI
     hops; ``data`` outermost for the once-per-step gradient reduction."""
-    devs = list(devices if devices is not None else jax.devices())
-    if num_devices is not None:
-        if len(devs) < num_devices:
-            raise ValueError(
-                f"requested {num_devices} devices, {len(devs)} visible"
-            )
-        devs = devs[:num_devices]
-    if tp < 1 or len(devs) % tp:
-        raise ValueError(f"{len(devs)} devices do not split into tp={tp}")
-    grid = np.array(devs).reshape(len(devs) // tp, tp)
-    return Mesh(grid, axis_names)
+    return create_2d_mesh(tp, axis_names, num_devices, devices)
 
 
 def _path_names(path) -> list:
@@ -109,9 +99,7 @@ def tp_shardings(tree, mesh: Mesh, axis_name: str = MODEL_AXIS):
     TP specs on transformer-layer Dense kernels+biases, replicated
     elsewhere. Adam moments shard like their params automatically because
     their tree paths end with the same module names."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, v: NamedSharding(mesh, tp_spec(path, v, axis_name)), tree
-    )
+    return tree_shardings(tree, mesh, tp_spec, axis_name)
 
 
 def validate_tp(heads: int, intermediate: int, tp: int) -> None:
@@ -126,12 +114,7 @@ def validate_tp(heads: int, intermediate: int, tp: int) -> None:
 def shard_state_tp(state, mesh: Mesh, axis_name: str = MODEL_AXIS):
     """Place a TrainState (or any pytree) on a (data, model) mesh with TP
     param/opt-state shardings; everything else replicated."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, x: jax.device_put(
-            x, NamedSharding(mesh, tp_spec(path, x, axis_name))
-        ),
-        state,
-    )
+    return shard_tree(state, mesh, tp_spec, axis_name)
 
 
 def tensor_parallel_step(
@@ -143,34 +126,9 @@ def tensor_parallel_step(
 ):
     """jit a ``step(state, batch, *rest)`` over a (data, model) mesh:
     batch sharded on ``data``, state TP-sharded on ``model`` per
-    :func:`tp_shardings`, extra args replicated. GSPMD propagates the
-    activation shardings and inserts the TP all-reduces + DP gradient
-    reduction."""
-    repl = NamedSharding(mesh, P())
-    batch_shard = NamedSharding(mesh, P(data_axis))
-    compiled = {}
-
-    def wrapped(state, batch, *rest):
-        key = tuple(sorted(batch))
-        if key not in compiled:
-            in_shardings = (
-                tp_shardings(state, mesh, model_axis),
-                {k: batch_shard for k in batch},
-                *[jax.tree.map(lambda _: repl, r) for r in rest],
-            )
-            # pin outputs so the updated state keeps exactly the TP layout
-            # across repeated calls (GSPMD may otherwise pick a different
-            # output sharding that mismatches the next call's in_shardings)
-            out_shardings = tp_shardings(
-                jax.eval_shape(step_fn, state, batch, *rest),
-                mesh, model_axis,
-            )
-            compiled[key] = jax.jit(
-                step_fn,
-                in_shardings=in_shardings,
-                out_shardings=out_shardings,
-                donate_argnums=(0,) if donate_state else (),
-            )
-        return compiled[key](state, batch, *rest)
-
-    return wrapped
+    :func:`tp_shardings` in and out, extra args replicated. GSPMD
+    propagates the activation shardings and inserts the TP all-reduces +
+    DP gradient reduction."""
+    return spec_parallel_step(
+        step_fn, mesh, tp_spec, model_axis, data_axis, donate_state
+    )

@@ -12,11 +12,14 @@ pytree (via the per-module torch importers) for parity testing.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
+
+logger = logging.getLogger("clip_for_dl_tpu.checkpoint")
 
 
 def _ocp():
@@ -97,6 +100,36 @@ class CheckpointManager:
         # the checkpoint was trained with.
         path = os.path.join(self.directory, str(step), "default")
         with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+            # partial_restore leaves template entries that are absent from
+            # the checkpoint at their (random-init) template values — warn
+            # loudly, or a geometry mismatch (e.g. a MoE checkpoint loaded
+            # without --moe-experts) silently evaluates untrained weights.
+            try:
+                saved_tree = ckptr.metadata(path).item_metadata.tree
+                saved = {
+                    jax.tree_util.keystr(p)
+                    for p, _ in jax.tree_util.tree_flatten_with_path(
+                        saved_tree
+                    )[0]
+                }
+                missing = [
+                    jax.tree_util.keystr(p)
+                    for p, _ in jax.tree_util.tree_flatten_with_path(
+                        template
+                    )[0]
+                    if jax.tree_util.keystr(p) not in saved
+                ]
+                if missing:
+                    logger.warning(
+                        "checkpoint %s lacks %d of the model's arrays — "
+                        "those stay at template (random-init) values, e.g. "
+                        "%s. Rebuild with the flags the checkpoint was "
+                        "trained with (--moe-experts / --tiny / tower "
+                        "geometry).",
+                        path, len(missing), missing[:4],
+                    )
+            except Exception:  # structure probing must never break restore
+                logger.debug("checkpoint metadata probe failed", exc_info=True)
             restored = ckptr.restore(
                 path, args=ocp.args.PyTreeRestore(template, partial_restore=True)
             )

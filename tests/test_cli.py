@@ -196,3 +196,25 @@ class TestNumDevices:
                 "--num-devices", "4", "--pp", "2", "--pp-microbatches", "3",
                 "--log-dir", str(tmp_path),
             ])
+
+    def test_pretrain_pp_resume(self, tmp_path, eight_devices):
+        """A preempted --pp run resumes from its stacked in-run checkpoint
+        (the restore template is restacked before resume_or_init)."""
+        ck = str(tmp_path / "ck")
+        base = [
+            "pretrain", "--synthetic", "--tiny", "--fp32",
+            "--synthetic-samples", "16", "--batch-size", "8",
+            "--num-devices", "4", "--pp", "2", "--pp-microbatches", "2",
+            "--log-dir", str(tmp_path), "--checkpoint-dir", ck,
+        ]
+        assert run(base + ["--epochs", "1"]) == 0
+        assert run(base + ["--epochs", "2"]) == 0  # resumes epoch 2
+
+    def test_pp_rejects_moe(self, tmp_path, eight_devices):
+        with pytest.raises(SystemExit):
+            run([
+                "pretrain", "--synthetic", "--tiny", "--fp32",
+                "--epochs", "1", "--batch-size", "8",
+                "--num-devices", "4", "--pp", "2", "--moe-experts", "4",
+                "--log-dir", str(tmp_path),
+            ])

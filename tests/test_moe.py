@@ -28,11 +28,15 @@ from clip_for_dl_tpu.train import (
 )
 
 
-def reference_switch(params, x, num_experts, capacity_factor):
-    """Per-token numpy reference for top-1 capacity-routed MoE."""
+def reference_switch(params, x, num_experts, capacity_factor, mask=None):
+    """Per-token numpy reference for top-1 capacity-routed MoE; masked
+    (padding) tokens are never routed and produce a zero update."""
     b, l, d = x.shape
     xf = np.asarray(x, np.float32).reshape(-1, d)
     t = xf.shape[0]
+    mask_flat = (
+        np.ones(t) if mask is None else np.asarray(mask).reshape(t)
+    )
     cap = int(np.ceil(capacity_factor * t / num_experts))
     rk = np.asarray(params["router"]["kernel"], np.float32)
     rb = np.asarray(params["router"]["bias"], np.float32)
@@ -52,6 +56,8 @@ def reference_switch(params, x, num_experts, capacity_factor):
         return v * 0.5 * (1.0 + np.vectorize(erf)(v / np.sqrt(2.0)))
 
     for i in range(t):
+        if mask_flat[i] == 0:
+            continue
         e = chosen[i]
         if counts[e] < cap:
             counts[e] += 1
@@ -86,6 +92,25 @@ class TestSwitchMoE:
         flat = np.asarray(out).reshape(-1, 16)
         nonzero_rows = (np.abs(flat) > 1e-9).any(axis=1).sum()
         assert nonzero_rows <= 4  # ≤ one slot per expert
+
+    def test_padding_tokens_inert(self, moe_setup, rng):
+        """Masked (padding) tokens consume no expert capacity, get a zero
+        update, and are excluded from the aux statistics — matching the
+        per-token reference with the same mask."""
+        mod, params, x = moe_setup
+        mask = np.ones((2, 8), np.int32)
+        mask[:, 5:] = 0  # last 3 positions of each row are padding
+        got = mod.apply({"params": params}, x, jnp.asarray(mask))
+        want = reference_switch(params, x, 4, 1.5, mask)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+        assert np.allclose(np.asarray(got)[:, 5:], 0.0)
+        # pads excluded from routing ⇒ real tokens keep the capacity they
+        # would have had; aux computed over real tokens only stays ≥ 1
+        _, state = mod.apply(
+            {"params": params}, x, jnp.asarray(mask), mutable=["losses"]
+        )
+        (aux,) = jax.tree.leaves(state["losses"])
+        assert float(aux) >= 1.0 - 1e-6
 
     def test_aux_loss_sown_and_balanced_bound(self, moe_setup):
         """Aux loss lands in the 'losses' collection; a perfectly uniform
