@@ -74,6 +74,21 @@ def test_scaling_report_tiny(capsys):
     assert four["collective_mb_per_device"] > 0
 
 
+@pytest.mark.parametrize("regime", ["tp", "pp", "ep"])
+def test_scaling_report_regimes(capsys, regime):
+    """The 2-D (data, X) regimes analyze too; pp shows its microbatch
+    ppermute hops in the traffic table."""
+    from tools.scaling_report import main
+
+    rc = main(["--devices", "4", "--regime", regime, "--degree", "2"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert rec["regime"] == regime and rec["devices"] == 4
+    assert rec["collective_mb_per_device"] > 0
+    if regime == "pp":
+        assert rec["collectives"]["collective-permute"]["count"] >= 1
+
+
 def test_collective_traffic_parser():
     from tools.scaling_report import collective_traffic, wire_bytes_per_device
 

@@ -19,8 +19,15 @@ visible without hardware. Constants default to TPU v5e: 197 bf16
 TFLOP/s peak and 9e10 B/s effective per-chip ICI bandwidth for a 1-D
 ring axis (2 × 45 GB/s one-way links; jax-ml.github.io/scaling-book).
 
+``--regime`` extends the same analysis beyond DP: ``tp`` (Megatron
+tensor-parallel towers), ``pp`` (GPipe pipelined text tower — its
+``collective-permute`` microbatch hops show up in the traffic table),
+``ep`` (Switch-MoE expert parallelism) — each on a 2-D
+(data, <regime>) mesh of ``--degree`` within every device count.
+
 Usage: python tools/scaling_report.py [--devices 1 2 4 8]
        [--per-device-batch 8] [--full] [--mxu-eff 0.35] [--ici-bw 9e10]
+       [--regime dp|tp|pp|ep] [--degree 2]
 """
 
 from __future__ import annotations
@@ -111,6 +118,13 @@ def main(argv=None) -> int:
                    help="effective per-chip ICI bytes/s on the ring axis")
     p.add_argument("--peak-flops", type=float, default=197e12,
                    help="per-chip peak bf16 FLOP/s (v5e)")
+    p.add_argument("--regime", choices=["dp", "tp", "pp", "ep"],
+                   default="dp",
+                   help="parallelism regime to analyze (2-D data×X mesh "
+                        "for tp/pp/ep)")
+    p.add_argument("--degree", type=int, default=2,
+                   help="tp/pp/ep degree inside each device count")
+    p.add_argument("--pp-microbatches", type=int, default=2)
     args = p.parse_args(argv)
     if min(args.devices) < 1:
         p.error("--devices entries must be >= 1")
@@ -172,6 +186,12 @@ def main(argv=None) -> int:
             text_intermediate_dim=64, shared_embedding_dim=64,
             resnet_stages=(1, 1, 1, 1), resnet_width=8,
         )
+    if args.regime == "ep":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, text_moe_experts=max(4, 2 * args.degree), text_moe_every=2
+        )
     size = cfg.image_size
     seq = cfg.max_text_length
     model = CXRClip(cfg, dtype=jnp.bfloat16)
@@ -194,22 +214,79 @@ def main(argv=None) -> int:
     }
     rng = np.random.default_rng(0)
 
-    base_compute_ms = None
-    for n in args.devices:
-        mesh = create_mesh(n)
-        state = replicate_state(TrainState.create(variables, tx), mesh)
-        b = args.per_device_batch * n
-        batch = shard_batch(
-            {
-                "images": rng.integers(0, 255, (b, size, size, 3),
-                                       dtype=np.uint8),
-                "input_ids": rng.integers(0, cfg.vocab_size, (b, seq))
-                .astype(np.int32),
-                "attention_mask": np.ones((b, seq), np.int32),
-            },
+    def build(n):
+        """(wrapped_step, placed_state, mesh) for the chosen regime."""
+        if args.regime == "dp" or n == 1:
+            mesh = create_mesh(n)
+            return (
+                data_parallel_step(step, mesh, donate_state=False),
+                replicate_state(TrainState.create(variables, tx), mesh),
+                mesh,
+            )
+        if n % args.degree:
+            raise SystemExit(
+                f"--degree {args.degree} must divide device count {n}"
+            )
+        if args.regime == "tp":
+            from clip_for_dl_tpu.parallel import (
+                create_dp_tp_mesh, shard_state_tp, tensor_parallel_step,
+            )
+
+            mesh = create_dp_tp_mesh(args.degree, num_devices=n)
+            return (
+                tensor_parallel_step(step, mesh, donate_state=False),
+                shard_state_tp(TrainState.create(variables, tx), mesh),
+                mesh,
+            )
+        if args.regime == "pp":
+            from clip_for_dl_tpu.parallel import (
+                create_dp_pp_mesh, make_pp_clip_pretrain_step,
+                pipeline_parallel_step, pp_params, shard_state_pp,
+            )
+
+            mesh = create_dp_pp_mesh(args.degree, num_devices=n)
+            pp_step = make_pp_clip_pretrain_step(
+                model, tx, label_fn, mesh, args.pp_microbatches,
+                temperature=2.0, image_size=size,
+                compute_dtype=jnp.bfloat16,
+            )
+            st = shard_state_pp(
+                TrainState.create(
+                    {**variables,
+                     "params": pp_params(variables["params"], args.degree)},
+                    tx,
+                ),
+                mesh,
+            )
+            return (
+                pipeline_parallel_step(pp_step, mesh, donate_state=False),
+                st,
+                mesh,
+            )
+        # ep
+        from clip_for_dl_tpu.parallel import (
+            create_dp_ep_mesh, expert_parallel_step, shard_state_ep,
+        )
+
+        mesh = create_dp_ep_mesh(args.degree, num_devices=n)
+        return (
+            expert_parallel_step(step, mesh, donate_state=False),
+            shard_state_ep(TrainState.create(variables, tx), mesh),
             mesh,
         )
-        dp_step = data_parallel_step(step, mesh, donate_state=False)
+
+    base_compute_ms = None
+    for n in args.devices:
+        b = args.per_device_batch * n
+        raw_batch = {
+            "images": rng.integers(0, 255, (b, size, size, 3),
+                                   dtype=np.uint8),
+            "input_ids": rng.integers(0, cfg.vocab_size, (b, seq))
+            .astype(np.int32),
+            "attention_mask": np.ones((b, seq), np.int32),
+        }
+        dp_step, state, mesh = build(n)
+        batch = shard_batch(raw_batch, mesh)
         compiled = jax.jit(dp_step).lower(
             state, batch, lrs, jax.random.key(1)
         ).compile()
@@ -234,6 +311,7 @@ def main(argv=None) -> int:
         step_ms = max(compute_ms, comm_ms)
         eff = base_compute_ms / step_ms if step_ms else 1.0
         print(json.dumps({
+            "regime": args.regime if n > 1 else "dp",
             "devices": n,
             "global_batch": b,
             "per_device_gflop": round(flops / 1e9, 3),
