@@ -286,6 +286,82 @@ def pipelined_bert_forward(
     return out.reshape(b, *out.shape[2:])
 
 
+def pipelined_vit_forward(
+    vit,
+    vit_params: Mapping[str, Any],
+    images: jnp.ndarray,
+    mesh: Mesh,
+    num_microbatches: int,
+):
+    """CLS features [B, hidden] of a ``ViT`` tower with its encoder blocks
+    pipelined over the mesh's ``stage`` axis — the image-side counterpart
+    of :func:`pipelined_bert_forward` (the stack/spec machinery is shared;
+    ViT blocks are the same homogeneous ``layer_<i>`` shape).
+
+    ``vit_params`` must be in pipeline layout (:func:`stack_bert_layers`
+    on the tower's params — the function is tower-agnostic). The stem
+    (patchify Dense, class token, position embeddings — re-expressed
+    functionally; exactness pinned by tests/test_pp.py) and the final
+    LayerNorm run replicated; dropout-free like the text pipeline.
+    """
+    import flax.linen as nn
+
+    from ..models.vit import ViTEncoderLayer
+
+    num_stages = mesh.shape[STAGE_AXIS]
+    b, hgt, wdt, c = images.shape
+    validate_pp(vit.layers, num_stages, num_microbatches, b)
+    mb = b // num_microbatches
+    dp = mesh.shape.get(DATA_AXIS, 1)
+    if mb % dp:
+        raise ValueError(
+            f"microbatch size {mb} must divide over the data axis ({dp})"
+        )
+
+    # stem: patchify-as-matmul + cls + pos (ViT.__call__'s exact math)
+    p = vit.patch
+    gh, gw = hgt // p, wdt // p
+    x = images.astype(vit.dtype)
+    x = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, gh * gw, p * p * c)
+    pe = vit_params["patch_embed"]
+    x = x @ pe["kernel"].astype(vit.dtype) + pe["bias"].astype(vit.dtype)
+    cls = jnp.broadcast_to(
+        vit_params["class_token"].astype(vit.dtype), (b, 1, vit.hidden)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + vit_params["pos_embedding"].astype(vit.dtype)
+
+    layer_mod = ViTEncoderLayer(
+        vit.hidden, vit.heads, vit.mlp_dim, vit.dropout,
+        vit.gelu_approximate, dtype=vit.dtype, param_dtype=vit.param_dtype,
+    )
+
+    def layer_apply(stage_params, x, _bias):
+        lps = jax.tree.leaves(stage_params)[0].shape[0]
+        for j in range(lps):
+            lp = jax.tree.map(lambda t: t[j], stage_params)
+            x = layer_mod.apply({"params": lp}, x, True, False)
+        return x
+
+    x_mb = x.reshape(num_microbatches, mb, *x.shape[1:])
+    dummy = jnp.zeros((num_microbatches, mb, 1), jnp.float32)
+    data_in_mesh = DATA_AXIS in mesh.shape
+    mb_spec = P(None, DATA_AXIS) if data_in_mesh else P(None)
+    fn = partial(_gpipe_loop, layer_apply, num_stages, num_microbatches)
+    out = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(STAGE_AXIS), mb_spec, mb_spec),
+        out_specs=mb_spec,
+    )(vit_params[STACK_KEY], x_mb, dummy)
+    out = out.reshape(b, *out.shape[2:])
+    out = nn.LayerNorm(
+        epsilon=1e-6, dtype=jnp.float32, param_dtype=vit.param_dtype,
+    ).apply({"params": vit_params["ln"]}, out.astype(jnp.float32))
+    return out.astype(vit.dtype)[:, 0, :]
+
+
 # ---------------------------------------------------------------------------
 # pp train step (CLIP contrastive pretrain with a pipelined text tower)
 # ---------------------------------------------------------------------------

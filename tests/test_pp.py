@@ -217,3 +217,63 @@ def test_pp_train_step(rng, eight_devices):
         ),
         got_params, dict(ref_state.params),
     )
+
+
+class TestPipelinedViT:
+    """The pp machinery generalizes to the image tower: stacked ViT blocks
+    over the stage axis, stem/head replicated."""
+
+    def _vit(self):
+        from clip_for_dl_tpu.models.vit import ViT
+
+        return ViT(
+            image_size=32, patch=8, hidden=16, layers=4, heads=2,
+            mlp_dim=32,
+        )
+
+    def test_forward_equivalence(self, rng, eight_devices):
+        from clip_for_dl_tpu.parallel import pipelined_vit_forward
+
+        vit = self._vit()
+        images = jnp.asarray(
+            rng.standard_normal((8, 32, 32, 3)), jnp.float32
+        )
+        params = vit.init(jax.random.key(0), images)["params"]
+        want = vit.apply({"params": params}, images)
+        mesh = create_dp_pp_mesh(4)
+        stacked = stack_bert_layers(dict(params), 4)
+        got = jax.jit(
+            lambda p, im: pipelined_vit_forward(vit, p, im, mesh, 2)
+        )(stacked, images)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5
+        )
+
+    def test_gradient_flow(self, rng, eight_devices):
+        from clip_for_dl_tpu.parallel import pipelined_vit_forward
+
+        vit = self._vit()
+        images = jnp.asarray(
+            rng.standard_normal((4, 32, 32, 3)), jnp.float32
+        )
+        params = vit.init(jax.random.key(0), images)["params"]
+        mesh = create_dp_pp_mesh(4)
+        stacked = stack_bert_layers(dict(params), 4)
+
+        def plain_loss(p):
+            return jnp.sum(vit.apply({"params": p}, images) ** 2)
+
+        def pp_loss(p):
+            return jnp.sum(
+                pipelined_vit_forward(vit, p, images, mesh, 2) ** 2
+            )
+
+        want = jax.grad(plain_loss)(params)
+        g = jax.jit(jax.grad(pp_loss))(stacked)
+        got = unstack_bert_layers(g)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
+            ),
+            got, dict(want),
+        )
