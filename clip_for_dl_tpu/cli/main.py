@@ -406,8 +406,18 @@ def cmd_pretrain(args) -> int:
             )
         # restack params AND optimizer moments (Adam mu/nu mirror the
         # param tree) into pipeline layout
+        dense_state = state
         state = pp_train_state(state, pp)
-    state, start_epoch = resume_or_init(ckpt, state)
+    try:
+        state, start_epoch = resume_or_init(ckpt, state)
+    except Exception:
+        if pp <= 1:
+            raise
+        # the checkpoint dir may hold a DENSE (non-pp) checkpoint, e.g.
+        # continuing an earlier plain pretrain with --pp: restore against
+        # the canonical layout, then restack
+        state, start_epoch = resume_or_init(ckpt, dense_state)
+        state = pp_train_state(state, pp)
     if args.lora:
         if _num_devices(args) > 1:
             raise SystemExit("--num-devices is not supported with --lora")
@@ -423,11 +433,18 @@ def cmd_pretrain(args) -> int:
             cfg.augment.mean, cfg.augment.std, compute,
         )
         state = shard_state_pp(state, mesh)
-        step = pipeline_parallel_step(
+        _pp_step = pipeline_parallel_step(
             pp_raw, mesh, donate_state=cfg.train.donate_state
         )
         _eval_jit = jax.jit(raw_eval)
         _eval_cache = {}
+
+        def step(s, batch, lrs_, rng_):
+            # a train step means the eval pass is over — release the
+            # replicated unstacked copy so it doesn't negate pp's
+            # per-stage memory footprint during training
+            _eval_cache.clear()
+            return _pp_step(s, batch, lrs_, rng_)
 
         def eval_step(s, batch):
             # unstack once per eval pass (state is constant within it),
@@ -1224,38 +1241,14 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _force_virtual_devices(n: int) -> None:
-    """--virtual-devices N: run on N virtual CPU devices (the XLA
-    host-platform trick) so multi-chip flags (--num-devices/--tp/--pp/--ep)
-    are drivable without TPU hardware. Must run before the JAX backend
-    initializes; also flips the platform through jax.config because a
-    pre-imported jax (e.g. a sitecustomize) ignores late env changes."""
-    import re
-
-    import jax
-
-    flags = os.environ.get("XLA_FLAGS", "")
-    flag = f"--xla_force_host_platform_device_count={n}"
-    if "xla_force_host_platform_device_count" in flags:
-        # replace (not keep) any pre-existing count — the user asked for N
-        flags = re.sub(
-            r"--xla_force_host_platform_device_count=\d+", flag, flags
-        )
-    else:
-        flags = (flags + " " + flag).strip()
-    os.environ["XLA_FLAGS"] = flags
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    jax.config.update("jax_platforms", "cpu")
-    if len(jax.devices()) < n:
-        import jax.extend.backend
-
-        jax.extend.backend.clear_backends()
-
-
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if getattr(args, "virtual_devices", None):
-        _force_virtual_devices(args.virtual_devices)
+        # --virtual-devices N: N virtual CPU devices so the multi-chip
+        # flags (--num-devices/--tp/--pp/--ep) run without hardware
+        from ..core.mesh import force_virtual_cpu_devices
+
+        force_virtual_cpu_devices(args.virtual_devices)
     return args.fn(args)
 
 

@@ -9,6 +9,7 @@ contrastive negatives gathered with XLA collectives (losses/global_batch.py).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -18,6 +19,47 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .config import MeshConfig
 
 DATA_AXIS = "data"
+
+
+def force_virtual_cpu_devices(n: int) -> None:
+    """Switch this process to ≥ ``n`` virtual CPU devices (the XLA
+    host-platform trick) so multi-chip code paths run without hardware.
+
+    XLA parses ``XLA_FLAGS`` ONCE per process, at the first backend
+    creation — raising the device count later is impossible (verified:
+    ``clear_backends`` does not re-read the env). So this helper never
+    LOWERS a pre-existing count (an n-device mesh slices a bigger device
+    set just fine), only raises it, and fails loudly when the process
+    already initialized with fewer than ``n``. It also flips the platform
+    through ``jax.config`` because a pre-imported jax (e.g. a
+    sitecustomize) ignores late env changes. Callers holding live device
+    arrays must not call this: ``clear_backends`` invalidates them.
+    """
+    import re
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    flag = f"--xla_force_host_platform_device_count={n}"
+    m = re.search(r"--xla_force_host_platform_device_count=(\d+)", flags)
+    if m is None:
+        flags = (flags + " " + flag).strip()
+    elif int(m.group(1)) < n:
+        flags = re.sub(
+            r"--xla_force_host_platform_device_count=\d+", flag, flags
+        )
+    os.environ["XLA_FLAGS"] = flags
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+    if len(jax.devices()) < n:
+        from jax.extend import backend as _backend
+
+        _backend.clear_backends()
+        if len(jax.devices()) < n:
+            raise RuntimeError(
+                f"this process already initialized XLA with "
+                f"{len(jax.devices())} host devices and the count cannot "
+                f"be raised mid-process — restart with "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={n}"
+            )
 
 
 def create_mesh(

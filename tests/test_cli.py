@@ -218,3 +218,17 @@ class TestNumDevices:
                 "--num-devices", "4", "--pp", "2", "--moe-experts", "4",
                 "--log-dir", str(tmp_path),
             ])
+
+    def test_pretrain_dense_then_pp_resume(self, tmp_path, eight_devices):
+        """Continuing a dense checkpoint dir with --pp restores against the
+        canonical layout and restacks (the fallback restore path)."""
+        ck = str(tmp_path / "ck")
+        common_args = [
+            "pretrain", "--synthetic", "--tiny", "--fp32",
+            "--synthetic-samples", "16", "--batch-size", "8",
+            "--log-dir", str(tmp_path), "--checkpoint-dir", ck,
+        ]
+        assert run(common_args + ["--epochs", "1"]) == 0  # dense
+        assert run(common_args + [
+            "--epochs", "2", "--num-devices", "4", "--pp", "2",
+        ]) == 0  # continue pipelined

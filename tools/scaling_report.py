@@ -137,27 +137,15 @@ def main(argv=None) -> int:
     max_dev = max(args.devices)
 
     # The analysis needs a virtual CPU mesh. NOTE this is process-global
-    # state: XLA_FLAGS is parsed once per process at first backend creation,
-    # so the flag must be set BEFORE any jax backend query (do not touch
-    # jax.devices()/default_backend() above this point). Fine for the CLI;
-    # a no-op under the test suite's 8-device CPU conftest (flag already
-    # present, platform already cpu, enough devices → no clear_backends);
-    # but an in-process caller holding live TPU arrays must not call this —
-    # its backend would be switched and existing arrays invalidated.
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={max_dev}"
-        ).strip()
-    os.environ["JAX_PLATFORMS"] = "cpu"
+    # state (the helper replaces any pre-existing device-count flag and may
+    # clear_backends): fine for the CLI; a no-op under the test suite's
+    # 8-device CPU conftest; but an in-process caller holding live TPU
+    # arrays must not call this — its arrays would be invalidated.
+    from clip_for_dl_tpu.core.mesh import force_virtual_cpu_devices
+
+    force_virtual_cpu_devices(max_dev)
 
     import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    if len(jax.devices()) < max_dev:
-        import jax.extend.backend
-
-        jax.extend.backend.clear_backends()
 
     import jax.numpy as jnp
     import numpy as np
