@@ -97,7 +97,10 @@ def _model_and_state(cfg, args, tokenizer):
     from ..inference import load_trained_model
 
     compute = jnp.float32 if args.fp32 else jnp.bfloat16
-    model, variables = load_trained_model(args.checkpoint, cfg, compute)
+    model, variables = load_trained_model(
+        args.checkpoint, cfg, compute,
+        allow_partial=getattr(args, "allow_partial_restore", False),
+    )
     return model, variables
 
 
@@ -368,7 +371,11 @@ def cmd_pretrain(args) -> int:
         ckpt = CheckpointManager(
             args.checkpoint_dir, cfg.train.max_checkpoints_to_keep
         )
-    pp = 0 if args.lora else (getattr(args, "pp", 0) or 0)
+    pp = getattr(args, "pp", 0) or 0
+    if args.lora and pp > 1:
+        raise SystemExit("--pp does not compose with --lora")
+    if args.lora:
+        pp = 0
     if pp > 1:
         # pipeline parallelism: text-tower blocks staged over a
         # (data, stage) mesh; checkpoints written during the run hold the
@@ -409,14 +416,16 @@ def cmd_pretrain(args) -> int:
         dense_state = state
         state = pp_train_state(state, pp)
     try:
-        state, start_epoch = resume_or_init(ckpt, state)
+        state, start_epoch = resume_or_init(ckpt, state, loader=train_loader)
     except Exception:
         if pp <= 1:
             raise
         # the checkpoint dir may hold a DENSE (non-pp) checkpoint, e.g.
         # continuing an earlier plain pretrain with --pp: restore against
         # the canonical layout, then restack
-        state, start_epoch = resume_or_init(ckpt, dense_state)
+        state, start_epoch = resume_or_init(
+            ckpt, dense_state, loader=train_loader
+        )
         state = pp_train_state(state, pp)
     if args.lora:
         if _num_devices(args) > 1:
@@ -517,6 +526,7 @@ def cmd_pretrain(args) -> int:
             log_every=cfg.train.log_every,
             preemption_guard=guard,
             metric_writer=writer,
+            stateful_loader=train_loader,
         )
     writer.close()
     history.save_csv(os.path.join(args.log_dir, "training_history.csv"))
@@ -642,7 +652,7 @@ def cmd_train(args) -> int:
             args.checkpoint_dir, cfg.train.max_checkpoints_to_keep
         )
     state = TrainState.create(variables, tx)
-    state, start_epoch = resume_or_init(ckpt, state)
+    state, start_epoch = resume_or_init(ckpt, state, loader=train_loader)
     step, eval_step, state = _maybe_dp(args, cfg, raw_step, raw_eval, state)
     writer = MetricWriter(args.log_dir, "train")
     kc = KeyChain(cfg.data.seed)
@@ -663,6 +673,7 @@ def cmd_train(args) -> int:
             log_every=cfg.train.log_every,
             preemption_guard=guard,
             metric_writer=writer,
+            stateful_loader=train_loader,
         )
     writer.close()
     history.save_csv(os.path.join(args.log_dir, "training_history.csv"))
@@ -820,8 +831,19 @@ def cmd_zeroshot(args) -> int:
     if _num_devices(args) > 1:
         tp = int(getattr(args, "tp", None) or 1)
         if tp > 1:
-            from ..parallel import create_dp_tp_mesh
+            from ..parallel import create_dp_tp_mesh, validate_tp
 
+            # same divisibility contract the training paths enforce — an
+            # invalid degree dies here with a clear message instead of an
+            # opaque XLA uneven-sharding error at first batch
+            try:
+                validate_tp(
+                    cfg.model.text_heads, cfg.model.text_intermediate_dim, tp
+                )
+                if cfg.model.image_tower == "vit_b16":
+                    validate_tp(cfg.model.vit_heads, cfg.model.vit_mlp_dim, tp)
+            except ValueError as e:
+                raise SystemExit(str(e))
             mesh = create_dp_tp_mesh(tp, num_devices=_num_devices(args))
         else:
             from ..core.mesh import create_mesh
@@ -1045,8 +1067,19 @@ def cmd_serve(args) -> int:
     if _num_devices(args) > 1:
         tp = int(getattr(args, "tp", None) or 1)
         if tp > 1:
-            from ..parallel import create_dp_tp_mesh
+            from ..parallel import create_dp_tp_mesh, validate_tp
 
+            # same divisibility contract the training paths enforce — an
+            # invalid degree dies here with a clear message instead of an
+            # opaque XLA uneven-sharding error at first batch
+            try:
+                validate_tp(
+                    cfg.model.text_heads, cfg.model.text_intermediate_dim, tp
+                )
+                if cfg.model.image_tower == "vit_b16":
+                    validate_tp(cfg.model.vit_heads, cfg.model.vit_mlp_dim, tp)
+            except ValueError as e:
+                raise SystemExit(str(e))
             mesh = create_dp_tp_mesh(tp, num_devices=_num_devices(args))
         else:
             from ..core.mesh import create_mesh
@@ -1151,6 +1184,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "path). Pass the SAME value to every command "
                              "that loads a MoE checkpoint — the geometry "
                              "is not stored in the checkpoint")
+        sp.add_argument("--allow-partial-restore", action="store_true",
+                        help="accept a checkpoint missing some of the "
+                             "model's arrays (those stay random-init). "
+                             "Default is a hard error — a geometry "
+                             "mismatch would otherwise score with "
+                             "untrained weights")
 
     sp = sub.add_parser("prep", help="label extraction")
     sp.add_argument("--reports", required=True)

@@ -30,9 +30,12 @@ def load_trained_model(
     config: Optional[ExperimentConfig] = None,
     compute_dtype=jnp.bfloat16,
     seed: int = 0,
+    allow_partial: bool = False,
 ):
     """Returns (model, variables). `checkpoint` may be an orbax directory,
-    a reference ``.pth`` file, or None (fresh init)."""
+    a reference ``.pth`` file, or None (fresh init). A checkpoint missing
+    arrays the model needs is an error unless ``allow_partial``
+    (see CheckpointManager.restore_variables)."""
     cfg = config or get_preset("zero_shot")
     model = CXRClip(cfg.model, dtype=compute_dtype)
     s = cfg.model.image_size
@@ -65,7 +68,9 @@ def load_trained_model(
 
             mgr = CheckpointManager(checkpoint)
             epoch = mgr.best_epoch()
-            restored = mgr.restore_variables(variables, epoch)
+            restored = mgr.restore_variables(
+                variables, epoch, allow_partial=allow_partial
+            )
             mgr.close()
             if restored is not None:
                 variables = restored

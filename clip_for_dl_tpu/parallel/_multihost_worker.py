@@ -1,0 +1,147 @@
+"""Deterministic multi-process worker for the multihost equivalence proof.
+
+Runnable as ``python -m clip_for_dl_tpu.parallel._multihost_worker`` — one
+invocation per process. Each process boots N virtual CPU devices, joins the
+JAX coordination service, and runs K data-parallel CLIP pretrain steps on a
+tiny model with a deterministic synthetic global batch; per-step losses are
+written as one JSON line to ``--out``.
+
+tests/test_multihost.py launches two of these (2 procs x 4 devices) and
+compares the loss trajectory against the same program run single-process on
+8 devices — proving the multi-process runtime (initialize + per-process
+data feeding + global-batch assembly) computes the same training step the
+single-process GSPMD path does. Also used by ``__graft_entry__``'s
+multi-process dryrun leg.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _bootstrap(devices_per_process: int) -> None:
+    """CPU platform + virtual device count, before any backend init.
+
+    jax may already be pre-imported by the image's sitecustomize — flip the
+    platform through jax.config as well (see core.mesh.force_virtual_cpu_devices
+    for why the flag must be set before FIRST backend creation).
+    """
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags
+            + f" --xla_force_host_platform_device_count={devices_per_process}"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_threefry_partitionable", True)
+
+
+def synthetic_global_batch(step: int, batch: int, image: int, seqlen: int,
+                           vocab: int):
+    """Pure function of (step) — identical on every process."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234 + step)
+    return {
+        "images": rng.integers(0, 255, (batch, image, image, 3), np.uint8),
+        "input_ids": rng.integers(1, vocab, (batch, seqlen)).astype(np.int32),
+        "attention_mask": np.ones((batch, seqlen), np.int32),
+    }
+
+
+def run(args) -> list:
+    _bootstrap(args.devices_per_process)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clip_for_dl_tpu.core.config import ModelConfig
+    from clip_for_dl_tpu.models import CXRClip
+    from clip_for_dl_tpu.parallel import data_parallel_step, replicate_state
+    from clip_for_dl_tpu.parallel.multihost import (
+        global_mesh,
+        initialize,
+        local_batch_to_global,
+    )
+    from clip_for_dl_tpu.train import (
+        TrainState,
+        base_transform,
+        make_clip_pretrain_step,
+        make_label_fn,
+    )
+
+    initialize(args.coordinator, args.num_processes, args.process_id)
+    pc, pid = jax.process_count(), jax.process_index()
+    n_global = args.num_processes * args.devices_per_process
+    assert len(jax.devices()) == n_global, (
+        f"expected {n_global} global devices, got {len(jax.devices())}"
+    )
+
+    cfg = ModelConfig(
+        image_size=16, max_text_length=8, vocab_size=64,
+        text_embedding_dim=16, text_layers=1, text_heads=2,
+        text_intermediate_dim=32, shared_embedding_dim=32,
+        resnet_stages=(1, 1, 1, 1), resnet_width=8, dropout=0.0,
+    )
+    model = CXRClip(cfg, dtype=jnp.float32)
+    variables = jax.jit(model.init)(
+        jax.random.key(0),
+        jnp.zeros((1, 16, 16, 3), jnp.float32),
+        jnp.zeros((1, 8), jnp.int32),
+    )
+    tx = base_transform()
+    state = TrainState.create(variables, tx)
+
+    mesh = global_mesh(n_global)
+    state = replicate_state(state, mesh)
+    step_fn = data_parallel_step(
+        make_clip_pretrain_step(
+            model, tx, make_label_fn([]), temperature=2.0, image_size=16,
+            compute_dtype=jnp.float32,
+        ),
+        mesh,
+        donate_state=False,
+    )
+
+    per_proc = args.batch_size // pc
+    losses = []
+    for s in range(args.steps):
+        gb = synthetic_global_batch(s, args.batch_size, 16, 8, cfg.vocab_size)
+        # this process feeds only its contiguous row block of the global
+        # batch (P('data') lays rows out in mesh order: proc 0 first)
+        local = {k: v[pid * per_proc:(pid + 1) * per_proc] for k, v in gb.items()}
+        batch = local_batch_to_global(local, mesh)
+        state, metrics = step_fn(
+            state, batch, {"default": 1e-3}, jax.random.key(1000 + s)
+        )
+        losses.append(float(metrics["loss"]))
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"process": pid, "process_count": pc,
+                       "losses": losses}, f)
+    print(json.dumps({"process": pid, "losses": losses}), flush=True)
+    return losses
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--coordinator", default="localhost:9901")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--devices-per-process", type=int, default=4)
+    p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--out", default=None)
+    run(p.parse_args(argv))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

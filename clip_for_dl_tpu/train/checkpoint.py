@@ -53,17 +53,25 @@ class CheckpointManager:
     def save(self, epoch: int, state, extra: Optional[Dict[str, Any]] = None,
              metrics: Optional[Dict[str, float]] = None) -> None:
         ocp = _ocp()
+        if epoch in (self.manager.all_steps() or ()):
+            # a mid-epoch preemption save uses the same epoch key the
+            # completed epoch will later reuse — replace, don't collide
+            self.manager.wait_until_finished()
+            self.manager.delete(epoch)
         self.manager.save(
             epoch,
             args=ocp.args.StandardSave({"state": state}),
             metrics=metrics or {self.metric_name: float("inf")},
         )
+        extra_path = os.path.join(self.directory, f"extra_{epoch}.json")
         if extra:
             import json
 
-            path = os.path.join(self.directory, f"extra_{epoch}.json")
-            with open(path, "w") as f:
+            with open(extra_path, "w") as f:
                 json.dump(extra, f)
+        elif os.path.exists(extra_path):
+            # completed-epoch save supersedes a stale mid-epoch marker
+            os.remove(extra_path)
 
     def restore(self, state_template, epoch: Optional[int] = None):
         """Restore (state, extra) at `epoch` (default: latest)."""
@@ -84,9 +92,25 @@ class CheckpointManager:
                 extra = json.load(f)
         return restored["state"], extra
 
-    def restore_variables(self, variables_template, epoch: Optional[int] = None):
+    def restore_variables(
+        self,
+        variables_template,
+        epoch: Optional[int] = None,
+        allow_partial: bool = False,
+    ):
         """Restore only params/batch_stats (inference path) — independent of
-        the optimizer structure the checkpoint was trained with."""
+        the optimizer structure the checkpoint was trained with.
+
+        By default an array present in the template but absent from the
+        checkpoint is an **error**: orbax's partial restore silently keeps
+        the (random-init) template values, so a geometry mismatch — a MoE
+        checkpoint loaded without ``--moe-experts``, a pp run's stacked
+        in-run checkpoint fed to zeroshot/serve — would otherwise score
+        with untrained weights and produce plausible-looking garbage.
+        Pass ``allow_partial=True`` (CLI ``--allow-partial-restore``) to
+        opt into the reference's tolerant-load behavior
+        (0425/train.py:523-541) when that is genuinely what you want.
+        """
         ocp = _ocp()
         step = epoch if epoch is not None else self.manager.latest_step()
         if step is None:
@@ -101,9 +125,9 @@ class CheckpointManager:
         path = os.path.join(self.directory, str(step), "default")
         with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
             # partial_restore leaves template entries that are absent from
-            # the checkpoint at their (random-init) template values — warn
-            # loudly, or a geometry mismatch (e.g. a MoE checkpoint loaded
-            # without --moe-experts) silently evaluates untrained weights.
+            # the checkpoint at their (random-init) template values — fail
+            # fast (verified on orbax 0.11: the restore itself is silent).
+            missing: list = []
             try:
                 saved_tree = ckptr.metadata(path).item_metadata.tree
                 saved = {
@@ -119,17 +143,20 @@ class CheckpointManager:
                     )[0]
                     if jax.tree_util.keystr(p) not in saved
                 ]
-                if missing:
-                    logger.warning(
-                        "checkpoint %s lacks %d of the model's arrays — "
-                        "those stay at template (random-init) values, e.g. "
-                        "%s. Rebuild with the flags the checkpoint was "
-                        "trained with (--moe-experts / --tiny / tower "
-                        "geometry).",
-                        path, len(missing), missing[:4],
-                    )
             except Exception:  # structure probing must never break restore
                 logger.debug("checkpoint metadata probe failed", exc_info=True)
+            if missing:
+                msg = (
+                    f"checkpoint {path} lacks {len(missing)} of the "
+                    f"model's arrays (e.g. {missing[:4]}) — those would "
+                    "stay at template (random-init) values. Rebuild with "
+                    "the flags the checkpoint was trained with "
+                    "(--moe-experts / --tiny / tower geometry), or pass "
+                    "--allow-partial-restore to accept partial weights."
+                )
+                if not allow_partial:
+                    raise ValueError(msg)
+                logger.warning(msg)
             restored = ckptr.restore(
                 path, args=ocp.args.PyTreeRestore(template, partial_restore=True)
             )

@@ -52,11 +52,18 @@ def run_epoch(
     step_args: tuple = (),
     log_every: int = 10,
     epoch: int = 0,
-) -> tuple[TrainState, float]:
-    """One training epoch; returns (state, mean loss)."""
+    preemption_guard=None,
+) -> tuple[TrainState, float, bool]:
+    """One training epoch; returns (state, mean loss, interrupted).
+
+    `interrupted` is True when `preemption_guard` fired mid-epoch — the
+    loop broke before the loader was exhausted, so the caller can save a
+    step-granular checkpoint (state + loader cursor) instead of losing the
+    partial epoch."""
     meter = MeanAccumulator()
     timer = time.perf_counter()
     metrics = None
+    interrupted = False
     for i, batch in enumerate(loader):
         state, metrics = step_fn(
             state, batch, *step_args, dict(lrs), next(rng_stream)
@@ -71,13 +78,20 @@ def run_epoch(
                 "epoch %d batch %d loss %.4f (%.3fs/batch)",
                 epoch, i, loss, per_batch,
             )
+        if preemption_guard is not None and preemption_guard.requested:
+            interrupted = True
+            logger.warning(
+                "preemption mid-epoch %d — stopping after batch %d",
+                epoch, i,
+            )
+            break
     if metrics is None:
         raise ValueError("empty training loader")
     # final sync so the epoch mean reflects the last state
     final_loss = float(metrics["loss"])
     if meter.count == 0:
         meter.update(final_loss)
-    return state, meter.mean
+    return state, meter.mean, interrupted
 
 
 def run_eval(
@@ -135,11 +149,19 @@ def fit(
     log_every: int = 10,
     preemption_guard=None,
     metric_writer=None,
+    stateful_loader=None,
 ) -> tuple[TrainState, History]:
     """The full train_clip loop. `epoch_args_fn` supplies per-epoch extras
     (e.g. precomputed text features) threaded into both steps.
     `preemption_guard` (train.preemption.PreemptionGuard) stops cleanly with
-    a final checkpoint when a termination signal arrives."""
+    a final checkpoint when a termination signal arrives — checked every
+    batch, so a mid-epoch signal loses at most one step of work.
+    `stateful_loader` is the underlying HostLoader (state_dict /
+    load_state_dict); when given together with `checkpointer`, a mid-epoch
+    preemption persists the loader cursor so `resume_or_init(...,
+    loader=...)` replays the exact remaining batch order of the in-flight
+    epoch (the dropout rng stream restarts, as it does for epoch-granular
+    resume)."""
     history = History()
     cosine = CosineSchedule(dict(base_lrs), t_max=num_epochs, eta_min=eta_min)
     plateau = ReduceLROnPlateau(
@@ -154,11 +176,30 @@ def fit(
             lrs = cosine.at_epoch(epoch)
         extra = epoch_args_fn(state) if epoch_args_fn else ()
         t0 = time.perf_counter()
-        state, train_loss = run_epoch(
+        state, train_loss, interrupted = run_epoch(
             train_step, state, train_loader_fn(), lrs, rng_stream,
             step_args=extra, log_every=log_every, epoch=epoch,
+            preemption_guard=preemption_guard,
         )
         epoch_time = time.perf_counter() - t0
+        if interrupted:
+            if checkpointer is not None:
+                extra_state = {"mid_epoch": True}
+                if stateful_loader is not None:
+                    extra_state["loader"] = stateful_loader.state_dict()
+                    try:
+                        extra_state["num_batches"] = len(stateful_loader)
+                    except TypeError:
+                        pass
+                checkpointer.save(
+                    epoch, state, extra=extra_state,
+                    metrics={"val_loss": float("inf")},
+                )
+                logger.warning(
+                    "mid-epoch checkpoint saved at epoch %d — restart "
+                    "resumes the remaining batches", epoch,
+                )
+            break
         val_loss = train_loss
         if eval_step is not None and val_loader_fn is not None:
             val = run_eval(eval_step, state, val_loader_fn(), step_args=extra)
@@ -197,15 +238,42 @@ def fit(
     return state, history
 
 
-def resume_or_init(checkpointer, state_template: TrainState):
+def resume_or_init(checkpointer, state_template: TrainState, loader=None):
     """Auto-resume: (state, start_epoch) from the latest checkpoint, or the
     template at epoch 0 (the reference's resume-from-checkpoint.pth path,
-    0425/train.py:653-663, made automatic for preempted restarts)."""
+    0425/train.py:653-663, made automatic for preempted restarts).
+
+    When the latest checkpoint is a mid-epoch preemption save and `loader`
+    (the train HostLoader) is given, the loader cursor is replayed so the
+    interrupted epoch continues with its exact remaining batch order —
+    start_epoch is then the *same* epoch, not the next one."""
     if checkpointer is None:
         return state_template, 0
     latest = checkpointer.latest_epoch()
     if latest is None:
         return state_template, 0
-    state, _ = checkpointer.restore(state_template, latest)
+    state, extra = checkpointer.restore(state_template, latest)
+    if extra and extra.get("mid_epoch"):
+        loader_state = extra.get("loader")
+        num_batches = extra.get("num_batches")
+        exhausted = (
+            loader_state is None
+            or (num_batches is not None
+                and loader_state.get("step", 0) >= num_batches)
+        )
+        if loader is not None and not exhausted:
+            loader.load_state_dict(loader_state)
+            logger.info(
+                "resumed mid-epoch %d at batch %d", latest,
+                loader_state["step"],
+            )
+            return state, latest
+        logger.info(
+            "mid-epoch checkpoint at epoch %d but %s — starting epoch %d",
+            latest,
+            "loader cursor exhausted" if loader_state else "no loader given",
+            latest + 1,
+        )
+        return state, latest + 1
     logger.info("resumed from checkpoint epoch %d", latest)
     return state, latest + 1

@@ -166,7 +166,17 @@ def make_multiview_train_step(
     precomputed once per epoch (the 0426 hoisting fix, not 0425's per-batch
     recompute — SURVEY.md §2.9). ``augment=True`` applies the scripts'
     train transform stack (flip / rotate / translate,
-    0425/prepare_data.py:39-55) on device, fused into the step."""
+    0425/prepare_data.py:39-55) on device, fused into the step.
+
+    Any module that sows into the "losses" collection during the
+    train-mode apply (e.g. a MoE block's load-balancing aux,
+    models/moe.py) is picked up with the model config's
+    ``moe_aux_weight``, exactly as in the pretrain step — flax sow into
+    a non-mutable collection is a silent no-op, so the collection is
+    marked mutable here too."""
+    aux_weight = getattr(
+        getattr(model, "config", None), "moe_aux_weight", 0.0
+    )
 
     def step(
         state: TrainState, batch: Batch, text_features, lrs, rng
@@ -188,7 +198,8 @@ def make_multiview_train_step(
             variables = {"params": params, "batch_stats": state.batch_stats}
             feats, mutated = model.apply(
                 variables, images.reshape((b, 2, *images.shape[1:])),
-                train=True, mutable=["batch_stats"], rngs={"dropout": rng},
+                train=True, mutable=["batch_stats", "losses"],
+                rngs={"dropout": rng},
                 method="encode_multiview",
             )
             if use_enhance:
@@ -202,6 +213,9 @@ def make_multiview_train_step(
                 loss = multilabel_contrastive_loss(
                     feats, text_features, batch["labels"], temperature
                 )
+            sown = jax.tree.leaves(mutated.get("losses", {}))
+            if sown:
+                loss = loss + aux_weight * sum(jnp.sum(v) for v in sown)
             return loss, mutated["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(

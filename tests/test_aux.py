@@ -73,7 +73,11 @@ def test_preemption_stops_fit(tmp_path):
         preemption_guard=guard,
         log_every=1,
     )
-    assert len(history.rows) == 1  # stopped after the first epoch
+    # step-granular preemption: the loop stops after the FIRST batch (one
+    # step of work, checkpointed when a checkpointer is wired) rather than
+    # completing the epoch — the partial epoch records no history row
+    assert len(history.rows) == 0
+    assert int(state.step) == 1
 
 
 def test_resume_or_init(tmp_path):

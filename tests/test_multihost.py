@@ -1,0 +1,99 @@
+"""Multi-host runtime proof (SURVEY.md §5.8, VERDICT r1 item 1).
+
+Launches the deterministic worker (`parallel/_multihost_worker.py`) as
+2 OS processes x 4 virtual CPU devices each, joined through
+``jax.distributed.initialize``, and checks the data-parallel train-step
+loss trajectory against the identical program run single-process over 8
+devices. Passing means: coordination-service bootstrap, per-process batch
+feeding, ``make_array_from_process_local_data`` assembly and the cross-
+process collectives all compute the same global training step.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = "clip_for_dl_tpu.parallel._multihost_worker"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _worker_env(devices: int) -> dict:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # child processes must get their own device count BEFORE backend init;
+    # drop any count inherited from this (8-device) test process
+    flags = [
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append(f"--xla_force_host_platform_device_count={devices}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _launch(num_processes, devices_per_process, steps, batch, tmp_path,
+            timeout=600):
+    port = _free_port()
+    procs, outs = [], []
+    for pid in range(num_processes):
+        out = tmp_path / f"proc{pid}.json"
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", WORKER,
+                    "--coordinator", f"localhost:{port}",
+                    "--num-processes", str(num_processes),
+                    "--process-id", str(pid),
+                    "--devices-per-process", str(devices_per_process),
+                    "--steps", str(steps),
+                    "--batch-size", str(batch),
+                    "--out", str(out),
+                ],
+                env=_worker_env(devices_per_process),
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                cwd=REPO,
+            )
+        )
+    results = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        stdout, _ = p.communicate(timeout=timeout)
+        assert p.returncode == 0, (
+            f"worker {pid} failed:\n{stdout.decode(errors='replace')[-4000:]}"
+        )
+        with open(out) as f:
+            results.append(json.load(f))
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_dp_matches_single_process(tmp_path):
+    steps, batch = 3, 8
+    # single-process reference: same worker, 1 proc x 8 devices
+    [ref] = _launch(1, 8, steps, batch, tmp_path / "sp", (tmp_path / "sp").mkdir() or tmp_path / "sp")
+    # 2 processes x 4 devices each over the coordination service
+    (tmp_path / "mp").mkdir(exist_ok=True)
+    mp = _launch(2, 4, steps, batch, tmp_path / "mp")
+    assert mp[0]["process_count"] == 2
+    # both processes observe the same global losses (synchronized training)
+    np.testing.assert_array_equal(mp[0]["losses"], mp[1]["losses"])
+    # and they match the single-process 8-device run
+    np.testing.assert_allclose(
+        mp[0]["losses"], ref["losses"], rtol=1e-6, atol=0.0,
+    )
+    # the loss must actually evolve (the steps really trained)
+    assert len(set(ref["losses"])) == steps
