@@ -1,7 +1,10 @@
-.PHONY: test bench native smoke parity latency pipeline scaling trainbench clean
+.PHONY: test test-fast bench native smoke parity latency pipeline scaling trainbench clean
 
 test:
 	python -m pytest tests/ -q
+
+test-fast:  ## commit gate (<5 min on 1 core): every module, slow parity/subprocess tests excluded
+	python -m pytest tests/ -q -m "not slow"
 
 bench:
 	python bench.py

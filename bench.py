@@ -51,7 +51,7 @@ def main() -> None:
     use_pallas = jax.default_backend() == "tpu"
 
     @jax.jit
-    def zero_shot(variables, images_u8, text_features):
+    def zero_shot_fn(variables, images_u8, text_features):
         x = preprocess_images(
             images_u8, 224, 224, CLIP_MEAN, CLIP_STD, jnp.bfloat16
         )
@@ -62,12 +62,19 @@ def main() -> None:
         )
         return jax.nn.sigmoid(logits)
 
-    # HBM-resident uint8 batch (the fused input pipeline feeds device memory).
+    # NOTE (honest-benchmark caveat, stated wherever this number is
+    # quoted): compute-only on a synthetic HBM-resident uint8 batch with
+    # precached text features — the host decode/H2D side is benchmarked
+    # separately (tools/host_pipeline_bench.py) because in THIS container
+    # it measures the 1-core/axon-tunnel environment, not the framework.
     images = jax.device_put(
         np.random.default_rng(0).integers(
             0, 255, (BATCH, 224, 224, 3), dtype=np.uint8
         )
     )
+
+    compiled = zero_shot_fn.lower(variables, images, text_features).compile()
+    zero_shot = lambda *a: compiled(*a)  # noqa: E731
 
     for _ in range(WARMUP):
         np.asarray(zero_shot(variables, images, text_features))
@@ -80,11 +87,15 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     img_per_sec = BATCH * ITERS / dt
+    from clip_for_dl_tpu.utils.mfu import mfu_fields
+
     print(json.dumps({
-        "metric": "zero-shot images/sec/chip (Indiana CXR pipeline)",
+        "metric": "zero-shot images/sec/chip (Indiana CXR pipeline, "
+                  "compute-only: HBM-resident batch, cached text features)",
         "value": round(img_per_sec, 1),
         "unit": "images/sec",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 2),
+        **mfu_fields(compiled, BATCH, ITERS / dt),
     }))
 
 

@@ -179,14 +179,24 @@ def _loaders(cfg, args, multi_view=True):
             val_ds = SyntheticImageTextDataset(n // 4, cfg.model.image_size, 1)
     # train: drop the ragged final batch (a zero-padded sample would skew the
     # batch-global contrastive losses); eval: pad + mask so nothing is lost.
+    import jax as _jax
+
+    bs, shard_kwargs = cfg.data.batch_size, {}
+    if _jax.process_count() > 1:
+        # multi-host: each process loads its own strided shard and batches
+        # at the per-process slice of the global batch
+        from ..parallel.multihost import process_sharded_loader_kwargs
+
+        shard_kwargs = process_sharded_loader_kwargs(cfg.data.batch_size)
+        bs = shard_kwargs.pop("batch_size")
     train_loader = HostLoader(
-        train_ds, cfg.data.batch_size, shuffle=True, seed=cfg.data.seed,
+        train_ds, bs, shuffle=True, seed=cfg.data.seed,
         num_threads=cfg.data.num_workers,
-        drop_last=len(train_ds) > cfg.data.batch_size, pad_final=True,
+        drop_last=len(train_ds) > bs, pad_final=True, **shard_kwargs,
     )
     val_loader = HostLoader(
-        val_ds, cfg.data.batch_size, shuffle=False, seed=cfg.data.seed,
-        num_threads=cfg.data.num_workers, pad_final=True,
+        val_ds, bs, shuffle=False, seed=cfg.data.seed,
+        num_threads=cfg.data.num_workers, pad_final=True, **shard_kwargs,
     )
     return train_loader, val_loader
 
@@ -200,14 +210,30 @@ def _num_devices(args) -> int:
     return int(getattr(args, "num_devices", None) or 0)
 
 
+def _primary() -> bool:
+    """True on the process that performs host-side writes (CSV/TB/logs).
+    Always true single-process; process 0 on a pod."""
+    import jax
+
+    return jax.process_index() == 0
+
+
 def _maybe_dp(args, cfg, raw_step, raw_eval, state, donate=False):
     """--num-devices N: wrap raw train/eval step fns in GSPMD data
     parallelism over a 1-D mesh (batches shard, params/opt state
     replicate, collectives ride ICI). N absent/1 → plain single-device
-    jit, preserving each command's original behavior."""
+    jit, preserving each command's original behavior.
+
+    Under ``--num-processes > 1`` the mesh covers the GLOBAL device list
+    and each process's numpy batches are assembled into global arrays
+    (``make_array_from_process_local_data``) before the step — the step
+    function itself is unchanged between one host and a pod."""
     import jax
 
+    multiproc = jax.process_count() > 1
     n = _num_devices(args)
+    if multiproc and not n:
+        n = len(jax.devices())  # a pod mesh must cover the whole slice
     if n <= 1:
         step = jax.jit(raw_step, donate_argnums=(0,) if donate else ())
         eval_step = jax.jit(raw_eval) if raw_eval is not None else None
@@ -221,13 +247,31 @@ def _maybe_dp(args, cfg, raw_step, raw_eval, state, donate=False):
     from ..parallel import data_parallel_step, replicate_state
 
     mesh = create_mesh(n)
-    logging.info("data-parallel over %d devices: %s", n, mesh)
+    logging.info(
+        "data-parallel over %d devices (%d process%s): %s",
+        n, jax.process_count(), "es" if multiproc else "", mesh,
+    )
     step = data_parallel_step(raw_step, mesh, donate_state=donate)
     eval_step = (
         data_parallel_step(raw_eval, mesh, donate_state=False)
         if raw_eval is not None
         else None
     )
+    if multiproc:
+        from ..parallel.multihost import local_batch_to_global
+
+        def assemble(fn):
+            if fn is None:
+                return None
+
+            def wrapped(st, batch, *rest):
+                return fn(
+                    st, local_batch_to_global(dict(batch), mesh), *rest
+                )
+
+            return wrapped
+
+        step, eval_step = assemble(step), assemble(eval_step)
     return step, eval_step, replicate_state(state, mesh)
 
 
@@ -298,6 +342,10 @@ def cmd_pretrain(args) -> int:
         else "clip_self_distill"
     )
     if args.lora:
+        if getattr(args, "local_loss", False):
+            raise SystemExit("--local-loss does not compose with --lora")
+        if int(getattr(args, "accum_steps", 1) or 1) > 1:
+            raise SystemExit("--accum-steps does not compose with --lora")
         # Parameter-efficient fine-tuning: frozen towers + rank-r deltas on
         # the attention/MLP kernels (models/lora.py). The frozen base rides
         # through the jitted step as an argument, not a constant.
@@ -347,11 +395,54 @@ def cmd_pretrain(args) -> int:
             step=jnp.zeros((), jnp.int32),
         )
     else:
-        raw_step = make_clip_pretrain_step(
-            model, tx, label_fn, loss_name,
-            cfg.model.temperature, cfg.model.image_size,
-            cfg.augment.mean, cfg.augment.std, compute,
-        )
+        local_mesh = None
+        if getattr(args, "local_loss", False):
+            # open-CLIP local-loss block form: [b, B] similarity blocks
+            # inside shard_map instead of B² on every device
+            if _num_devices(args) <= 1:
+                raise SystemExit("--local-loss requires --num-devices > 1")
+            if (getattr(args, "pp", 0) or 0) > 1 or (
+                getattr(args, "ep", 1) or 1
+            ) > 1:
+                raise SystemExit(
+                    "--local-loss composes with plain --num-devices data "
+                    "parallelism only (not --pp/--ep)"
+                )
+            from ..core.mesh import create_mesh
+
+            local_mesh = create_mesh(_num_devices(args))
+        accum = int(getattr(args, "accum_steps", 1) or 1)
+        if accum > 1:
+            # GradCache two-pass accumulation: microbatched towers,
+            # full-batch contrastive negatives, gradient-exact
+            if local_mesh is not None:
+                raise SystemExit(
+                    "--accum-steps does not compose with --local-loss"
+                )
+            if (getattr(args, "pp", 0) or 0) > 1 or (
+                getattr(args, "ep", 1) or 1
+            ) > 1:
+                raise SystemExit(
+                    "--accum-steps composes with plain dp only (not "
+                    "--pp/--ep)"
+                )
+            from ..train import make_accum_clip_pretrain_step
+
+            try:
+                raw_step = make_accum_clip_pretrain_step(
+                    model, tx, label_fn, accum, loss_name,
+                    cfg.model.temperature, cfg.model.image_size,
+                    cfg.augment.mean, cfg.augment.std, compute,
+                )
+            except ValueError as e:  # MoE guard
+                raise SystemExit(str(e))
+        else:
+            raw_step = make_clip_pretrain_step(
+                model, tx, label_fn, loss_name,
+                cfg.model.temperature, cfg.model.image_size,
+                cfg.augment.mean, cfg.augment.std, compute,
+                local_loss_mesh=local_mesh,
+            )
         raw_eval = make_clip_eval_step(
             model, "clip_self_distill", cfg.model.temperature,
             cfg.model.image_size, cfg.augment.mean, cfg.augment.std,
@@ -506,7 +597,7 @@ def cmd_pretrain(args) -> int:
             args, cfg, raw_step, raw_eval, state,
             donate=cfg.train.donate_state,
         )
-    writer = MetricWriter(args.log_dir, "pretrain")
+    writer = MetricWriter(args.log_dir, "pretrain") if _primary() else None
 
     with PreemptionGuard() as guard:
         state, history = fit(
@@ -528,8 +619,12 @@ def cmd_pretrain(args) -> int:
             metric_writer=writer,
             stateful_loader=train_loader,
         )
-    writer.close()
-    history.save_csv(os.path.join(args.log_dir, "training_history.csv"))
+    if writer is not None:
+        writer.close()
+    if _primary():
+        history.save_csv(
+            os.path.join(args.log_dir, "training_history.csv")
+        )
     if args.lora and args.checkpoint_dir:
         # the LoRA checkpoint holds only the factors (for resume); also
         # fold them into the frozen base and save a full-model checkpoint
@@ -654,7 +749,7 @@ def cmd_train(args) -> int:
     state = TrainState.create(variables, tx)
     state, start_epoch = resume_or_init(ckpt, state, loader=train_loader)
     step, eval_step, state = _maybe_dp(args, cfg, raw_step, raw_eval, state)
-    writer = MetricWriter(args.log_dir, "train")
+    writer = MetricWriter(args.log_dir, "train") if _primary() else None
     kc = KeyChain(cfg.data.seed)
     with PreemptionGuard() as guard:
         state, history = fit(
@@ -675,8 +770,12 @@ def cmd_train(args) -> int:
             metric_writer=writer,
             stateful_loader=train_loader,
         )
-    writer.close()
-    history.save_csv(os.path.join(args.log_dir, "training_history.csv"))
+    if writer is not None:
+        writer.close()
+    if _primary():
+        history.save_csv(
+            os.path.join(args.log_dir, "training_history.csv")
+        )
     print(f"train done: {len(history.rows)} epochs")
     return 0
 
@@ -1190,6 +1289,16 @@ def build_parser() -> argparse.ArgumentParser:
                              "Default is a hard error — a geometry "
                              "mismatch would otherwise score with "
                              "untrained weights")
+        sp.add_argument("--coordinator", default="localhost:12321",
+                        metavar="HOST:PORT",
+                        help="multi-host: JAX coordination-service address "
+                             "(process 0's host)")
+        sp.add_argument("--num-processes", type=int, default=1,
+                        help="multi-host: total process count (one per "
+                             "TPU host); >1 joins jax.distributed and "
+                             "shards data loading per process")
+        sp.add_argument("--process-id", type=int, default=0,
+                        help="multi-host: this process's rank")
 
     sp = sub.add_parser("prep", help="label extraction")
     sp.add_argument("--reports", required=True)
@@ -1213,6 +1322,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "the text tower (GPipe microbatch schedule; text "
                          "dropout off inside the pipeline)")
     sp.add_argument("--pp-microbatches", type=int, default=2)
+    sp.add_argument("--local-loss", action="store_true",
+                    help="with --num-devices: compute the contrastive "
+                         "loss in open-CLIP local-loss block form "
+                         "([b, B_global] per device instead of "
+                         "B_global**2 — identical math, pod-scale memory)")
+    sp.add_argument("--accum-steps", type=int, default=1, metavar="A",
+                    help="GradCache gradient accumulation: run the towers "
+                         "in A microbatches while the contrastive loss "
+                         "keeps FULL-batch negatives (gradient-exact; "
+                         "~A x less activation memory)")
     sp.set_defaults(fn=cmd_pretrain, preset="pretrain_clip")
 
     sp = sub.add_parser(
@@ -1288,6 +1407,14 @@ def main(argv=None) -> int:
         from ..core.mesh import force_virtual_cpu_devices
 
         force_virtual_cpu_devices(args.virtual_devices)
+    if int(getattr(args, "num_processes", 1) or 1) > 1:
+        # multi-host pod runtime: join the coordination service before any
+        # backend touch; jax.devices() becomes the GLOBAL device list
+        from ..parallel.multihost import initialize
+
+        initialize(
+            args.coordinator, args.num_processes, args.process_id
+        )
     return args.fn(args)
 
 

@@ -54,10 +54,17 @@ class HostLoader:
         prefetch: int = 2,
         shard_index: int = 0,
         num_shards: int = 1,
+        even_shards: bool = False,
     ):
         """`shard_index`/`num_shards`: multi-host data parallelism — every
         host sees the same global shuffle (seed+epoch) and takes a disjoint
-        strided slice, so per-host batches stack into the global batch."""
+        strided slice, so per-host batches stack into the global batch.
+
+        ``even_shards=True`` truncates the (shuffled) global order to a
+        multiple of ``num_shards`` so every shard yields exactly the same
+        number of batches — REQUIRED for synchronized multi-process
+        training, where a one-batch length skew would deadlock the ranks
+        in a collective."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -69,12 +76,15 @@ class HostLoader:
         assert 0 <= shard_index < num_shards
         self.shard_index = shard_index
         self.num_shards = num_shards
+        self.even_shards = even_shards
         self._epoch = 0
         self._step = 0
         self._resume = False
 
     def _shard_size(self) -> int:
         n = len(self.dataset)
+        if self.even_shards:
+            return n // self.num_shards
         return len(range(self.shard_index, n, self.num_shards))
 
     def __len__(self) -> int:
@@ -90,6 +100,8 @@ class HostLoader:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
         if self.num_shards > 1:
+            if self.even_shards:
+                order = order[: self.num_shards * (n // self.num_shards)]
             order = order[self.shard_index :: self.num_shards]
         m = len(order)
         stop = (m // self.batch_size) * self.batch_size if self.drop_last else m

@@ -11,6 +11,8 @@ from .global_batch import (
     global_clip_self_distill_loss,
     global_info_nce_loss,
     global_multilabel_contrastive_loss,
+    local_clip_self_distill_loss,
+    local_info_nce_loss,
     make_global,
 )
 
@@ -25,5 +27,7 @@ __all__ = [
     "global_clip_self_distill_loss",
     "global_info_nce_loss",
     "global_multilabel_contrastive_loss",
+    "local_clip_self_distill_loss",
+    "local_info_nce_loss",
     "make_global",
 ]

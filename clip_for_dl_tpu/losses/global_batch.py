@@ -12,6 +12,19 @@ computes the identical global loss, so each of the N devices contributes
 the N identical contributions sum back to exactly ∂loss/∂local — no
 double-counting and no stop-gradient tricks needed. Verified against the
 single-device loss on an 8-way virtual mesh in tests/test_losses.py.
+
+Two formulations per loss:
+
+- ``global_*`` — gather features, materialize the full B_global×B_global
+  similarity on every device. Simple, fine at reference scale.
+- ``local_*`` — the open-CLIP "local loss" memory form for pod-scale
+  global batches: gather only the *features* (B_global×D, cheap) and
+  compute each device's [B_local, B_global] similarity *block*. Per-device
+  similarity memory drops by the mesh factor N (B_global=4096, N=32:
+  64 MB → 2 MB fp32 per matrix); the row/column means recombine with
+  `pmean` to the identical global loss, and the all_gather transpose
+  still routes the column-side gradients, so grads are exact (verified
+  against ``global_*`` in tests/test_losses.py).
 """
 
 from __future__ import annotations
@@ -20,11 +33,13 @@ import functools
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 
 from .contrastive import (
     clip_self_distill_loss,
     info_nce_loss,
     multilabel_contrastive_loss,
+    soft_cross_entropy,
 )
 
 
@@ -69,6 +84,68 @@ def global_multilabel_contrastive_loss(
     lbl = _gather(labels, axis_name)
     loss = multilabel_contrastive_loss(img, text_features, lbl, temperature)
     return jax.lax.pmean(loss, axis_name)
+
+
+def _local_row_index(b: int, axis_name: str) -> jax.Array:
+    """Global row indices of this device's local block."""
+    return jax.lax.axis_index(axis_name) * b + jnp.arange(b)
+
+
+def local_info_nce_loss(
+    image_features: jax.Array,
+    text_features: jax.Array,
+    temperature: float = 1.0,
+    axis_name: str = "data",
+) -> jax.Array:
+    """InfoNCE over the global batch without the B×B matrix: each device
+    scores its local rows against the gathered features ([b, B] blocks).
+    Identical value and gradients to :func:`global_info_nce_loss`."""
+    img = image_features.astype(jnp.float32)
+    txt = text_features.astype(jnp.float32)
+    b = img.shape[0]
+    img_g = _gather(img, axis_name)  # [B, D]
+    txt_g = _gather(txt, axis_name)
+    n_global = img_g.shape[0]
+    one_hot = jax.nn.one_hot(
+        _local_row_index(b, axis_name), n_global, dtype=jnp.float32
+    )  # [b, B]
+    loss_i = soft_cross_entropy((img @ txt_g.T) / temperature, one_hot).mean()
+    loss_t = soft_cross_entropy((txt @ img_g.T) / temperature, one_hot).mean()
+    return jax.lax.pmean((loss_i + loss_t) / 2.0, axis_name)
+
+
+def local_clip_self_distill_loss(
+    text_features: jax.Array,
+    image_features: jax.Array,
+    temperature: float = 2.0,
+    axis_name: str = "data",
+) -> jax.Array:
+    """Self-distill CLIP loss (0425/train.py:126-151 semantics) in local-
+    loss form. The target matrix ``softmax_rows(S)`` with
+    ``S = (img@imgᵀ + txt@txtᵀ)/2·T`` is symmetric in S, so the transposed
+    targets a device needs for its image-side rows only require the global
+    row log-normalizers: gather the per-row logsumexp ``Z`` (a [B] vector)
+    instead of the [B, B] matrix."""
+    txt = text_features.astype(jnp.float32)
+    img = image_features.astype(jnp.float32)
+    b = txt.shape[0]
+    img_g = _gather(img, axis_name)  # [B, D]
+    txt_g = _gather(txt, axis_name)
+
+    # local row-block of S (S is symmetric: S[i,:] for local i)
+    s_local = (img @ img_g.T + txt @ txt_g.T) / 2.0 * temperature  # [b, B]
+    z_local = jax.nn.logsumexp(s_local, axis=-1)  # [b]
+    z_g = _gather(z_local, axis_name)  # [B] — global softmax denominators
+
+    targets_rows = jnp.exp(s_local - z_local[:, None])  # softmax_rows(S)[i,:]
+    # (targetsᵀ)[j, i] = exp(S[i, j] − Z_i) = exp(S[j, i] − Z_i) by symmetry
+    targets_cols = jnp.exp(s_local - z_g[None, :])  # [b, B]
+
+    logits_rows = (txt @ img_g.T) / temperature  # rows of txt@imgᵀ/T
+    logits_cols = (img @ txt_g.T) / temperature  # rows of (txt@imgᵀ/T)ᵀ
+    texts_loss = soft_cross_entropy(logits_rows, targets_rows)
+    images_loss = soft_cross_entropy(logits_cols, targets_cols)
+    return jax.lax.pmean(((texts_loss + images_loss) / 2.0).mean(), axis_name)
 
 
 def make_global(

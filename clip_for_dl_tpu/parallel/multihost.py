@@ -120,7 +120,21 @@ def process_sharded_loader_kwargs(
         "batch_size": global_batch_size // pc,
         "shard_index": pi,
         "num_shards": pc,
+        # equal per-shard batch counts — a skew would deadlock collectives
+        "even_shards": True,
     }
+
+
+def fetch_global(x):
+    """np.asarray that works on multi-process (non-fully-addressable)
+    arrays by all-gathering the remote shards first."""
+    import numpy as np
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
 
 
 def local_batch_to_global(

@@ -17,6 +17,7 @@ from .optim import (
     mask_updates,
     warmup_scale,
 )
+from .accum import make_accum_clip_pretrain_step
 from .state import TrainState
 from .steps import (
     make_adapter_eval_step,
@@ -50,6 +51,7 @@ __all__ = [
     "mask_updates",
     "warmup_scale",
     "TrainState",
+    "make_accum_clip_pretrain_step",
     "make_adapter_eval_step",
     "make_adapter_train_step",
     "make_clip_eval_step",

@@ -1,0 +1,141 @@
+"""Gradient accumulation for contrastive pretraining (GradCache form).
+
+Naive microbatch accumulation is *wrong* for contrastive losses: the
+negatives would shrink to the microbatch. The memory-correct, math-exact
+formulation (Gao et al., GradCache; used by open-CLIP for huge global
+batches) is two-pass:
+
+1. **Feature pass** — run the towers over each microbatch under
+   ``lax.scan`` with gradients stopped, collecting the full batch's
+   embeddings. Activation memory is one microbatch, not the full batch.
+2. **Loss pass** — compute the full-batch contrastive loss on the stacked
+   [B, D] features (tiny) and its gradient w.r.t. the *features*.
+3. **Backward pass** — re-run each microbatch's tower forward under
+   ``jax.vjp`` and pull the corresponding feature-gradient slice back to
+   the parameters, summing over microbatches inside a second scan.
+
+Exactness: pass 3 replays pass 1 bit-for-bit (same per-microbatch dropout
+keys, same pre-update batch_stats), so the chained gradient equals the
+full-batch gradient exactly — verified against the plain step in
+tests/test_accum.py. BatchNorm running stats update *sequentially* per
+microbatch (the standard grad-accumulation semantics everywhere); for the
+strict-equality test use the ViT tower (LayerNorm only).
+
+Peak-memory effect is measured (not guessed) via XLA's compiled
+``memory_analysis`` in tools/accum_report.py.
+
+Reference counterpart: none — 0425/train.py:126-151's negatives are the
+local batch of 16. This is the framework-scale component VERDICT r1 item 4
+asks for, alongside losses/global_batch.py's local-loss form.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.image_prep import preprocess_images
+from .steps import PRETRAIN_LOSSES, _apply_updates
+
+
+def make_accum_clip_pretrain_step(
+    model,
+    tx: optax.GradientTransformation,
+    label_fn,
+    accum_steps: int,
+    loss_name: str = "clip_self_distill",
+    temperature: float = 2.0,
+    image_size: int = 224,
+    mean: Tuple[float, ...] = (0.0, 0.0, 0.0),
+    std: Tuple[float, ...] = (1.0, 1.0, 1.0),
+    compute_dtype=jnp.bfloat16,
+):
+    """Drop-in replacement for ``make_clip_pretrain_step`` that runs the
+    towers in ``accum_steps`` microbatches while keeping the contrastive
+    loss (and its gradient) defined over the FULL batch."""
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+    loss_fn_base = PRETRAIN_LOSSES[loss_name]
+    cfg = getattr(model, "config", None)
+    if cfg is not None and getattr(cfg, "text_moe_experts", 0):
+        # the MoE load-balancing aux loss flows to params directly, not
+        # through the cached features — the two-pass chain would drop it
+        raise ValueError(
+            "gradient accumulation does not compose with the MoE text "
+            "tower (the sown aux loss bypasses the feature cache)"
+        )
+
+    def encode(params, batch_stats, mb, rng):
+        images = preprocess_images(
+            mb["images"], image_size, image_size, mean, std, compute_dtype
+        )
+        variables = {"params": params, "batch_stats": batch_stats}
+        (img_f, txt_f), mutated = model.apply(
+            variables,
+            images,
+            mb["input_ids"],
+            mb["attention_mask"],
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        return (img_f, txt_f), mutated["batch_stats"]
+
+    def step(state, batch, lrs, rng):
+        b = batch["images"].shape[0]
+        if b % accum_steps:
+            raise ValueError(
+                f"batch size {b} must divide into accum_steps={accum_steps}"
+            )
+
+        def split(x):
+            return x.reshape((accum_steps, b // accum_steps) + x.shape[1:])
+
+        mbs = {k: split(v) for k, v in batch.items()
+               if k in ("images", "input_ids", "attention_mask")}
+        rngs = jax.random.split(rng, accum_steps)
+
+        # pass 1: features only — activations freed between microbatches
+        def fwd(stats, inp):
+            mb, r = inp
+            (img_f, txt_f), new_stats = encode(state.params, stats, mb, r)
+            return new_stats, (img_f, txt_f, stats)
+
+        final_stats, (img_fs, txt_fs, stats_pre) = jax.lax.scan(
+            fwd, state.batch_stats, (mbs, rngs)
+        )
+        d_img, d_txt = img_fs.shape[-1], txt_fs.shape[-1]
+        img_all = jax.lax.stop_gradient(img_fs.reshape(b, d_img))
+        txt_all = jax.lax.stop_gradient(txt_fs.reshape(b, d_txt))
+
+        # pass 2: full-batch loss + gradient w.r.t. the features
+        loss, (g_txt, g_img) = jax.value_and_grad(
+            lambda t, i: loss_fn_base(t, i, temperature), argnums=(0, 1)
+        )(txt_all, img_all)
+        g_img = g_img.reshape(img_fs.shape).astype(img_fs.dtype)
+        g_txt = g_txt.reshape(txt_fs.shape).astype(txt_fs.dtype)
+
+        # pass 3: replay each microbatch under vjp, accumulate param grads
+        def bwd(acc, inp):
+            mb, r, stats, gi, gt = inp
+
+            def f(p):
+                feats, _ = encode(p, stats, mb, r)
+                return feats
+
+            _, vjp_fn = jax.vjp(f, state.params)
+            (gp,) = vjp_fn((gi, gt))
+            return jax.tree.map(jnp.add, acc, gp), None
+
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        grads, _ = jax.lax.scan(
+            bwd, zeros, (mbs, rngs, stats_pre, g_img, g_txt)
+        )
+
+        new_state = _apply_updates(state, grads, tx, lrs, label_fn, final_stats)
+        return new_state, {"loss": loss}
+
+    return step

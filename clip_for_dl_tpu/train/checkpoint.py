@@ -64,6 +64,9 @@ class CheckpointManager:
             metrics=metrics or {self.metric_name: float("inf")},
         )
         extra_path = os.path.join(self.directory, f"extra_{epoch}.json")
+        if jax.process_index() != 0:
+            return  # sidecar writes are primary-host-only (orbax handles
+            # the checkpoint itself with its own multihost coordination)
         if extra:
             import json
 

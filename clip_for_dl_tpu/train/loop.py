@@ -106,15 +106,37 @@ def run_eval(
     probs: List[np.ndarray] = []
     labels: List[np.ndarray] = []
     masks: List[np.ndarray] = []
+    import jax as _jax
+
+    def _gather_host(x):
+        # multihost: every process holds only its local batch rows — tile
+        # them into the global row order (process-major, matching the
+        # global probs array's device-block layout)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(
+            np.asarray(x), tiled=True
+        ))
+
     for batch in loader:
         metrics = eval_fn(state, batch, *step_args)
         losses.append(float(metrics["loss"]))
         if "probs" in metrics:
-            probs.append(np.asarray(metrics["probs"]))
-            if "labels" in batch:
-                labels.append(np.asarray(batch["labels"]))
-            if "mask" in batch:
-                masks.append(np.asarray(batch["mask"]))
+            p = metrics["probs"]
+            if isinstance(p, _jax.Array) and not p.is_fully_addressable:
+                from ..parallel.multihost import fetch_global
+
+                probs.append(fetch_global(p))
+                if "labels" in batch:
+                    labels.append(_gather_host(batch["labels"]))
+                if "mask" in batch:
+                    masks.append(_gather_host(batch["mask"]))
+            else:
+                probs.append(np.asarray(p))
+                if "labels" in batch:
+                    labels.append(np.asarray(batch["labels"]))
+                if "mask" in batch:
+                    masks.append(np.asarray(batch["mask"]))
     out: Dict[str, Any] = {"loss": float(np.mean(losses))}
     if probs:
         p = np.concatenate(probs)

@@ -81,8 +81,48 @@ def make_clip_pretrain_step(
     mean: Tuple[float, ...] = (0.0, 0.0, 0.0),
     std: Tuple[float, ...] = (1.0, 1.0, 1.0),
     compute_dtype=jnp.bfloat16,
+    local_loss_mesh=None,
+    local_loss_axis: str = "data",
 ):
+    """``local_loss_mesh``: a 1-D data mesh switches the contrastive loss
+    to the open-CLIP local-loss block form (losses/global_batch.py) —
+    each device scores only its [b, B_global] similarity block instead of
+    materializing B_global² on every device. Identical loss and gradients
+    (tests/test_losses.py::TestLocalLoss); use for pod-scale global
+    batches where B_global² no longer fits."""
     loss_fn_base = PRETRAIN_LOSSES[loss_name]
+    if local_loss_mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..losses import (
+            local_clip_self_distill_loss,
+            local_info_nce_loss,
+        )
+
+        local_fns = {
+            "clip_self_distill": lambda txt, img, t: (
+                local_clip_self_distill_loss(
+                    txt, img, t, axis_name=local_loss_axis
+                )
+            ),
+            "info_nce": lambda txt, img, t: local_info_nce_loss(
+                img, txt, t, axis_name=local_loss_axis
+            ),
+        }
+        base = local_fns[loss_name]
+
+        _smapped = shard_map(
+            lambda txt_f, img_f: base(txt_f, img_f, temperature),
+            mesh=local_loss_mesh,
+            in_specs=(P(local_loss_axis), P(local_loss_axis)),
+            out_specs=P(),
+        )
+
+        def loss_fn_base(txt_f, img_f, _t=None):  # noqa: F811
+            del _t  # closed over above — kept for call-site compatibility
+            return _smapped(txt_f, img_f)
+
     # MoE text tower sows its load-balancing loss into the "losses"
     # collection (models/moe.py); weight comes from the model config.
     aux_weight = getattr(

@@ -25,6 +25,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full-geometry parity / subprocess tests excluded from the "
+        "fast tier (make test-fast runs -m 'not slow')",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

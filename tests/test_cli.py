@@ -232,3 +232,56 @@ class TestNumDevices:
         assert run(common_args + [
             "--epochs", "2", "--num-devices", "4", "--pp", "2",
         ]) == 0  # continue pipelined
+
+
+class TestRound2Flags:
+    def test_pp_with_lora_rejected(self, tmp_path):
+        with pytest.raises(SystemExit, match="--pp does not compose"):
+            run([
+                "pretrain", "--synthetic", "--tiny", "--fp32",
+                "--epochs", "1", "--lora", "2", "--pp", "2",
+                "--log-dir", str(tmp_path),
+            ])
+
+    def test_local_loss_requires_num_devices(self, tmp_path):
+        with pytest.raises(SystemExit, match="--local-loss requires"):
+            run([
+                "pretrain", "--synthetic", "--tiny", "--fp32",
+                "--epochs", "1", "--local-loss", "--log-dir", str(tmp_path),
+            ])
+
+    def test_pretrain_local_loss_dp(self, tmp_path, eight_devices):
+        assert run([
+            "pretrain", "--synthetic", "--tiny", "--fp32",
+            "--synthetic-samples", "16", "--epochs", "1",
+            "--batch-size", "8", "--num-devices", "8", "--local-loss",
+            "--log-dir", str(tmp_path),
+        ]) == 0
+        assert (tmp_path / "training_history.csv").exists()
+
+    def test_pretrain_accum_steps(self, tmp_path):
+        assert run([
+            "pretrain", "--synthetic", "--tiny", "--fp32",
+            "--synthetic-samples", "16", "--epochs", "1",
+            "--batch-size", "8", "--accum-steps", "2",
+            "--log-dir", str(tmp_path),
+        ]) == 0
+        assert (tmp_path / "training_history.csv").exists()
+
+    def test_accum_rejects_moe(self, tmp_path):
+        with pytest.raises(SystemExit, match="MoE"):
+            run([
+                "pretrain", "--synthetic", "--tiny", "--fp32",
+                "--epochs", "1", "--accum-steps", "2", "--moe-experts", "2",
+                "--log-dir", str(tmp_path),
+            ])
+
+    def test_zeroshot_tp_validates_degree(self, tmp_path, eight_devices):
+        # tiny text tower has 2 heads — tp=8 cannot divide them; must die
+        # with the clear validate_tp message, not an XLA sharding error
+        with pytest.raises(SystemExit, match="must divide"):
+            run([
+                "zeroshot", "--synthetic", "--tiny", "--fp32",
+                "--synthetic-samples", "8", "--num-devices", "8",
+                "--tp", "8", "--log-dir", str(tmp_path),
+            ])

@@ -263,3 +263,89 @@ class TestHTTPAPI:
                 assert abs(first[d] - data["probs"][d]) < 1e-5
         status, stats = _request(live_server, "GET", "/stats")
         assert status == 200 and stats["requests"] >= 9
+
+
+class TestPipelinedBatcher:
+    """VERDICT r1 item 7: device compute must overlap next-batch assembly,
+    and the latency components must be reported, not guessed."""
+
+    def test_dispatch_overlaps_fetch(self):
+        """With a slow fetch (device busy), the assembler must dispatch
+        batch N+1 BEFORE batch N's fetch completes — the double buffer."""
+        events = []
+        lock = threading.Lock()
+
+        def dispatch(images):  # fast, like an async jax call
+            with lock:
+                events.append(("dispatch", time.monotonic()))
+            return images.sum(axis=(1, 2, 3))
+
+        def fetch(handle):  # slow, like device compute + tunnel fetch
+            time.sleep(0.08)
+            with lock:
+                events.append(("fetch_done", time.monotonic()))
+            return np.asarray(handle)
+
+        batcher = MicroBatcher(
+            dispatch, buckets=(1,), max_wait_ms=0.5, fetch_fn=fetch
+        )
+        try:
+            imgs = [np.full((4, 4, 3), i, np.uint8) for i in range(3)]
+            futs = [batcher.submit(im) for im in imgs]
+            results = [f.result(timeout=10) for f in futs]
+            for i, r in enumerate(results):
+                assert r == imgs[i].sum()
+            with lock:
+                seq = list(events)
+            dispatches = [t for k, t in seq if k == "dispatch"]
+            fetches = [t for k, t in seq if k == "fetch_done"]
+            assert len(dispatches) == 3 and len(fetches) == 3
+            # batch 1 dispatched while batch 0 still fetching: its dispatch
+            # timestamp precedes batch 0's fetch completion
+            assert dispatches[1] < fetches[0], (
+                "assembler waited for the fetch — compute idle during "
+                "assembly, no overlap"
+            )
+        finally:
+            batcher.close()
+
+    def test_stats_expose_latency_breakdown(self):
+        batcher = MicroBatcher(
+            lambda x: x.sum(axis=(1, 2, 3)), buckets=(1, 4), max_wait_ms=1.0
+        )
+        try:
+            futs = [
+                batcher.submit(np.zeros((4, 4, 3), np.uint8))
+                for _ in range(5)
+            ]
+            for f in futs:
+                f.result(timeout=10)
+            stats = batcher.stats()
+            for stage in ("queue_ms", "assemble_ms", "fetch_ms"):
+                assert stage in stats and "p50" in stats[stage], stats
+                assert stats[stage]["p99"] >= stats[stage]["p50"] >= 0.0
+        finally:
+            batcher.close()
+
+    def test_error_in_fetch_fails_callers_only(self):
+        calls = {"n": 0}
+
+        def bad_fetch(handle):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("transient fetch failure")
+            return np.asarray(handle)
+
+        batcher = MicroBatcher(
+            lambda x: x.sum(axis=(1, 2, 3)), buckets=(1,), max_wait_ms=0.5,
+            fetch_fn=bad_fetch,
+        )
+        try:
+            f1 = batcher.submit(np.zeros((4, 4, 3), np.uint8))
+            with pytest.raises(RuntimeError, match="transient"):
+                f1.result(timeout=10)
+            # the worker survives and serves the next request
+            f2 = batcher.submit(np.ones((4, 4, 3), np.uint8))
+            assert f2.result(timeout=10) == 48
+        finally:
+            batcher.close()

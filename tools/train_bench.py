@@ -112,15 +112,18 @@ def main(argv=None) -> int:
             ),
             "attention_mask": jax.device_put(np.ones((b, seq), np.int32)),
         }
+        compiled = step.lower(state, batch, lrs, jax.random.key(0)).compile()
         for i in range(args.warmup):
-            state, metrics = step(state, batch, lrs, jax.random.key(i))
+            state, metrics = compiled(state, batch, lrs, jax.random.key(i))
             float(np.asarray(metrics["loss"]))  # fence
         t0 = time.perf_counter()
         for i in range(args.iters):
-            state, metrics = step(state, batch, lrs, jax.random.key(i))
+            state, metrics = compiled(state, batch, lrs, jax.random.key(i))
         float(np.asarray(metrics["loss"]))  # fence (axon: asarray, not BUR)
         dt = time.perf_counter() - t0
         img_s = b * args.iters / dt
+        from clip_for_dl_tpu.utils.mfu import mfu_fields
+
         print(json.dumps({
             "metric": "CLIP pretrain img/s/chip",
             "value": round(img_s, 1),
@@ -129,6 +132,7 @@ def main(argv=None) -> int:
             "seq_len": seq,
             "remat": args.remat,
             "vs_baseline": round(img_s / baseline, 2),
+            **mfu_fields(compiled, b, args.iters / dt),
         }))
     return 0
 
