@@ -34,6 +34,12 @@ scaling:  ## multi-chip roofline from partitioned HLO (virtual mesh)
 trainbench:  ## pretrain step img/s on the chip (first compile is slow)
 	python tools/train_bench.py --batch-size 128 --seq-lens 200 64
 
+realdata:  ## day-one drill: Kaggle-layout dataset + full CLI chain + schema diff
+	python tools/real_data_dryrun.py
+
+accumreport:  ## measured HBM effect of GradCache accumulation (XLA memory_analysis)
+	python tools/accum_report.py --tiny
+
 clean:
 	$(MAKE) -C native clean
 	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -25,13 +25,32 @@ WARMUP = 3
 ITERS = 30
 
 
-def main() -> None:
+def main(argv=None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--tower", choices=["resnet", "vit"], default="resnet",
+                   help="image tower (default: the flagship ResNet-50)")
+    p.add_argument("--fast-gelu", action="store_true",
+                   help="tanh-GELU in the ViT tower (serving knob)")
+    p.add_argument("--fused-attention", action="store_true",
+                   help="Pallas fused-MHA in the ViT layers")
+    p.add_argument("--batch", type=int, default=BATCH)
+    args = p.parse_args(argv)
+    batch_n = args.batch
+
     from clip_for_dl_tpu.core.config import CLIP_MEAN, CLIP_STD, ModelConfig
     from clip_for_dl_tpu.models import CXRClip
     from clip_for_dl_tpu.ops.image_prep import preprocess_images
     from clip_for_dl_tpu.ops.similarity import similarity
 
-    cfg = ModelConfig(max_text_length=64)
+    cfg = ModelConfig(
+        max_text_length=64,
+        vit_gelu_approximate=args.fast_gelu,
+        vit_fused_attention=args.fused_attention,
+    )
+    if args.tower == "vit":
+        cfg = cfg.with_vit()
     model = CXRClip(cfg, dtype=jnp.bfloat16)
     variables = jax.jit(model.init)(
         jax.random.key(0),
@@ -69,7 +88,7 @@ def main() -> None:
     # it measures the 1-core/axon-tunnel environment, not the framework.
     images = jax.device_put(
         np.random.default_rng(0).integers(
-            0, 255, (BATCH, 224, 224, 3), dtype=np.uint8
+            0, 255, (batch_n, 224, 224, 3), dtype=np.uint8
         )
     )
 
@@ -86,16 +105,17 @@ def main() -> None:
     np.asarray(probs)
     dt = time.perf_counter() - t0
 
-    img_per_sec = BATCH * ITERS / dt
+    img_per_sec = batch_n * ITERS / dt
     from clip_for_dl_tpu.utils.mfu import mfu_fields
 
     print(json.dumps({
         "metric": "zero-shot images/sec/chip (Indiana CXR pipeline, "
                   "compute-only: HBM-resident batch, cached text features)",
+        "tower": args.tower,
         "value": round(img_per_sec, 1),
         "unit": "images/sec",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 2),
-        **mfu_fields(compiled, BATCH, ITERS / dt),
+        **mfu_fields(compiled, batch_n, ITERS / dt),
     }))
 
 

@@ -74,6 +74,8 @@ def _apply_tiny(cfg, args, vocab_size: int):
     model = dataclasses.replace(cfg.model, vocab_size=vocab_size)
     if getattr(args, "fast_gelu", False):
         model = dataclasses.replace(model, vit_gelu_approximate=True)
+    if getattr(args, "fused_attention", False):
+        model = dataclasses.replace(model, vit_fused_attention=True)
     if getattr(args, "moe_experts", 0):
         model = dataclasses.replace(
             model, text_moe_experts=args.moe_experts
@@ -308,7 +310,12 @@ def cmd_pretrain(args) -> int:
     model, variables = _model_and_state(cfg, args, tokenizer)
     compute = jnp.float32 if args.fp32 else jnp.bfloat16
 
-    tx = base_transform(cfg.train.max_grad_norm, cfg.train.weight_decay)
+    tx = base_transform(
+        cfg.train.max_grad_norm, cfg.train.weight_decay,
+        moment_dtype=(
+            jnp.bfloat16 if getattr(args, "bf16_moments", False) else None
+        ),
+    )
     groups = {g.name: g.lr for g in cfg.train.groups} or {"default": cfg.train.lr}
     groups.setdefault("default", cfg.train.lr)
     label_fn = make_label_fn([g for g in groups if g != "default"])
@@ -1277,6 +1284,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="tanh-approximate GELU in the ViT tower "
                              "(1.19x on v5e, ~1e-3 departure from the "
                              "torchvision-exact erf — not for parity runs)")
+        sp.add_argument("--fused-attention", action="store_true",
+                        help="Pallas fused-MHA kernel in the ViT layers "
+                             "(bf16-exact; measured SLOWER in-model on "
+                             "v5e r1 — flag kept so the tradeoff stays "
+                             "re-measurable per XLA revision)")
         sp.add_argument("--moe-experts", type=int, default=0, metavar="E",
                         help="Switch-MoE text tower: every other block's "
                              "MLP routes over E experts (0 = dense parity "
@@ -1332,6 +1344,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "in A microbatches while the contrastive loss "
                          "keeps FULL-batch negatives (gradient-exact; "
                          "~A x less activation memory)")
+    sp.add_argument("--bf16-moments", action="store_true",
+                    help="store the first Adam moment in bf16 (halves "
+                         "that optimizer-state slice; second moment "
+                         "stays fp32 for sqrt(nu) dynamic range)")
     sp.set_defaults(fn=cmd_pretrain, preset="pretrain_clip")
 
     sp = sub.add_parser(
@@ -1401,6 +1417,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if os.environ.get("CLIP_FOR_DL_TPU_FORCE_CPU"):
+        # tools/real_data_dryrun.py and CI path-validation: force the CPU
+        # backend. The image's sitecustomize pre-imports jax with
+        # JAX_PLATFORMS=axon, so the env var alone doesn't switch —
+        # flip through jax.config before any backend init.
+        import jax
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
     if getattr(args, "virtual_devices", None):
         # --virtual-devices N: N virtual CPU devices so the multi-chip
         # flags (--num-devices/--tp/--pp/--ep) run without hardware

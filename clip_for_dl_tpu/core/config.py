@@ -76,6 +76,11 @@ class ModelConfig:
     # tanh-GELU serving knob: 1.19× ViT inference on v5e, ~1e-3 relative
     # departure from torchvision's exact erf — keep False for parity runs.
     vit_gelu_approximate: bool = False
+    # Pallas fused-MHA in the ViT layers (ops/attention.py). Measured r1:
+    # SLOWER in-model on v5e (relayout + fusion barrier, 139.8 vs
+    # 111.6 ms @ B=256) despite winning standalone — kept as a flag so the
+    # result is re-measurable per hardware/XLA revision (VERDICT r1 #2).
+    vit_fused_attention: bool = False
     use_multimodal_attention: bool = False
     remat: bool = False  # per-layer remat in the transformer towers
     remat_conv: bool = False  # per-block remat in the ResNet tower

@@ -62,7 +62,9 @@ class CXRClip(nn.Module):
                 hidden=cfg.vit_hidden, layers=cfg.vit_layers,
                 heads=cfg.vit_heads, mlp_dim=cfg.vit_mlp_dim,
                 remat=cfg.remat,
-                gelu_approximate=cfg.vit_gelu_approximate, **kw,
+                gelu_approximate=cfg.vit_gelu_approximate,
+                fused_attention=getattr(cfg, "vit_fused_attention", False),
+                **kw,
             )
         else:
             raise ValueError(f"unknown image tower {cfg.image_tower!r}")

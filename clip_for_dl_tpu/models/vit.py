@@ -33,6 +33,13 @@ class ViTEncoderLayer(nn.Module):
     mlp_dim: int
     dropout: float = 0.0
     gelu_approximate: bool = False  # see ViT.gelu_approximate
+    # Route q/k/v through the Pallas fused-MHA kernel (ops/attention.py).
+    # Measured r1 (B=256, v5e): standalone the kernel wins (6.97 vs
+    # 7.76 ms) but IN this model the [B,N,H,D]->[B,H,N,D] relayout +
+    # fusion barrier made the full forward SLOWER (139.8 vs 111.6 ms) —
+    # the flag exists so that result stays reproducible on every
+    # hardware/XLA revision rather than folklore. Off by default.
+    fused_attention: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -51,18 +58,29 @@ class ViTEncoderLayer(nn.Module):
         def split(t):
             return t.reshape(*t.shape[:-1], h, hd).transpose(0, 2, 1, 3)
 
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", split(q), split(k),
-            preferred_element_type=jnp.float32,
-        ) / jnp.sqrt(jnp.float32(hd))
-        probs = nn.softmax(logits, axis=-1)
-        if sow_weights:
-            self.sow("intermediates", "attention_weights", probs)
-        probs = nn.Dropout(self.dropout, deterministic=deterministic)(probs)
-        attn = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs.astype(self.dtype), split(v),
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
+        use_fused = (
+            self.fused_attention
+            and not sow_weights  # kernel never materializes the probs
+            and (self.dropout == 0.0 or deterministic)
+        )
+        if use_fused:
+            from ..ops.attention import multihead_attention
+
+            attn = multihead_attention(split(q), split(k), split(v))
+        else:
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", split(q), split(k),
+                preferred_element_type=jnp.float32,
+            ) / jnp.sqrt(jnp.float32(hd))
+            probs = nn.softmax(logits, axis=-1)
+            if sow_weights:
+                self.sow("intermediates", "attention_weights", probs)
+            probs = nn.Dropout(self.dropout, deterministic=deterministic)(probs)
+            attn = jnp.einsum(
+                "bhqk,bhkd->bhqd", probs.astype(self.dtype), split(v),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+        attn = attn.astype(self.dtype)
         attn = attn.transpose(0, 2, 1, 3).reshape(*x.shape)
         attn = nn.Dense(self.hidden, name="out_proj", **kw)(attn)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
@@ -92,6 +110,7 @@ class ViT(nn.Module):
     # (111.6 → 93.8 ms at B=256, measured) but departs from torchvision's
     # exact-erf GELU by ~1e-3 relative — parity runs must keep it False.
     gelu_approximate: bool = False
+    fused_attention: bool = False  # see ViTEncoderLayer.fused_attention
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -132,7 +151,7 @@ class ViT(nn.Module):
         for i in range(self.layers):
             x = layer_cls(
                 self.hidden, self.heads, self.mlp_dim, self.dropout,
-                self.gelu_approximate,
+                self.gelu_approximate, self.fused_attention,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",
             )(x, deterministic, sow_weights)

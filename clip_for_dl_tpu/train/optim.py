@@ -48,13 +48,23 @@ def base_transform(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    moment_dtype=None,
 ) -> optax.GradientTransformation:
     """clip → Adam moments → decoupled weight decay (torch-AdamW semantics:
-    decay applies to every parameter, matching the reference's default)."""
+    decay applies to every parameter, matching the reference's default).
+
+    ``moment_dtype=jnp.bfloat16`` stores the FIRST Adam moment (mu) in
+    bf16 — halves that slice of optimizer HBM. The second moment stays
+    fp32: ``sqrt(nu)`` spans many orders of magnitude and bf16's 8 mantissa
+    bits there measurably perturb small updates, while mu enters linearly
+    (standard mixed-precision-optimizer practice; parity guard in
+    tests/test_train.py::TestOptimizerParity)."""
     parts = []
     if max_grad_norm is not None:
         parts.append(optax.clip_by_global_norm(max_grad_norm))
-    parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    parts.append(
+        optax.scale_by_adam(b1=b1, b2=b2, eps=eps, mu_dtype=moment_dtype)
+    )
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay))
     return optax.chain(*parts)

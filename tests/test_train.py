@@ -530,3 +530,35 @@ class TestPartialRestoreGuard:
             np.asarray(restored["params"]["w"]), [1, 1, 1]
         )
         mgr.close()
+
+
+class TestBf16Moments:
+    """--bf16-moments parity guard: bf16 first-moment AdamW must track the
+    fp32 optimizer closely (mu enters the update linearly; nu stays fp32)."""
+
+    def test_updates_track_fp32(self, rng):
+        import optax
+
+        params = {"w": jnp.asarray(rng.standard_normal((64, 64)), jnp.float32)}
+        tx32 = base_transform(max_grad_norm=1.0, weight_decay=1e-3)
+        tx16 = base_transform(
+            max_grad_norm=1.0, weight_decay=1e-3, moment_dtype=jnp.bfloat16
+        )
+        s32, s16 = tx32.init(params), tx16.init(params)
+        # mu stored in bf16, nu in fp32
+        adam16 = s16[1]  # chain: clip, scale_by_adam, decay
+        assert jax.tree.leaves(adam16.mu)[0].dtype == jnp.bfloat16
+        assert jax.tree.leaves(adam16.nu)[0].dtype == jnp.float32
+        p32, p16 = params, params
+        for i in range(5):
+            g = {"w": jnp.asarray(
+                np.random.default_rng(i).standard_normal((64, 64)), jnp.float32
+            ) * 0.1}
+            u32, s32 = tx32.update(g, s32, p32)
+            u16, s16 = tx16.update(g, s16, p16)
+            p32 = optax.apply_updates(p32, jax.tree.map(lambda u: -1e-3 * u, u32))
+            p16 = optax.apply_updates(p16, jax.tree.map(lambda u: -1e-3 * u, u16))
+        # after 5 steps the parameters must agree to bf16-mu rounding
+        np.testing.assert_allclose(
+            np.asarray(p16["w"]), np.asarray(p32["w"]), atol=5e-5
+        )

@@ -118,11 +118,20 @@ def _last_json(out: str) -> dict:
     raise SystemExit(f"no JSON object in output:\n{out[-2000:]}")
 
 
+RUN_ON_CPU = True  # path validation, not perf: CPU compiles in seconds,
+# the tunneled-TPU compile of each command's graphs takes ~10 min. Pass
+# --tpu to exercise the accelerator backend end-to-end instead.
+
+
 def run_cli(args_list, timeout=900):
     cmd = [sys.executable, "-m", "clip_for_dl_tpu"] + args_list
     print("+", " ".join(args_list), flush=True)
+    env = dict(os.environ)
+    if RUN_ON_CPU:
+        env["JAX_PLATFORMS"] = "cpu"
+        env["CLIP_FOR_DL_TPU_FORCE_CPU"] = "1"
     proc = subprocess.run(
-        cmd, cwd=REPO, timeout=timeout,
+        cmd, cwd=REPO, timeout=timeout, env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
     if proc.returncode != 0:
@@ -209,7 +218,12 @@ def main(argv=None) -> int:
     # 6. gradcam — interpretability artifacts on a real decoded image
     run_cli(["gradcam", *sizing, *data_flags, "--fp32",
              "--checkpoint", ckpt, "--log-dir", logs, "--sample_index", "0"])
-    pngs = [f for f in os.listdir(logs) if f.endswith(".png")]
+    pngs = [
+        os.path.join(r, f)
+        for r, _, files in os.walk(logs)
+        for f in files
+        if f.endswith(".png")
+    ]
     assert pngs, "gradcam produced no PNG overlays"
     checks["gradcam_pngs"] = len(pngs)
 
