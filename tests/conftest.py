@@ -33,6 +33,35 @@ def pytest_configure(config):
     )
 
 
+def _slow_manifest():
+    """Measured-slow test ids (>=5 s call+setup on the 1-core container),
+    regenerated from a full `--durations=0` run — data-driven rather than
+    hand-maintained decorators. Explicit @pytest.mark.slow still works for
+    new tests known to be heavy before any timing run."""
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    if not os.path.exists(path):
+        return frozenset()
+    with open(path) as f:
+        return frozenset(
+            line.strip()
+            for line in f
+            if line.strip() and not line.startswith("#")
+        )
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = _slow_manifest()
+    if not slow:
+        return
+    for item in items:
+        nodeid = item.nodeid.replace(os.sep, "/")
+        if not nodeid.startswith("tests/"):
+            # invoked from inside tests/: normalize to repo-relative ids
+            nodeid = "tests/" + nodeid
+        if nodeid in slow or nodeid.split("[")[0] in slow:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
