@@ -80,6 +80,11 @@ def _apply_tiny(cfg, args, vocab_size: int):
         model = dataclasses.replace(
             model, text_moe_experts=args.moe_experts
         )
+    if getattr(args, "remat", False):
+        model = dataclasses.replace(
+            model, remat=True, remat_conv=True,
+            remat_policy=getattr(args, "remat_policy", "full"),
+        )
     if getattr(args, "tiny", False):
         model = dataclasses.replace(
             model,
@@ -1289,6 +1294,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "(bf16-exact; measured SLOWER in-model on "
                              "v5e r1 — flag kept so the tradeoff stays "
                              "re-measurable per XLA revision)")
+        sp.add_argument("--remat", action="store_true",
+                        help="rematerialize the encoder layers (memory ↔ "
+                             "recompute; lets B scale ~8x on HBM)")
+        sp.add_argument("--remat-policy", default="full",
+                        choices=("full", "dots", "dots_no_batch"),
+                        help="with --remat: what jax.checkpoint SAVES — "
+                             "'dots' keeps MXU results and recomputes only "
+                             "elementwise chains (cheapest recompute), "
+                             "'full' saves nothing (most memory saved)")
         sp.add_argument("--moe-experts", type=int, default=0, metavar="E",
                         help="Switch-MoE text tower: every other block's "
                              "MLP routes over E experts (0 = dense parity "

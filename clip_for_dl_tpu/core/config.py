@@ -84,6 +84,10 @@ class ModelConfig:
     use_multimodal_attention: bool = False
     remat: bool = False  # per-layer remat in the transformer towers
     remat_conv: bool = False  # per-block remat in the ResNet tower
+    # Which intermediates jax.checkpoint SAVES when remat is on:
+    # "full" (save nothing), "dots" (save MXU results — recompute only
+    # elementwise chains), "dots_no_batch", "none". See models/remat.py.
+    remat_policy: str = "full"
     # Mixture-of-experts text tower (beyond reference; Switch-Transformer
     # top-1 routing, models/moe.py). 0 experts = dense MLP everywhere.
     text_moe_experts: int = 0

@@ -150,6 +150,7 @@ class BertEncoder(nn.Module):
     max_position: int = 512
     dropout: float = 0.1
     remat: bool = False  # per-layer rematerialization (memory ↔ FLOPs)
+    remat_policy: str = "full"  # see models/remat.py
     # MoE (beyond reference): every `moe_every`-th block's MLP routes over
     # `moe_experts` experts (0 = dense everywhere).
     moe_experts: int = 0
@@ -184,9 +185,11 @@ class BertEncoder(nn.Module):
             bias = jnp.where(
                 attention_mask[:, None, None, :] > 0, 0.0, -1e10
             ).astype(jnp.float32)
-        layer_cls = BertLayer
-        if self.remat:
-            layer_cls = nn.remat(BertLayer, static_argnums=(3, 4))
+        from .remat import remat_wrap
+
+        layer_cls = remat_wrap(
+            BertLayer, self.remat, self.remat_policy, static_argnums=(3, 4)
+        )
         for i in range(self.layers):
             moe = (
                 self.moe_experts

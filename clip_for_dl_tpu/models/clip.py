@@ -54,6 +54,7 @@ class CXRClip(nn.Module):
             self.image_tower = ResNet(
                 stage_sizes=cfg.resnet_stages, width=cfg.resnet_width,
                 fold_bn=self.fold_bn, remat=cfg.remat_conv,
+                remat_policy=cfg.remat_policy,
                 space_to_depth=cfg.space_to_depth, **kw,
             )
         elif cfg.image_tower == "vit_b16":
@@ -61,7 +62,7 @@ class CXRClip(nn.Module):
                 image_size=cfg.image_size, patch=cfg.vit_patch,
                 hidden=cfg.vit_hidden, layers=cfg.vit_layers,
                 heads=cfg.vit_heads, mlp_dim=cfg.vit_mlp_dim,
-                remat=cfg.remat,
+                remat=cfg.remat, remat_policy=cfg.remat_policy,
                 gelu_approximate=cfg.vit_gelu_approximate,
                 fused_attention=getattr(cfg, "vit_fused_attention", False),
                 **kw,
@@ -74,6 +75,7 @@ class CXRClip(nn.Module):
             intermediate=cfg.text_intermediate_dim,
             max_position=cfg.text_max_position,
             dropout=cfg.dropout, remat=cfg.remat,
+            remat_policy=cfg.remat_policy,
             moe_experts=cfg.text_moe_experts, moe_every=cfg.text_moe_every,
             moe_capacity_factor=cfg.moe_capacity_factor, **kw,
         )

@@ -98,6 +98,7 @@ class ResNet(nn.Module):
     width: int = 64
     fold_bn: bool = False
     remat: bool = False  # per-block rematerialization for training memory
+    remat_policy: str = "full"  # see models/remat.py
     space_to_depth: bool = False  # MXU-efficient stem (see below)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -145,9 +146,11 @@ class ResNet(nn.Module):
         x = nn.max_pool(
             x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
         )
-        block_cls = BottleneckBlock
-        if self.remat:
-            block_cls = nn.remat(BottleneckBlock, static_argnums=(2,))
+        from .remat import remat_wrap
+
+        block_cls = remat_wrap(
+            BottleneckBlock, self.remat, self.remat_policy, static_argnums=(2,)
+        )
         for stage, num_blocks in enumerate(self.stage_sizes):
             features = self.width * (2 ** stage)
             for block in range(num_blocks):

@@ -106,6 +106,7 @@ class ViT(nn.Module):
     mlp_dim: int = 3072
     dropout: float = 0.0
     remat: bool = False  # per-layer rematerialization for training memory
+    remat_policy: str = "full"  # see models/remat.py
     # Serving knob: tanh-approximate GELU is 1.19× end-to-end on v5e
     # (111.6 → 93.8 ms at B=256, measured) but departs from torchvision's
     # exact-erf GELU by ~1e-3 relative — parity runs must keep it False.
@@ -145,9 +146,12 @@ class ViT(nn.Module):
         x = x + pos.astype(self.dtype)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
 
-        layer_cls = ViTEncoderLayer
-        if self.remat:
-            layer_cls = nn.remat(ViTEncoderLayer, static_argnums=(2, 3))
+        from .remat import remat_wrap
+
+        layer_cls = remat_wrap(
+            ViTEncoderLayer, self.remat, self.remat_policy,
+            static_argnums=(2, 3),
+        )
         for i in range(self.layers):
             x = layer_cls(
                 self.hidden, self.heads, self.mlp_dim, self.dropout,

@@ -37,6 +37,12 @@ def main(argv=None) -> int:
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the text tower (fits B=256)")
+    p.add_argument("--remat-policy", default="full",
+                   choices=("full", "dots", "dots_no_batch"),
+                   help="with --remat: what jax.checkpoint saves "
+                        "(see models/remat.py)")
+    p.add_argument("--remat-conv", action="store_true",
+                   help="also rematerialize the ResNet blocks")
     p.add_argument("--tiny", action="store_true")
     args = p.parse_args(argv)
     if args.batch_size < 1:
@@ -74,10 +80,14 @@ def main(argv=None) -> int:
                 text_embedding_dim=32, text_layers=1, text_heads=2,
                 text_intermediate_dim=64, shared_embedding_dim=32,
                 resnet_stages=(1, 1, 1, 1), resnet_width=8,
-                remat=args.remat,
+                remat=args.remat, remat_conv=args.remat_conv,
+                remat_policy=args.remat_policy,
             )
         else:
-            cfg = ModelConfig(max_text_length=seq, remat=args.remat)
+            cfg = ModelConfig(
+                max_text_length=seq, remat=args.remat,
+                remat_conv=args.remat_conv, remat_policy=args.remat_policy,
+            )
         model = CXRClip(cfg, dtype=jnp.bfloat16)
         variables = model.init(
             jax.random.key(0),
@@ -131,6 +141,7 @@ def main(argv=None) -> int:
             "batch": b,
             "seq_len": seq,
             "remat": args.remat,
+            "remat_policy": args.remat_policy if args.remat else None,
             "vs_baseline": round(img_s / baseline, 2),
             **mfu_fields(compiled, b, args.iters / dt),
         }))
