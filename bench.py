@@ -36,7 +36,15 @@ def main(argv=None) -> None:
     p.add_argument("--fused-attention", action="store_true",
                    help="Pallas fused-MHA in the ViT layers")
     p.add_argument("--batch", type=int, default=BATCH)
+    p.add_argument("--compiler-options", default=None, metavar="JSON",
+                   help="JSON dict of XLA backend compiler options passed "
+                        "to .compile() (the TPU-flag path that works "
+                        "through the axon tunnel — XLA_FLAGS TPU flags "
+                        "are rejected by the local client parse)")
     args = p.parse_args(argv)
+    compiler_options = (
+        json.loads(args.compiler_options) if args.compiler_options else None
+    )
     batch_n = args.batch
 
     from clip_for_dl_tpu.core.config import CLIP_MEAN, CLIP_STD, ModelConfig
@@ -92,7 +100,9 @@ def main(argv=None) -> None:
         )
     )
 
-    compiled = zero_shot_fn.lower(variables, images, text_features).compile()
+    compiled = zero_shot_fn.lower(variables, images, text_features).compile(
+        compiler_options=compiler_options
+    )
     zero_shot = lambda *a: compiled(*a)  # noqa: E731
 
     for _ in range(WARMUP):

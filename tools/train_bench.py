@@ -44,7 +44,15 @@ def main(argv=None) -> int:
     p.add_argument("--remat-conv", action="store_true",
                    help="also rematerialize the ResNet blocks")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--compiler-options", default=None, metavar="JSON",
+                   help="JSON dict of XLA backend compiler options passed "
+                        "to .compile() (TPU flags can't ride XLA_FLAGS "
+                        "through the axon client — this is the path that "
+                        "reaches the device compiler)")
     args = p.parse_args(argv)
+    compiler_options = (
+        json.loads(args.compiler_options) if args.compiler_options else None
+    )
     if args.batch_size < 1:
         p.error("--batch-size must be >= 1")
     if min(args.seq_lens) < 1:
@@ -122,7 +130,9 @@ def main(argv=None) -> int:
             ),
             "attention_mask": jax.device_put(np.ones((b, seq), np.int32)),
         }
-        compiled = step.lower(state, batch, lrs, jax.random.key(0)).compile()
+        compiled = step.lower(state, batch, lrs, jax.random.key(0)).compile(
+            compiler_options=compiler_options
+        )
         for i in range(args.warmup):
             state, metrics = compiled(state, batch, lrs, jax.random.key(i))
             float(np.asarray(metrics["loss"]))  # fence

@@ -1,10 +1,14 @@
-"""XLA flag sweep over the zero-shot bench (VERDICT r1 item 2's deferred
-latency-hiding-scheduler experiment, done systematically).
+"""XLA compiler-option sweep over the zero-shot bench (VERDICT r1 item 2's
+deferred latency-hiding-scheduler experiment, done systematically).
 
-XLA parses ``XLA_FLAGS`` once per process, so each configuration runs as a
-fresh subprocess of ``bench.py`` and the JSON lines are collected here.
-Results go to stdout and ``--out`` (JSONL); NOTES.md records the conclusions
-so negative results stay discoverable.
+TPU-backend flags CANNOT ride ``XLA_FLAGS`` in this environment: the axon
+client's local XLA build parses the env var and hard-fails on unknown
+(TPU-only) flags before anything reaches the device compiler. The working
+path is per-compile ``compiler_options`` on ``Lowered.compile()``, which the
+tunnel forwards to the backend — so each configuration runs ``bench.py
+--compiler-options '<json>'`` as a fresh subprocess and the JSON result
+lines are collected here. NOTES.md records the conclusions so negative
+results stay discoverable.
 
 Usage:
     python tools/xla_flag_sweep.py --tower vit          # the r1 laggard
@@ -21,43 +25,42 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Each entry: (name, extra XLA_FLAGS). Baseline first.
+# Each entry: (name, {compiler option: value}). Baseline first.
 SWEEP = [
-    ("baseline", ""),
+    ("baseline", {}),
     ("latency_hiding_scheduler",
-     "--xla_tpu_enable_latency_hiding_scheduler=true"),
-    ("aggressive_fusion",
-     "--xla_tpu_rwb_fusion=true"),
-    ("scoped_vmem_128m", "--xla_tpu_scoped_vmem_limit_kib=131072"),
-    ("no_multilevel_tiling", "--xla_jf_conv_full_precision=false"),
-    ("flash_sched+fusion",
-     "--xla_tpu_enable_latency_hiding_scheduler=true "
-     "--xla_tpu_rwb_fusion=true"),
+     {"xla_tpu_enable_latency_hiding_scheduler": "true"}),
+    ("aggressive_fusion", {"xla_tpu_rwb_fusion": "true"}),
+    ("scoped_vmem_128m", {"xla_tpu_scoped_vmem_limit_kib": "131072"}),
+    ("async_all_ops",
+     {"xla_tpu_enable_async_collective_fusion": "true"}),
+    ("sched+fusion",
+     {"xla_tpu_enable_latency_hiding_scheduler": "true",
+      "xla_tpu_rwb_fusion": "true"}),
 ]
 
 
-def run_one(name: str, flags: str, bench_args, timeout: int):
-    env = dict(os.environ)
-    if flags:
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
+def run_one(name: str, options: dict, bench_args, timeout: int):
+    cmd = [sys.executable, "bench.py", *bench_args]
+    if options:
+        cmd += ["--compiler-options", json.dumps(options)]
     proc = subprocess.run(
-        [sys.executable, "bench.py", *bench_args],
-        cwd=REPO, env=env, timeout=timeout,
+        cmd, cwd=REPO, timeout=timeout,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
     out = proc.stdout.decode(errors="replace")
     if proc.returncode != 0:
-        return {"config": name, "flags": flags, "error": out[-1000:]}
+        return {"config": name, "options": options, "error": out[-1000:]}
     # bench prints one JSON line last
     for line in reversed(out.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
             row = json.loads(line)
-            return {"config": name, "flags": flags,
+            return {"config": name, "options": options,
                     "img_per_sec": row["value"],
                     **{k: row[k] for k in ("mfu_pct", "tflops_per_sec")
                        if k in row}}
-    return {"config": name, "flags": flags, "error": "no JSON in output"}
+    return {"config": name, "options": options, "error": "no JSON in output"}
 
 
 def main(argv=None) -> int:
@@ -76,8 +79,8 @@ def main(argv=None) -> int:
         bench_args.append("--fast-gelu")
 
     rows = []
-    for name, flags in sweep:
-        row = run_one(name, flags, bench_args, args.timeout)
+    for name, options in sweep:
+        row = run_one(name, options, bench_args, args.timeout)
         rows.append(row)
         print(json.dumps(row), flush=True)
     if rows and "img_per_sec" in rows[0]:
