@@ -31,6 +31,9 @@ import time
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--tower", choices=["resnet", "vit"], default="resnet",
+                   help="image tower; vit matches the reference's ViT-B/16 "
+                        "pretrain row (15.2 img/s, vit nb cell 25)")
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--seq-lens", type=int, nargs="+", default=[200])
     p.add_argument("--iters", type=int, default=20)
@@ -44,6 +47,9 @@ def main(argv=None) -> int:
     p.add_argument("--remat-conv", action="store_true",
                    help="also rematerialize the ResNet blocks")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--bf16-moments", action="store_true",
+                   help="store the first Adam moment in bf16 "
+                        "(train/optim.py moment_dtype)")
     p.add_argument("--compiler-options", default=None, metavar="JSON",
                    help="JSON dict of XLA backend compiler options passed "
                         "to .compile() (TPU flags can't ride XLA_FLAGS "
@@ -73,7 +79,8 @@ def main(argv=None) -> int:
         make_label_fn,
     )
 
-    baseline = 17.7  # img/s, 02 nb cell 25
+    # 02 nb cell 25 (ResNet) / vit nb cell 25 (ViT)
+    baseline = 17.7 if args.tower == "resnet" else 15.2
     if args.tiny:
         args.batch_size = min(args.batch_size, 8)
         args.seq_lens = [min(s, 16) for s in args.seq_lens]
@@ -96,13 +103,18 @@ def main(argv=None) -> int:
                 max_text_length=seq, remat=args.remat,
                 remat_conv=args.remat_conv, remat_policy=args.remat_policy,
             )
+        if args.tower == "vit" and not args.tiny:
+            cfg = cfg.with_vit()
         model = CXRClip(cfg, dtype=jnp.bfloat16)
         variables = model.init(
             jax.random.key(0),
             jnp.zeros((1, size, size, 3)),
             jnp.zeros((1, seq), jnp.int32),
         )
-        tx = base_transform(max_grad_norm=1.0, weight_decay=1e-3)
+        tx = base_transform(
+            max_grad_norm=1.0, weight_decay=1e-3,
+            moment_dtype=jnp.bfloat16 if args.bf16_moments else None,
+        )
         label_fn = make_label_fn(
             ["image_tower", "text_tower", "image_projector", "text_projector"]
         )
@@ -144,16 +156,28 @@ def main(argv=None) -> int:
         img_s = b * args.iters / dt
         from clip_for_dl_tpu.utils.mfu import mfu_fields
 
+        hbm = {}
+        try:
+            ma = compiled.memory_analysis()
+            hbm = {
+                "hbm_args_gb": round(ma.argument_size_in_bytes / 2**30, 2),
+                "hbm_temp_gb": round(ma.temp_size_in_bytes / 2**30, 2),
+            }
+        except Exception:
+            pass
         print(json.dumps({
             "metric": "CLIP pretrain img/s/chip",
             "value": round(img_s, 1),
             "unit": "images/sec",
+            "tower": args.tower,
             "batch": b,
             "seq_len": seq,
             "remat": args.remat,
             "remat_policy": args.remat_policy if args.remat else None,
+            "bf16_moments": args.bf16_moments,
             "vs_baseline": round(img_s / baseline, 2),
             **mfu_fields(compiled, b, args.iters / dt),
+            **hbm,
         }))
     return 0
 
