@@ -47,7 +47,10 @@ def main(argv=None) -> None:
     )
     batch_n = args.batch
 
+    from clip_for_dl_tpu.core.compile_cache import enable_from_env
     from clip_for_dl_tpu.core.config import CLIP_MEAN, CLIP_STD, ModelConfig
+
+    enable_from_env()
     from clip_for_dl_tpu.models import CXRClip
     from clip_for_dl_tpu.ops.image_prep import preprocess_images
     from clip_for_dl_tpu.ops.similarity import similarity

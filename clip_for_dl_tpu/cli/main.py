@@ -1431,6 +1431,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from ..core.compile_cache import enable_from_env
+
+    enable_from_env()  # CLIP_FOR_DL_TPU_COMPILE_CACHE=<dir>: persistent
+    # XLA compile cache — minutes-long training compiles become disk rehits
     if os.environ.get("CLIP_FOR_DL_TPU_FORCE_CPU"):
         # tools/real_data_dryrun.py and CI path-validation: force the CPU
         # backend. The image's sitecustomize pre-imports jax with

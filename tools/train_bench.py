@@ -70,7 +70,10 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     import numpy as np
 
+    from clip_for_dl_tpu.core.compile_cache import enable_from_env
     from clip_for_dl_tpu.core.config import ModelConfig
+
+    enable_from_env()
     from clip_for_dl_tpu.models import CXRClip
     from clip_for_dl_tpu.train import (
         TrainState,
