@@ -47,9 +47,18 @@ def main(argv=None) -> None:
     )
     batch_n = args.batch
 
-    from clip_for_dl_tpu.core.compile_cache import enable_from_env
+    import os
+
+    from clip_for_dl_tpu.core.compile_cache import ENV_VAR, enable_from_env
     from clip_for_dl_tpu.core.config import CLIP_MEAN, CLIP_STD, ModelConfig
 
+    # default the persistent compile cache ON for the benchmark (repeat
+    # runs rehit the compiled executable from disk instead of paying the
+    # remote compile); opt out with CLIP_FOR_DL_TPU_COMPILE_CACHE=""
+    os.environ.setdefault(
+        ENV_VAR,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache"),
+    )
     enable_from_env()
     from clip_for_dl_tpu.models import CXRClip
     from clip_for_dl_tpu.ops.image_prep import preprocess_images
