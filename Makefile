@@ -1,4 +1,4 @@
-.PHONY: test test-fast bench native smoke parity latency pipeline scaling trainbench clean
+.PHONY: test test-fast bench native smoke parity latency pipeline scaling trainbench tracereport clean
 
 test:
 	python -m pytest tests/ -q
@@ -33,6 +33,9 @@ scaling:  ## multi-chip roofline from partitioned HLO (virtual mesh)
 
 trainbench:  ## pretrain step img/s on the chip (first compile is slow)
 	python tools/train_bench.py --batch-size 128 --seq-lens 200 64
+
+tracereport:  ## per-op device-time table from a jax.profiler capture
+	python tools/trace_report.py --workload zeroshot --tower resnet
 
 realdata:  ## day-one drill: Kaggle-layout dataset + full CLI chain + schema diff
 	python tools/real_data_dryrun.py
