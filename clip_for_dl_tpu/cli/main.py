@@ -76,6 +76,8 @@ def _apply_tiny(cfg, args, vocab_size: int):
         model = dataclasses.replace(model, vit_gelu_approximate=True)
     if getattr(args, "fused_attention", False):
         model = dataclasses.replace(model, vit_fused_attention=True)
+    if getattr(args, "bf16_attention_probs", False):
+        model = dataclasses.replace(model, bf16_attention_probs=True)
     if getattr(args, "moe_experts", 0):
         model = dataclasses.replace(
             model, text_moe_experts=args.moe_experts
@@ -1294,6 +1296,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "(bf16-exact; measured SLOWER in-model on "
                              "v5e r1 — flag kept so the tradeoff stays "
                              "re-measurable per XLA revision)")
+        sp.add_argument("--bf16-attention-probs", action="store_true",
+                        help="store attention probabilities in bf16 "
+                             "(halves the backward-saved [B,H,L,L] "
+                             "softmax residual + its layout copies; "
+                             "forward unchanged to bf16 rounding)")
         sp.add_argument("--remat", action="store_true",
                         help="rematerialize the encoder layers (memory ↔ "
                              "recompute; lets B scale ~8x on HBM)")

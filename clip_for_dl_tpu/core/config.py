@@ -81,6 +81,14 @@ class ModelConfig:
     # 111.6 ms @ B=256) despite winning standalone — kept as a flag so the
     # result is re-measurable per hardware/XLA revision (VERDICT r1 #2).
     vit_fused_attention: bool = False
+    # Training knob: store attention probabilities in bf16 in BOTH towers'
+    # transformer layers. Forward math unchanged to bf16 rounding (the PV
+    # einsum already casts); the backward-saved [B, H, L, L] softmax
+    # residual halves, and with it the layout copies XLA emits for the
+    # softmax/dropout backward (trace-measured ~12% of the B=128 seq200
+    # pretrain step — tools/trace_report.py). Opt-in, like bf16 Adam
+    # moments; gradient closeness is test-guarded.
+    bf16_attention_probs: bool = False
     use_multimodal_attention: bool = False
     remat: bool = False  # per-layer remat in the transformer towers
     remat_conv: bool = False  # per-block remat in the ResNet tower

@@ -58,6 +58,15 @@ class BertSelfAttention(nn.Module):
     hidden: int
     heads: int
     dropout: float = 0.1
+    # Store the softmax'd attention probabilities in bf16 (training knob).
+    # The forward math is unchanged to bf16 rounding (the PV einsum already
+    # casts probs to the compute dtype); what changes is the residual the
+    # backward pass SAVES: fp32 [B, H, L, L] per layer becomes bf16,
+    # halving its HBM footprint and the layout copies XLA emits for the
+    # softmax/dropout backward (trace-measured: those copies are ~12% of
+    # the B=128 seq200 pretrain step). Off by default for bitwise
+    # default-path stability; opt in via ModelConfig.bf16_attention_probs.
+    bf16_probs: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -81,6 +90,8 @@ class BertSelfAttention(nn.Module):
         probs = nn.softmax(logits, axis=-1)
         if sow_weights:
             self.sow("intermediates", "attention_weights", probs)
+        if self.bf16_probs:
+            probs = probs.astype(jnp.bfloat16)
         probs = nn.Dropout(self.dropout, deterministic=deterministic)(probs)
         out = jnp.einsum(
             "bhqk,bhkd->bhqd", probs.astype(self.dtype), vh,
@@ -98,6 +109,7 @@ class BertLayer(nn.Module):
     # shardable over the `expert` mesh axis (parallel/ep.py).
     moe_experts: int = 0
     moe_capacity_factor: float = 1.25
+    bf16_probs: bool = False  # see BertSelfAttention.bf16_probs
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -109,7 +121,8 @@ class BertLayer(nn.Module):
             epsilon=1e-12, dtype=jnp.float32, param_dtype=self.param_dtype
         )
         attn = BertSelfAttention(
-            self.hidden, self.heads, self.dropout, name="attention", **kw
+            self.hidden, self.heads, self.dropout,
+            bf16_probs=self.bf16_probs, name="attention", **kw
         )(x, bias, deterministic=deterministic, sow_weights=sow_weights)
         attn = nn.Dense(self.hidden, name="attention_output", **kw)(attn)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
@@ -156,6 +169,7 @@ class BertEncoder(nn.Module):
     moe_experts: int = 0
     moe_every: int = 2
     moe_capacity_factor: float = 1.25
+    bf16_probs: bool = False  # see BertSelfAttention.bf16_probs
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -200,6 +214,7 @@ class BertEncoder(nn.Module):
                 self.hidden, self.heads, self.intermediate, self.dropout,
                 moe_experts=moe,
                 moe_capacity_factor=self.moe_capacity_factor,
+                bf16_probs=self.bf16_probs,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",
             )(x, bias, deterministic, sow_weights)

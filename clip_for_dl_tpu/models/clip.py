@@ -65,6 +65,7 @@ class CXRClip(nn.Module):
                 remat=cfg.remat, remat_policy=cfg.remat_policy,
                 gelu_approximate=cfg.vit_gelu_approximate,
                 fused_attention=getattr(cfg, "vit_fused_attention", False),
+                bf16_probs=getattr(cfg, "bf16_attention_probs", False),
                 **kw,
             )
         else:
@@ -77,7 +78,8 @@ class CXRClip(nn.Module):
             dropout=cfg.dropout, remat=cfg.remat,
             remat_policy=cfg.remat_policy,
             moe_experts=cfg.text_moe_experts, moe_every=cfg.text_moe_every,
-            moe_capacity_factor=cfg.moe_capacity_factor, **kw,
+            moe_capacity_factor=cfg.moe_capacity_factor,
+            bf16_probs=getattr(cfg, "bf16_attention_probs", False), **kw,
         )
         self.image_projector = ImageProjection(
             out_dim=cfg.shared_embedding_dim, dropout=cfg.dropout, **kw

@@ -40,6 +40,10 @@ class ViTEncoderLayer(nn.Module):
     # the flag exists so that result stays reproducible on every
     # hardware/XLA revision rather than folklore. Off by default.
     fused_attention: bool = False
+    # Store attention probabilities in bf16 (training knob; halves the
+    # saved [B, H, N, N] softmax residual + its backward layout copies —
+    # see models/bert.py BertSelfAttention.bf16_probs for the trace data).
+    bf16_probs: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -75,6 +79,8 @@ class ViTEncoderLayer(nn.Module):
             probs = nn.softmax(logits, axis=-1)
             if sow_weights:
                 self.sow("intermediates", "attention_weights", probs)
+            if self.bf16_probs:
+                probs = probs.astype(jnp.bfloat16)
             probs = nn.Dropout(self.dropout, deterministic=deterministic)(probs)
             attn = jnp.einsum(
                 "bhqk,bhkd->bhqd", probs.astype(self.dtype), split(v),
@@ -112,6 +118,7 @@ class ViT(nn.Module):
     # exact-erf GELU by ~1e-3 relative — parity runs must keep it False.
     gelu_approximate: bool = False
     fused_attention: bool = False  # see ViTEncoderLayer.fused_attention
+    bf16_probs: bool = False  # see ViTEncoderLayer.bf16_probs
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -156,6 +163,7 @@ class ViT(nn.Module):
             x = layer_cls(
                 self.hidden, self.heads, self.mlp_dim, self.dropout,
                 self.gelu_approximate, self.fused_attention,
+                bf16_probs=self.bf16_probs,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",
             )(x, deterministic, sow_weights)

@@ -562,3 +562,72 @@ class TestBf16Moments:
         np.testing.assert_allclose(
             np.asarray(p16["w"]), np.asarray(p32["w"]), atol=5e-5
         )
+
+
+class TestBf16AttentionProbs:
+    """ModelConfig.bf16_attention_probs — the attention-probs storage knob.
+
+    The flag stores the softmax'd attention probabilities in bf16 so the
+    backward saves a half-size residual (and XLA drops the fp32 [B,H,L,L]
+    layout copies — trace-measured in NOTES.md). Math guard: forward
+    features and one full pretrain-step's gradients stay close to the
+    fp32-probs baseline."""
+
+    def _step_loss_and_grads(self, bf16_probs):
+        cfg = dataclasses.replace(TINY, bf16_attention_probs=bf16_probs)
+        model = CXRClip(cfg)
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+            jnp.zeros((1, 8), jnp.int32),
+        )
+        rng = np.random.default_rng(3)
+        batch = {
+            "images": jnp.asarray(
+                rng.integers(0, 255, (4, 16, 16, 3), dtype=np.uint8)
+            ),
+            "input_ids": jnp.asarray(
+                rng.integers(0, 64, (4, 8)).astype(np.int32)
+            ),
+            "attention_mask": jnp.ones((4, 8), jnp.int32),
+        }
+
+        def loss_fn(params):
+            from clip_for_dl_tpu.losses import clip_self_distill_loss
+            from clip_for_dl_tpu.ops.image_prep import preprocess_images
+
+            images = preprocess_images(
+                batch["images"], 16, 16, (0.0,) * 3, (1.0,) * 3, jnp.float32
+            )
+            (img_f, txt_f), _ = model.apply(
+                {**variables, "params": params},
+                images, batch["input_ids"], batch["attention_mask"],
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.key(7)},
+            )
+            return clip_self_distill_loss(txt_f, img_f, 2.0)
+
+        return jax.value_and_grad(loss_fn)(variables["params"])
+
+    def test_forward_and_grads_close_to_fp32_baseline(self):
+        loss32, g32 = self._step_loss_and_grads(False)
+        loss16, g16 = self._step_loss_and_grads(True)
+        assert np.isfinite(float(loss16))
+        assert abs(float(loss16) - float(loss32)) < 1e-2 * max(
+            1.0, abs(float(loss32))
+        )
+        flat32 = jnp.concatenate(
+            [x.ravel() for x in jax.tree.leaves(g32)]
+        )
+        flat16 = jnp.concatenate(
+            [x.ravel() for x in jax.tree.leaves(g16)]
+        )
+        denom = float(jnp.linalg.norm(flat32)) or 1.0
+        rel = float(jnp.linalg.norm(flat16 - flat32)) / denom
+        assert rel < 5e-2, rel
+
+    def test_default_off_is_bitwise_identical(self):
+        loss_a, g_a = self._step_loss_and_grads(False)
+        loss_b, g_b = self._step_loss_and_grads(False)
+        assert float(loss_a) == float(loss_b)
+        for x, y in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+            assert jnp.array_equal(x, y)

@@ -50,6 +50,9 @@ def main(argv=None) -> int:
     p.add_argument("--bf16-moments", action="store_true",
                    help="store the first Adam moment in bf16 "
                         "(train/optim.py moment_dtype)")
+    p.add_argument("--bf16-attention-probs", action="store_true",
+                   help="bf16 attention probabilities (halves the saved "
+                        "softmax residual + its bwd layout copies)")
     p.add_argument("--compiler-options", default=None, metavar="JSON",
                    help="JSON dict of XLA backend compiler options passed "
                         "to .compile() (TPU flags can't ride XLA_FLAGS "
@@ -108,6 +111,10 @@ def main(argv=None) -> int:
             )
         if args.tower == "vit" and not args.tiny:
             cfg = cfg.with_vit()
+        if args.bf16_attention_probs:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, bf16_attention_probs=True)
         model = CXRClip(cfg, dtype=jnp.bfloat16)
         variables = model.init(
             jax.random.key(0),
@@ -178,6 +185,7 @@ def main(argv=None) -> int:
             "remat": args.remat,
             "remat_policy": args.remat_policy if args.remat else None,
             "bf16_moments": args.bf16_moments,
+            "bf16_attention_probs": args.bf16_attention_probs,
             "vs_baseline": round(img_s / baseline, 2),
             **mfu_fields(compiled, b, args.iters / dt),
             **hbm,
