@@ -203,9 +203,15 @@ def _loaders(cfg, args, multi_view=True):
         num_threads=cfg.data.num_workers,
         drop_last=len(train_ds) > bs, pad_final=True, **shard_kwargs,
     )
+    # eval keeps every sample: pad the shard (mask-0 repeats keep ranks
+    # length-synchronized) instead of truncating like the train loader
+    val_shard_kwargs = dict(shard_kwargs)
+    if val_shard_kwargs.pop("even_shards", False):
+        val_shard_kwargs["pad_shards"] = True
     val_loader = HostLoader(
         val_ds, bs, shuffle=False, seed=cfg.data.seed,
-        num_threads=cfg.data.num_workers, pad_final=True, **shard_kwargs,
+        num_threads=cfg.data.num_workers, pad_final=True,
+        **val_shard_kwargs,
     )
     return train_loader, val_loader
 
@@ -217,6 +223,43 @@ def _loaders(cfg, args, multi_view=True):
 
 def _num_devices(args) -> int:
     return int(getattr(args, "num_devices", None) or 0)
+
+
+def _effective_dp_devices(args) -> int:
+    """The dp mesh size _maybe_dp will actually build: --num-devices, or
+    the whole slice when running multi-process (where the mesh must cover
+    every global device even if --num-devices was left unset)."""
+    import jax
+
+    n = _num_devices(args)
+    if not n and jax.process_count() > 1:
+        n = len(jax.devices())
+    return n
+
+
+def _inference_mesh(args, cfg):
+    """Shared zeroshot/serve mesh setup: (data,) or (data, model) mesh per
+    --num-devices/--tp, with the same TP divisibility contract the training
+    paths enforce — an invalid degree dies here with a clear message
+    instead of an opaque XLA uneven-sharding error at first batch."""
+    if _num_devices(args) <= 1:
+        return None
+    tp = int(getattr(args, "tp", None) or 1)
+    if tp > 1:
+        from ..parallel import create_dp_tp_mesh, validate_tp
+
+        try:
+            validate_tp(
+                cfg.model.text_heads, cfg.model.text_intermediate_dim, tp
+            )
+            if cfg.model.image_tower == "vit_b16":
+                validate_tp(cfg.model.vit_heads, cfg.model.vit_mlp_dim, tp)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        return create_dp_tp_mesh(tp, num_devices=_num_devices(args))
+    from ..core.mesh import create_mesh
+
+    return create_mesh(_num_devices(args))
 
 
 def _primary() -> bool:
@@ -413,8 +456,11 @@ def cmd_pretrain(args) -> int:
         if getattr(args, "local_loss", False):
             # open-CLIP local-loss block form: [b, B] similarity blocks
             # inside shard_map instead of B² on every device
-            if _num_devices(args) <= 1:
-                raise SystemExit("--local-loss requires --num-devices > 1")
+            if _effective_dp_devices(args) <= 1:
+                raise SystemExit(
+                    "--local-loss requires a dp mesh (--num-devices > 1, "
+                    "or a multi-process run whose slice has > 1 device)"
+                )
             if (getattr(args, "pp", 0) or 0) > 1 or (
                 getattr(args, "ep", 1) or 1
             ) > 1:
@@ -424,7 +470,7 @@ def cmd_pretrain(args) -> int:
                 )
             from ..core.mesh import create_mesh
 
-            local_mesh = create_mesh(_num_devices(args))
+            local_mesh = create_mesh(_effective_dp_devices(args))
         accum = int(getattr(args, "accum_steps", 1) or 1)
         if accum > 1:
             # GradCache two-pass accumulation: microbatched towers,
@@ -940,28 +986,7 @@ def cmd_zeroshot(args) -> int:
     tokenizer = _tokenizer(args)
     cfg = _apply_tiny(cfg, args, len(tokenizer.vocab))
     model, variables = _model_and_state(cfg, args, tokenizer)
-    mesh = None
-    if _num_devices(args) > 1:
-        tp = int(getattr(args, "tp", None) or 1)
-        if tp > 1:
-            from ..parallel import create_dp_tp_mesh, validate_tp
-
-            # same divisibility contract the training paths enforce — an
-            # invalid degree dies here with a clear message instead of an
-            # opaque XLA uneven-sharding error at first batch
-            try:
-                validate_tp(
-                    cfg.model.text_heads, cfg.model.text_intermediate_dim, tp
-                )
-                if cfg.model.image_tower == "vit_b16":
-                    validate_tp(cfg.model.vit_heads, cfg.model.vit_mlp_dim, tp)
-            except ValueError as e:
-                raise SystemExit(str(e))
-            mesh = create_dp_tp_mesh(tp, num_devices=_num_devices(args))
-        else:
-            from ..core.mesh import create_mesh
-
-            mesh = create_mesh(_num_devices(args))
+    mesh = _inference_mesh(args, cfg)
     engine = ZeroShotEngine(
         model, variables, tokenizer, DISEASE_LABELS, cfg.zeroshot,
         cfg.augment.mean, cfg.augment.std, cfg.model.image_size,
@@ -1176,28 +1201,7 @@ def cmd_serve(args) -> int:
     tokenizer = _tokenizer(args)
     cfg = _apply_tiny(cfg, args, len(tokenizer.vocab))
     model, variables = _model_and_state(cfg, args, tokenizer)
-    mesh = None
-    if _num_devices(args) > 1:
-        tp = int(getattr(args, "tp", None) or 1)
-        if tp > 1:
-            from ..parallel import create_dp_tp_mesh, validate_tp
-
-            # same divisibility contract the training paths enforce — an
-            # invalid degree dies here with a clear message instead of an
-            # opaque XLA uneven-sharding error at first batch
-            try:
-                validate_tp(
-                    cfg.model.text_heads, cfg.model.text_intermediate_dim, tp
-                )
-                if cfg.model.image_tower == "vit_b16":
-                    validate_tp(cfg.model.vit_heads, cfg.model.vit_mlp_dim, tp)
-            except ValueError as e:
-                raise SystemExit(str(e))
-            mesh = create_dp_tp_mesh(tp, num_devices=_num_devices(args))
-        else:
-            from ..core.mesh import create_mesh
-
-            mesh = create_mesh(_num_devices(args))
+    mesh = _inference_mesh(args, cfg)
     engine = ZeroShotEngine(
         model, variables, tokenizer, DISEASE_LABELS, cfg.zeroshot,
         cfg.augment.mean, cfg.augment.std, cfg.model.image_size,

@@ -55,6 +55,7 @@ class HostLoader:
         shard_index: int = 0,
         num_shards: int = 1,
         even_shards: bool = False,
+        pad_shards: bool = False,
     ):
         """`shard_index`/`num_shards`: multi-host data parallelism — every
         host sees the same global shuffle (seed+epoch) and takes a disjoint
@@ -64,7 +65,14 @@ class HostLoader:
         multiple of ``num_shards`` so every shard yields exactly the same
         number of batches — REQUIRED for synchronized multi-process
         training, where a one-batch length skew would deadlock the ranks
-        in a collective."""
+        in a collective.
+
+        ``pad_shards=True`` is the EVAL counterpart: instead of truncating,
+        the global order is padded up to a multiple of ``num_shards`` with
+        repeated samples whose ``mask`` entries are 0 — shards stay
+        length-synchronized (no collective deadlock) and every sample is
+        scored exactly once (run_eval drops mask-0 rows). Requires
+        ``pad_final=True`` (the mask channel)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -74,9 +82,14 @@ class HostLoader:
         self.pad_final = pad_final
         self.prefetch = prefetch
         assert 0 <= shard_index < num_shards
+        if even_shards and pad_shards:
+            raise ValueError("even_shards and pad_shards are exclusive")
+        if pad_shards and not pad_final:
+            raise ValueError("pad_shards needs pad_final (the mask channel)")
         self.shard_index = shard_index
         self.num_shards = num_shards
         self.even_shards = even_shards
+        self.pad_shards = pad_shards
         self._epoch = 0
         self._step = 0
         self._resume = False
@@ -85,6 +98,8 @@ class HostLoader:
         n = len(self.dataset)
         if self.even_shards:
             return n // self.num_shards
+        if self.pad_shards and self.num_shards > 1:
+            return -(-n // self.num_shards)
         return len(range(self.shard_index, n, self.num_shards))
 
     def __len__(self) -> int:
@@ -93,20 +108,30 @@ class HostLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
-    def _batch_indices(self) -> Iterator[np.ndarray]:
+    def _batch_indices(self) -> Iterator[tuple]:
+        """Yields (indices, valid) — `valid` marks shard-padding entries
+        (repeated samples added by pad_shards) whose mask must be 0."""
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
+        valid = np.ones(len(order), bool)
         if self.num_shards > 1:
             if self.even_shards:
                 order = order[: self.num_shards * (n // self.num_shards)]
+                valid = valid[: len(order)]
+            elif self.pad_shards and n % self.num_shards:
+                extra = self.num_shards - n % self.num_shards
+                order = np.concatenate([order, order[:extra]])
+                valid = np.concatenate([valid, np.zeros(extra, bool)])
             order = order[self.shard_index :: self.num_shards]
+            valid = valid[self.shard_index :: self.num_shards]
         m = len(order)
         stop = (m // self.batch_size) * self.batch_size if self.drop_last else m
         for start in range(0, stop, self.batch_size):
-            yield order[start : start + self.batch_size]
+            sl = slice(start, start + self.batch_size)
+            yield order[sl], valid[sl]
 
     # -- mid-epoch resume ---------------------------------------------------
 
@@ -136,7 +161,7 @@ class HostLoader:
 
         def producer():
             with ThreadPoolExecutor(self.num_threads) as pool:
-                for i, idx in enumerate(self._batch_indices()):
+                for i, (idx, valid) in enumerate(self._batch_indices()):
                     if i < skip:
                         continue
                     samples = list(pool.map(self.dataset.__getitem__, idx))
@@ -146,6 +171,8 @@ class HostLoader:
                         batch = _pad_batch(batch, self.batch_size, real)
                     elif self.pad_final:
                         batch["mask"] = np.ones(real, np.float32)
+                    if self.pad_final and not valid.all():
+                        batch["mask"][:real] *= valid.astype(np.float32)
                     queue.put(batch)
             queue.put(sentinel)
 

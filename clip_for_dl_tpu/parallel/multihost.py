@@ -137,6 +137,24 @@ def fetch_global(x):
     return np.asarray(x)
 
 
+def gather_host(x):
+    """All-gather HOST-side (numpy) per-process data into the global row
+    order (process-major, matching a global device array's block layout).
+
+    Distinct from :func:`fetch_global`, which gathers only when given a
+    non-fully-addressable ``jax.Array`` and passes numpy through untouched
+    — host-side batch fields (labels, masks) are plain numpy on every
+    process and must ALWAYS be gathered to line up with gathered device
+    outputs."""
+    import numpy as np
+
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.process_allgather(np.asarray(x), tiled=True)
+    )
+
+
 def local_batch_to_global(
     batch: Mapping[str, Any],
     mesh: Mesh,

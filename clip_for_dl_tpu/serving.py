@@ -32,7 +32,7 @@ import threading
 import time
 from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from queue import Empty, Queue
+from queue import Empty, Full, Queue
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -129,11 +129,24 @@ class MicroBatcher:
             }
 
     def close(self):
+        # Drain WHILE waiting for the threads to die, not once after: the
+        # assembler can be blocked in the bounded hand-off put() (e.g. the
+        # finalizer is mid-fetch through a slow tunnel) — draining frees
+        # the slot so it exits, and the final sweep below catches an entry
+        # deposited after the finalizer's stop-and-empty exit check.
         self._stop.set()
-        self._worker.join(timeout=5)
-        self._finalizer.join(timeout=5)
-        # fail pending work fast instead of leaving callers to hit their
-        # result() timeout during shutdown
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline and (
+            self._worker.is_alive() or self._finalizer.is_alive()
+        ):
+            self._fail_pending()
+            self._worker.join(timeout=0.1)
+            self._finalizer.join(timeout=0.1)
+        self._fail_pending()  # final sweep once both threads are dead
+
+    def _fail_pending(self):
+        """Fail queued/inflight work fast instead of leaving callers to
+        hit their result() timeout during shutdown."""
         for q in (self._inflight, self.queue):
             while True:
                 try:
@@ -191,15 +204,30 @@ class MicroBatcher:
                 # while this thread loops back to assemble the next batch
                 handle = self.predict_fn(images)
                 asm_ms = (time.monotonic() - t_asm) * 1e3
-                self._inflight.put(
+                self._put_inflight(
                     (items, handle, None, time.monotonic(), asm_ms,
                      queue_waits, size)
                 )
             except Exception as exc:
-                self._inflight.put(
+                self._put_inflight(
                     (items, None, exc, time.monotonic(), 0.0,
                      queue_waits, size)
                 )
+
+    def _put_inflight(self, entry):
+        """Bounded hand-off put that cannot outlive shutdown: once _stop is
+        set the entry's callers are failed here instead of being deposited
+        into a queue whose finalizer/drain may already be gone."""
+        while not self._stop.is_set():
+            try:
+                self._inflight.put(entry, timeout=0.1)
+                return
+            except Full:
+                continue
+        exc = entry[2] or RuntimeError("batcher closed")
+        for _, fut in entry[0]:
+            if not fut.done():
+                fut.set_exception(exc)
 
     def _finalize(self):
         while not (self._stop.is_set() and self._inflight.empty()):

@@ -28,8 +28,24 @@ def _ocp():
     return ocp
 
 
+# Preemption-slot keys are epoch * base + batch_step: monotone across
+# repeated preemptions, so a new save never reuses (= never deletes) the
+# key of the copy it replaces — retention prunes the old one only after
+# the new one is committed.
+_PREEMPT_BASE = 1_000_000
+
+
 class CheckpointManager:
-    """Train-state checkpoints keyed by epoch, best tracked by metric."""
+    """Train-state checkpoints keyed by epoch, best tracked by metric.
+
+    Mid-epoch preemption saves live in a separate single-slot manager
+    (``<directory>/preempt``) rather than under the epoch keys: the main
+    manager ranks checkpoints by ``metric_name`` for best-k retention, and
+    a mid-epoch save has no metric — parking it at ``val_loss=inf`` inside
+    the same manager would make orbax garbage-collect it as the
+    worst-ranked checkpoint the moment ``max_to_keep`` is exceeded
+    (verified on orbax 0.11), silently breaking step-granular resume after
+    epoch ``max_to_keep``."""
 
     def __init__(
         self,
@@ -49,13 +65,31 @@ class CheckpointManager:
             enable_async_checkpointing=True,
         )
         self.manager = ocp.CheckpointManager(self.directory, options=options)
+        self._preempt_manager = None
+
+    @property
+    def _preempt(self):
+        if self._preempt_manager is None:
+            ocp = _ocp()
+            self._preempt_manager = ocp.CheckpointManager(
+                os.path.join(self.directory, "preempt"),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=1,
+                    create=True,
+                    # synchronous: a preemption save must be durable before
+                    # the process exits on the termination signal
+                    enable_async_checkpointing=False,
+                ),
+            )
+        return self._preempt_manager
 
     def save(self, epoch: int, state, extra: Optional[Dict[str, Any]] = None,
              metrics: Optional[Dict[str, float]] = None) -> None:
         ocp = _ocp()
         if epoch in (self.manager.all_steps() or ()):
-            # a mid-epoch preemption save uses the same epoch key the
-            # completed epoch will later reuse — replace, don't collide
+            # legacy layouts only (pre-preempt-slot mid-epoch saves used
+            # the epoch key): replace, don't collide. New mid-epoch saves
+            # go through save_preempt and never reuse an epoch key.
             self.manager.wait_until_finished()
             self.manager.delete(epoch)
         self.manager.save(
@@ -174,10 +208,82 @@ class CheckpointManager:
     def best_epoch(self) -> Optional[int]:
         return self.manager.best_step()
 
+    # -- mid-epoch preemption slot (see class docstring) -------------------
+
+    def save_preempt(self, epoch: int, state,
+                     extra: Optional[Dict[str, Any]] = None) -> None:
+        """Durable mid-epoch save, outside best-k retention. `extra` is the
+        resume payload ({mid_epoch, loader, num_batches})."""
+        ocp = _ocp()
+        step = 0
+        if extra and isinstance(extra.get("loader"), dict):
+            step = int(extra["loader"].get("step", 0))
+        key = epoch * _PREEMPT_BASE + min(max(step, 0), _PREEMPT_BASE - 1)
+        self._preempt.save(key, args=ocp.args.StandardSave({"state": state}))
+        self._preempt.wait_until_finished()
+        if jax.process_index() != 0:
+            return
+        if extra:
+            import json
+
+            path = os.path.join(self.directory, "preempt",
+                                 f"extra_{key}.json")
+            with open(path, "w") as f:
+                json.dump(extra, f)
+
+    def preempt_latest(self) -> Optional[int]:
+        """Epoch of the newest preemption save, or None."""
+        if not os.path.isdir(os.path.join(self.directory, "preempt")):
+            return None  # don't create the slot dir just by probing
+        key = self._preempt.latest_step()
+        return None if key is None else key // _PREEMPT_BASE
+
+    def restore_preempt(self, state_template):
+        """Restore (state, extra) from the newest preemption save."""
+        ocp = _ocp()
+        key = self._preempt.latest_step()
+        if key is None:
+            return None, None
+        restored = self._preempt.restore(
+            key, args=ocp.args.StandardRestore({"state": state_template})
+        )
+        extra = None
+        path = os.path.join(self.directory, "preempt", f"extra_{key}.json")
+        if os.path.exists(path):
+            import json
+
+            with open(path) as f:
+                extra = json.load(f)
+        return restored["state"], extra
+
+    def prune_preempt(self) -> None:
+        """Drop preemption saves superseded by a committed completed-epoch
+        checkpoint. Called after wait() so the completed save is durable
+        first — never inside save(), where deleting the only other copy
+        would reopen the lose-both-on-crash window."""
+        if self._preempt_manager is None and not os.path.isdir(
+            os.path.join(self.directory, "preempt")
+        ):
+            return
+        latest = self.manager.latest_step()
+        if latest is None:
+            return
+        for key in list(self._preempt.all_steps() or ()):
+            if key // _PREEMPT_BASE <= latest:
+                self._preempt.delete(key)
+                if jax.process_index() == 0:
+                    path = os.path.join(self.directory, "preempt",
+                                        f"extra_{key}.json")
+                    if os.path.exists(path):
+                        os.remove(path)
+
     def wait(self) -> None:
         self.manager.wait_until_finished()
+        self.prune_preempt()
 
     def close(self) -> None:
+        if self._preempt_manager is not None:
+            self._preempt_manager.close()
         self.manager.close()
 
 

@@ -108,15 +108,7 @@ def run_eval(
     masks: List[np.ndarray] = []
     import jax as _jax
 
-    def _gather_host(x):
-        # multihost: every process holds only its local batch rows — tile
-        # them into the global row order (process-major, matching the
-        # global probs array's device-block layout)
-        from jax.experimental import multihost_utils
-
-        return np.asarray(multihost_utils.process_allgather(
-            np.asarray(x), tiled=True
-        ))
+    from ..parallel.multihost import gather_host as _gather_host
 
     for batch in loader:
         metrics = eval_fn(state, batch, *step_args)
@@ -213,10 +205,16 @@ def fit(
                         extra_state["num_batches"] = len(stateful_loader)
                     except TypeError:
                         pass
-                checkpointer.save(
-                    epoch, state, extra=extra_state,
-                    metrics={"val_loss": float("inf")},
-                )
+                if hasattr(checkpointer, "save_preempt"):
+                    # dedicated slot outside best-k retention — a metric-
+                    # less save parked at val_loss=inf inside the ranked
+                    # manager would be GC'd as worst-ranked immediately
+                    checkpointer.save_preempt(epoch, state, extra_state)
+                else:
+                    checkpointer.save(
+                        epoch, state, extra=extra_state,
+                        metrics={"val_loss": float("inf")},
+                    )
                 logger.warning(
                     "mid-epoch checkpoint saved at epoch %d — restart "
                     "resumes the remaining batches", epoch,
@@ -272,9 +270,20 @@ def resume_or_init(checkpointer, state_template: TrainState, loader=None):
     if checkpointer is None:
         return state_template, 0
     latest = checkpointer.latest_epoch()
-    if latest is None:
+    preempt_epoch = (
+        checkpointer.preempt_latest()
+        if hasattr(checkpointer, "preempt_latest") else None
+    )
+    if preempt_epoch is not None and (latest is None
+                                      or preempt_epoch > latest):
+        # the newest durable state is a mid-epoch preemption save
+        state, extra = checkpointer.restore_preempt(state_template)
+        extra = extra or {"mid_epoch": True}
+        latest = preempt_epoch
+    elif latest is None:
         return state_template, 0
-    state, extra = checkpointer.restore(state_template, latest)
+    else:
+        state, extra = checkpointer.restore(state_template, latest)
     if extra and extra.get("mid_epoch"):
         loader_state = extra.get("loader")
         num_batches = extra.get("num_batches")

@@ -166,3 +166,37 @@ class TestLoaderSharding:
         l0 = HostLoader(ds, batch_size=4, shard_index=0, num_shards=2)
         l1 = HostLoader(ds, batch_size=4, shard_index=1, num_shards=2)
         assert len(l0) == 3 and len(l1) == 3  # 11 and 10 samples
+
+    def test_pad_shards_scores_every_sample_once(self):
+        """Eval sharding (pad_shards): shards stay length-synchronized
+        (no collective deadlock) AND no sample is dropped — the truncating
+        even_shards policy loses up to num_shards-1 eval samples, which is
+        wrong for validation metrics."""
+        ds = SyntheticMultiViewDataset(n=19, image_size=8)  # 19 = 4*4+3
+        lens, seen = [], []
+        for shard in range(4):
+            loader = HostLoader(
+                ds, batch_size=3, shuffle=False, seed=0,
+                shard_index=shard, num_shards=4, pad_final=True,
+                pad_shards=True,
+            )
+            lens.append(len(loader))
+            batches = list(loader)
+            assert len(batches) == len(loader)
+            for batch in batches:
+                m = batch["mask"].astype(bool)
+                seen.extend(
+                    f for f, keep in zip(batch["findings"], m) if keep
+                )
+        assert len(set(lens)) == 1  # every shard yields the same count
+        all_findings = [ds[i]["findings"] for i in range(19)]
+        assert sorted(seen) == sorted(all_findings)  # exactly once each
+
+    def test_pad_shards_requires_mask_channel(self):
+        ds = SyntheticMultiViewDataset(n=8, image_size=8)
+        with pytest.raises(ValueError):
+            HostLoader(ds, batch_size=2, num_shards=2, shard_index=0,
+                       pad_final=False, pad_shards=True)
+        with pytest.raises(ValueError):
+            HostLoader(ds, batch_size=2, num_shards=2, shard_index=0,
+                       even_shards=True, pad_shards=True)

@@ -96,6 +96,46 @@ class TestMicroBatcher:
             with pytest.raises(RuntimeError, match="batcher closed"):
                 queued.result(timeout=1)
 
+    def test_close_resolves_futures_behind_blocked_handoff(self):
+        """Regression: shutdown while the finalizer is mid-fetch (slow
+        tunnel), the depth-2 hand-off queue full, and the assembler blocked
+        in put(). Every pending future must still resolve — pre-fix, an
+        entry deposited after close()'s one-shot drain hung its callers
+        forever."""
+        import threading
+
+        fetch_gate = threading.Event()
+
+        def blocking_fetch(handle):
+            fetch_gate.wait(20)
+            return np.asarray(handle)
+
+        batcher = MicroBatcher(
+            lambda x: x.sum(axis=(1, 2, 3)), buckets=(1,),
+            max_wait_ms=1.0, fetch_fn=blocking_fetch,
+        )
+        # 1st batch: finalizer blocks in fetch; 2nd+3rd fill the depth-2
+        # hand-off; 4th leaves the assembler blocked in put()
+        futs = [batcher.submit(np.ones((2, 2, 3), np.uint8))
+                for _ in range(4)]
+        deadline = time.monotonic() + 5
+        while time.monotonic() < deadline and not (
+            batcher._inflight.full() and batcher.queue.empty()
+        ):  # assembler now blocked in put() on the 4th batch
+            time.sleep(0.02)
+
+        closer = threading.Thread(target=batcher.close)
+        closer.start()
+        # the blocked-put and drained entries fail fast even while the
+        # finalizer is still stuck in fetch
+        for fut in futs[1:]:
+            with pytest.raises(RuntimeError, match="batcher closed"):
+                fut.result(timeout=5)
+        fetch_gate.set()  # release the finalizer; first future completes
+        closer.join(timeout=15)
+        assert not closer.is_alive()
+        assert futs[0].done()
+
     def test_predict_failure_propagates(self):
         def boom(x):
             raise RuntimeError("device fell over")

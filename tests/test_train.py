@@ -454,7 +454,10 @@ class TestMidEpochResume:
             ),
         )
         mgr.wait()
-        assert mgr.latest_epoch() == 0
+        # the mid-epoch save lands in the preempt slot, NOT the ranked
+        # manager (whose best-k retention would GC a metric-less save)
+        assert mgr.latest_epoch() is None
+        assert mgr.preempt_latest() == 0
         assert len(seen_first) == 4  # 2 batches x 2 samples
 
         # run 2 (fresh process): resume replays the remaining 2 batches of
@@ -505,6 +508,41 @@ class TestMidEpochResume:
         mgr.wait()
         _, start = resume_or_init(mgr, template)  # no loader to replay into
         assert start == 4
+        mgr.close()
+
+    def test_preempt_save_survives_best_k_retention(self, tmp_path):
+        """Regression: a mid-epoch save must outlive best-k retention.
+
+        Saving it inside the ranked manager at val_loss=inf made orbax
+        garbage-collect it as the worst-ranked checkpoint as soon as
+        max_to_keep was exceeded — step-granular preemption resume then
+        silently regressed to the previous completed epoch. The dedicated
+        preempt slot is retention-exempt."""
+        from clip_for_dl_tpu.train import CheckpointManager, resume_or_init
+
+        tx = base_transform()
+        template = TrainState.create({"params": {"w": jnp.zeros(2)}}, tx)
+        mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=3)
+        for e in range(4):  # one more than max_to_keep
+            mgr.save(e, template, metrics={"val_loss": 1.0 - 0.1 * e})
+        mgr.wait()
+        mgr.save_preempt(
+            4, template,
+            {"mid_epoch": True, "loader": {"epoch": 4, "step": 1},
+             "num_batches": 4},
+        )
+        mgr.wait()  # prune must NOT drop a slot newer than latest_epoch
+        assert mgr.preempt_latest() == 4
+        _, start = resume_or_init(mgr, template)
+        # pre-fix the GC'd save made this resume from epoch 3 (start 4)
+        assert start == 5  # mid-epoch 4 seen, no loader -> next epoch
+
+        # a committed completed-epoch save supersedes the slot on wait()
+        mgr.save(4, template, metrics={"val_loss": 0.5})
+        mgr.wait()
+        assert mgr.preempt_latest() is None
+        _, start = resume_or_init(mgr, template)
+        assert start == 5
         mgr.close()
 
 

@@ -21,6 +21,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
+import dataclasses
 import json
 import tempfile
 
@@ -75,12 +76,20 @@ def main(argv=None) -> int:
             text_embedding_dim=32, text_layers=1, text_heads=2,
             text_intermediate_dim=64, shared_embedding_dim=32,
             resnet_stages=(1, 1, 1, 1), resnet_width=8,
+            vit_patch=16, vit_layers=1, vit_heads=2, vit_hidden=32,
+            vit_mlp_dim=64,
         )
     else:
         size, seq = 224, args.seq_len
         cfg = ModelConfig(max_text_length=seq)
-    if args.tower == "vit" and not args.tiny:
-        cfg = cfg.with_vit()
+    if args.tower == "vit":
+        # tiny traces a tiny ViT tower — never a ResNet labeled 'vit'
+        cfg = (
+            dataclasses.replace(
+                cfg, image_tower="vit_b16", image_embedding_dim=32
+            )
+            if args.tiny else cfg.with_vit()
+        )
     model = CXRClip(cfg, dtype=jnp.bfloat16)
     variables = jax.jit(model.init)(
         jax.random.key(0),

@@ -25,6 +25,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
+import dataclasses
 import json
 import time
 
@@ -101,6 +102,8 @@ def main(argv=None) -> int:
                 text_embedding_dim=32, text_layers=1, text_heads=2,
                 text_intermediate_dim=64, shared_embedding_dim=32,
                 resnet_stages=(1, 1, 1, 1), resnet_width=8,
+                vit_patch=16, vit_layers=1, vit_heads=2, vit_hidden=32,
+                vit_mlp_dim=64,
                 remat=args.remat, remat_conv=args.remat_conv,
                 remat_policy=args.remat_policy,
             )
@@ -109,11 +112,16 @@ def main(argv=None) -> int:
                 max_text_length=seq, remat=args.remat,
                 remat_conv=args.remat_conv, remat_policy=args.remat_policy,
             )
-        if args.tower == "vit" and not args.tiny:
-            cfg = cfg.with_vit()
+        if args.tower == "vit":
+            # tiny mode keeps the flag honest too: a tiny ViT tower, not a
+            # tiny ResNet silently reported under tower='vit'
+            cfg = (
+                dataclasses.replace(
+                    cfg, image_tower="vit_b16", image_embedding_dim=32
+                )
+                if args.tiny else cfg.with_vit()
+            )
         if args.bf16_attention_probs:
-            import dataclasses
-
             cfg = dataclasses.replace(cfg, bf16_attention_probs=True)
         model = CXRClip(cfg, dtype=jnp.bfloat16)
         variables = model.init(
