@@ -395,9 +395,11 @@ def cmd_pretrain(args) -> int:
 
     loss_name = (
         cfg.train.loss
-        if cfg.train.loss in ("clip_self_distill", "info_nce")
+        if cfg.train.loss in ("clip_self_distill", "info_nce", "siglip")
         else "clip_self_distill"
     )
+    if getattr(args, "loss", None):
+        loss_name = args.loss
     if args.lora:
         if getattr(args, "local_loss", False):
             raise SystemExit("--local-loss does not compose with --lora")
@@ -504,7 +506,7 @@ def cmd_pretrain(args) -> int:
                 local_loss_mesh=local_mesh,
             )
         raw_eval = make_clip_eval_step(
-            model, "clip_self_distill", cfg.model.temperature,
+            model, loss_name, cfg.model.temperature,
             cfg.model.image_size, cfg.augment.mean, cfg.augment.std,
             compute,
         )
@@ -1359,11 +1361,20 @@ def build_parser() -> argparse.ArgumentParser:
                          "the text tower (GPipe microbatch schedule; text "
                          "dropout off inside the pipeline)")
     sp.add_argument("--pp-microbatches", type=int, default=2)
+    sp.add_argument("--loss",
+                    choices=["clip_self_distill", "info_nce", "siglip"],
+                    default=None,
+                    help="override the preset's contrastive loss; siglip "
+                         "is the pairwise sigmoid loss (Zhai et al. 2023) "
+                         "whose --local-loss form is a constant-memory "
+                         "ppermute ring")
     sp.add_argument("--local-loss", action="store_true",
                     help="with --num-devices: compute the contrastive "
                          "loss in open-CLIP local-loss block form "
                          "([b, B_global] per device instead of "
-                         "B_global**2 — identical math, pod-scale memory)")
+                         "B_global**2 — identical math, pod-scale memory; "
+                         "with --loss siglip: the ppermute ring, [b, b] "
+                         "per device)")
     sp.add_argument("--accum-steps", type=int, default=1, metavar="A",
                     help="GradCache gradient accumulation: run the towers "
                          "in A microbatches while the contrastive loss "

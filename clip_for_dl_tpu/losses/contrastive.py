@@ -79,6 +79,34 @@ def info_nce_loss(
     return (loss_i + loss_t) / 2.0
 
 
+def siglip_loss(
+    text_features: jax.Array,
+    image_features: jax.Array,
+    logit_scale: float | jax.Array = 10.0,
+    logit_bias: float | jax.Array = -10.0,
+) -> jax.Array:
+    """SigLIP pairwise sigmoid contrastive loss (Zhai et al. 2023).
+
+    ``-1/B · Σᵢ Σⱼ log σ(zᵢⱼ (s·xᵢ·yⱼ + b))`` with ``zᵢⱼ = +1`` on the
+    diagonal and ``-1`` off it. Beyond the reference's softmax losses
+    (0425/train.py:126-175, whose normalizers couple every row to the full
+    batch): each pair is independent, so the global-batch form needs no
+    full-row gathers — see :func:`losses.global_batch.ring_siglip_loss`
+    for the constant-memory ppermute ring this enables on a TPU mesh.
+    Defaults follow the paper's init (s=10 ⇔ t'=log 10, b=-10). Inputs
+    are L2-normalized here (paper semantics; like
+    :func:`multilabel_contrastive_loss`, and unlike the raw-feature
+    self-distill loss). Numerically safe: log σ(x) = -softplus(-x)."""
+    from ..ops.similarity import l2_normalize
+
+    txt, img = _f32(text_features, image_features)
+    txt, img = l2_normalize(txt), l2_normalize(img)
+    logits = img @ txt.T * logit_scale + logit_bias
+    n = logits.shape[0]
+    z = 2.0 * jnp.eye(n, dtype=jnp.float32) - 1.0
+    return jax.nn.softplus(-z * logits).sum() / n
+
+
 def multilabel_contrastive_loss(
     image_features: jax.Array,
     text_features: jax.Array,

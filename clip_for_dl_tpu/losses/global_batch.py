@@ -39,6 +39,7 @@ from .contrastive import (
     clip_self_distill_loss,
     info_nce_loss,
     multilabel_contrastive_loss,
+    siglip_loss,
     soft_cross_entropy,
 )
 
@@ -84,6 +85,65 @@ def global_multilabel_contrastive_loss(
     lbl = _gather(labels, axis_name)
     loss = multilabel_contrastive_loss(img, text_features, lbl, temperature)
     return jax.lax.pmean(loss, axis_name)
+
+
+def global_siglip_loss(
+    text_features: jax.Array,
+    image_features: jax.Array,
+    logit_scale: float | jax.Array = 10.0,
+    logit_bias: float | jax.Array = -10.0,
+    axis_name: str = "data",
+) -> jax.Array:
+    """All-gather form: materializes the B_global × B_global sigmoid loss
+    on every device. Prefer :func:`ring_siglip_loss` at pod scale."""
+    txt = _gather(text_features, axis_name)
+    img = _gather(image_features, axis_name)
+    loss = siglip_loss(txt, img, logit_scale, logit_bias)
+    return jax.lax.pmean(loss, axis_name)
+
+
+def ring_siglip_loss(
+    text_features: jax.Array,
+    image_features: jax.Array,
+    logit_scale: float | jax.Array = 10.0,
+    logit_bias: float | jax.Array = -10.0,
+    axis_name: str = "data",
+) -> jax.Array:
+    """SigLIP over the global batch in **constant memory** — the chunked
+    ``ppermute`` ring from the SigLIP paper (Zhai et al. 2023, §3.1), the
+    formulation the sigmoid loss exists to enable on a TPU mesh.
+
+    The pairwise loss has no softmax normalizer, so no row ever needs all
+    B_global columns at once: each device keeps its image block [b, D] and
+    scores the text block currently in hand ([b, b] logits — the positives
+    are in the first round, when every device still holds its OWN text
+    block), then passes the text block one neighbor around the ring. After
+    N rounds every (i, j) pair has been scored exactly once, using
+    [b, b] live memory instead of local-loss's [b, B_global] or
+    all-gather's B_global² — and each hop's ppermute rides a single ICI
+    neighbor link while the [b, b] matmul computes. Gradients flow through
+    ``lax.scan`` + ``ppermute`` transposes (the reverse ring); exactness
+    vs :func:`global_siglip_loss` is test-guarded on an 8-way mesh."""
+    from ..ops.similarity import l2_normalize
+
+    n = jax.lax.axis_size(axis_name)
+    # per-row normalization is local — done before the ring starts
+    txt = l2_normalize(text_features.astype(jnp.float32))
+    img = l2_normalize(image_features.astype(jnp.float32))
+    b = img.shape[0]
+    eye = jnp.eye(b, dtype=jnp.float32)
+    perm = [(j, (j + 1) % n) for j in range(n)]
+
+    def round_fn(txt_blk, i):
+        logits = img @ txt_blk.T * logit_scale + logit_bias
+        # the device's own text block (round 0) holds the positives
+        z = jnp.where(i == 0, 2.0 * eye - 1.0, -jnp.ones_like(eye))
+        partial = jax.nn.softplus(-z * logits).sum()
+        return jax.lax.ppermute(txt_blk, axis_name, perm), partial
+
+    _, partials = jax.lax.scan(round_fn, txt, jnp.arange(n))
+    # Σ over this device's b rows × all B columns; psum → all pairs, /B
+    return jax.lax.psum(partials.sum(), axis_name) / (n * b)
 
 
 def _local_row_index(b: int, axis_name: str) -> jax.Array:

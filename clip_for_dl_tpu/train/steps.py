@@ -32,6 +32,7 @@ from ..losses import (
     clip_self_distill_loss,
     info_nce_loss,
     multilabel_contrastive_loss,
+    siglip_loss,
 )
 from ..ops.image_prep import preprocess_images
 from ..ops.similarity import l2_normalize
@@ -44,6 +45,9 @@ Metrics = Dict[str, jax.Array]
 PRETRAIN_LOSSES = {
     "clip_self_distill": clip_self_distill_loss,
     "info_nce": lambda txt, img, t: info_nce_loss(img, txt, t),
+    # SigLIP ignores the softmax temperature: the paper's learned
+    # scale/bias init (s=10, b=-10) is the operating point
+    "siglip": lambda txt, img, t: siglip_loss(txt, img),
 }
 
 
@@ -98,6 +102,7 @@ def make_clip_pretrain_step(
         from ..losses import (
             local_clip_self_distill_loss,
             local_info_nce_loss,
+            ring_siglip_loss,
         )
 
         local_fns = {
@@ -108,6 +113,10 @@ def make_clip_pretrain_step(
             ),
             "info_nce": lambda txt, img, t: local_info_nce_loss(
                 img, txt, t, axis_name=local_loss_axis
+            ),
+            # siglip's pod-scale form is the constant-memory ppermute ring
+            "siglip": lambda txt, img, t: ring_siglip_loss(
+                txt, img, axis_name=local_loss_axis
             ),
         }
         base = local_fns[loss_name]

@@ -259,6 +259,17 @@ class TestRound2Flags:
         ]) == 0
         assert (tmp_path / "training_history.csv").exists()
 
+    def test_pretrain_siglip_ring(self, tmp_path, eight_devices):
+        """--loss siglip --local-loss: the constant-memory ppermute ring
+        drives a full dp8 train step."""
+        assert run([
+            "pretrain", "--synthetic", "--tiny", "--fp32",
+            "--synthetic-samples", "16", "--epochs", "1",
+            "--batch-size", "8", "--num-devices", "8", "--local-loss",
+            "--loss", "siglip", "--log-dir", str(tmp_path),
+        ]) == 0
+        assert (tmp_path / "training_history.csv").exists()
+
     def test_pretrain_accum_steps(self, tmp_path):
         assert run([
             "pretrain", "--synthetic", "--tiny", "--fp32",

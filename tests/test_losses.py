@@ -129,6 +129,37 @@ class TestBCEFocal:
         assert got == pytest.approx(want, abs=1e-6)
 
 
+class TestSigLIP:
+    """Pairwise sigmoid loss (Zhai et al. 2023) — dense form vs a naive
+    per-pair computation."""
+
+    def test_matches_naive_pairwise(self, rng):
+        scale, bias = 8.0, -6.0
+        txt = rng.standard_normal((6, 4)).astype(np.float32)
+        img = rng.standard_normal((6, 4)).astype(np.float32)
+        txt /= np.linalg.norm(txt, axis=-1, keepdims=True)
+        img /= np.linalg.norm(img, axis=-1, keepdims=True)
+        want = 0.0
+        for i in range(6):
+            for j in range(6):
+                z = 1.0 if i == j else -1.0
+                x = z * (scale * float(img[i] @ txt[j]) + bias)
+                want += float(np.log1p(np.exp(-x)))  # -log sigmoid(x)
+        want /= 6.0
+        got = float(L.siglip_loss(
+            jnp.asarray(txt), jnp.asarray(img), scale, bias
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_perfect_alignment_decreases_loss(self, rng):
+        e = np.eye(4, dtype=np.float32)  # orthonormal: ideal pairing
+        aligned = float(L.siglip_loss(jnp.asarray(e), jnp.asarray(e)))
+        shuffled = float(L.siglip_loss(
+            jnp.asarray(e), jnp.asarray(e[::-1].copy())
+        ))
+        assert aligned < shuffled
+
+
 class TestGlobalBatch:
     """Global-batch loss on 8 shards == single-device loss on the full batch,
     in value AND gradient."""
@@ -236,6 +267,45 @@ class TestLocalLoss:
             lambda a, b: L.local_clip_self_distill_loss(a, b, 2.0),
             (txt, img),
         )
+
+    def test_global_siglip(self, rng, eight_devices):
+        txt = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+        img = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+        self._run(
+            lambda a, b: L.siglip_loss(a, b, 7.0, -5.0),
+            lambda a, b: L.global_siglip_loss(a, b, 7.0, -5.0),
+            (txt, img),
+        )
+
+    def test_ring_siglip(self, rng, eight_devices):
+        """The constant-memory ppermute ring: exact value AND gradients vs
+        the dense single-device sigmoid loss over the same global batch."""
+        txt = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+        img = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+        self._run(
+            lambda a, b: L.siglip_loss(a, b, 10.0, -10.0),
+            lambda a, b: L.ring_siglip_loss(a, b, 10.0, -10.0),
+            (txt, img),
+        )
+
+    def test_ring_siglip_blocks_stay_bxb(self, rng, eight_devices):
+        """Live similarity inside the ring is [b, b] — neither [b, B] nor
+        [B, B] ever materializes (the whole point of the sigmoid loss)."""
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        img = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+        txt = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+
+        @functools.partial(
+            shard_map, mesh=mesh, in_specs=(P("data"), P("data")),
+            out_specs=P(),
+        )
+        def ring(a, b):
+            assert a.shape == (2, 8)  # per-device block
+            return L.ring_siglip_loss(a, b)
+
+        jaxpr = str(jax.make_jaxpr(ring)(txt, img))
+        assert "16,16" not in jaxpr.replace(" ", "")  # no B x B anywhere
+        ring(txt, img)
 
     def test_block_shapes_stay_local(self, rng, eight_devices):
         """The similarity blocks inside the local form are [b, B], not
