@@ -109,6 +109,7 @@ def _model_and_state(cfg, args, tokenizer):
     model, variables = load_trained_model(
         args.checkpoint, cfg, compute,
         allow_partial=getattr(args, "allow_partial_restore", False),
+        use_ema=getattr(args, "use_ema", False),
     )
     return model, variables
 
@@ -403,6 +404,9 @@ def cmd_pretrain(args) -> int:
     if args.lora:
         if getattr(args, "local_loss", False):
             raise SystemExit("--local-loss does not compose with --lora")
+        if getattr(args, "ema_decay", 0.0):
+            raise SystemExit("--ema-decay does not compose with --lora "
+                             "(adapter params train, not the towers)")
         if int(getattr(args, "accum_steps", 1) or 1) > 1:
             raise SystemExit("--accum-steps does not compose with --lora")
         # Parameter-efficient fine-tuning: frozen towers + rank-r deltas on
@@ -454,6 +458,12 @@ def cmd_pretrain(args) -> int:
             step=jnp.zeros((), jnp.int32),
         )
     else:
+        ema_decay = float(getattr(args, "ema_decay", 0.0) or 0.0)
+        if ema_decay and (getattr(args, "pp", 0) or 0) > 1:
+            raise SystemExit("--ema-decay does not compose with --pp "
+                             "(the stacked stage layout)")
+        if ema_decay and (getattr(args, "ep", 1) or 1) > 1:
+            raise SystemExit("--ema-decay does not compose with --ep")
         local_mesh = None
         if getattr(args, "local_loss", False):
             # open-CLIP local-loss block form: [b, B] similarity blocks
@@ -495,6 +505,7 @@ def cmd_pretrain(args) -> int:
                     model, tx, label_fn, accum, loss_name,
                     cfg.model.temperature, cfg.model.image_size,
                     cfg.augment.mean, cfg.augment.std, compute,
+                    ema_decay=ema_decay,
                 )
             except ValueError as e:  # MoE guard
                 raise SystemExit(str(e))
@@ -503,15 +514,15 @@ def cmd_pretrain(args) -> int:
                 model, tx, label_fn, loss_name,
                 cfg.model.temperature, cfg.model.image_size,
                 cfg.augment.mean, cfg.augment.std, compute,
-                local_loss_mesh=local_mesh,
+                local_loss_mesh=local_mesh, ema_decay=ema_decay,
             )
         raw_eval = make_clip_eval_step(
             model, loss_name, cfg.model.temperature,
             cfg.model.image_size, cfg.augment.mean, cfg.augment.std,
-            compute,
+            compute, use_ema=bool(ema_decay),
         )
         step = eval_step = None  # wrapped after resume (placement-aware)
-        state = TrainState.create(variables, tx)
+        state = TrainState.create(variables, tx, ema=bool(ema_decay))
     from ..evals import MetricWriter
     from ..train import PreemptionGuard, resume_or_init
 
@@ -1328,6 +1339,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "Default is a hard error — a geometry "
                              "mismatch would otherwise score with "
                              "untrained weights")
+        sp.add_argument("--use-ema", action="store_true",
+                        help="load the EMA weight slot (written by "
+                             "pretrain --ema-decay) instead of the live "
+                             "params — errors if the checkpoint has none")
         sp.add_argument("--coordinator", default="localhost:12321",
                         metavar="HOST:PORT",
                         help="multi-host: JAX coordination-service address "
@@ -1384,6 +1399,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="store the first Adam moment in bf16 (halves "
                          "that optimizer-state slice; second moment "
                          "stays fp32 for sqrt(nu) dynamic range)")
+    sp.add_argument("--ema-decay", type=float, default=0.0, metavar="D",
+                    help="keep an exponential moving average of the "
+                         "params (decay D, e.g. 0.999; warmup-capped) "
+                         "updated inside the jitted step; validation "
+                         "and the saved checkpoints carry both the live "
+                         "and the smoothed weights")
     sp.set_defaults(fn=cmd_pretrain, preset="pretrain_clip")
 
     sp = sub.add_parser(

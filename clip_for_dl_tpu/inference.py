@@ -31,11 +31,13 @@ def load_trained_model(
     compute_dtype=jnp.bfloat16,
     seed: int = 0,
     allow_partial: bool = False,
+    use_ema: bool = False,
 ):
     """Returns (model, variables). `checkpoint` may be an orbax directory,
     a reference ``.pth`` file, or None (fresh init). A checkpoint missing
     arrays the model needs is an error unless ``allow_partial``
-    (see CheckpointManager.restore_variables)."""
+    (see CheckpointManager.restore_variables). ``use_ema``: read the EMA
+    weight slot written by training with --ema-decay."""
     cfg = config or get_preset("zero_shot")
     model = CXRClip(cfg.model, dtype=compute_dtype)
     s = cfg.model.image_size
@@ -69,7 +71,8 @@ def load_trained_model(
             mgr = CheckpointManager(checkpoint)
             epoch = mgr.best_epoch()
             restored = mgr.restore_variables(
-                variables, epoch, allow_partial=allow_partial
+                variables, epoch, allow_partial=allow_partial,
+                use_ema=use_ema,
             )
             mgr.close()
             if restored is not None:

@@ -52,6 +52,7 @@ def make_accum_clip_pretrain_step(
     mean: Tuple[float, ...] = (0.0, 0.0, 0.0),
     std: Tuple[float, ...] = (1.0, 1.0, 1.0),
     compute_dtype=jnp.bfloat16,
+    ema_decay: float = 0.999,
 ):
     """Drop-in replacement for ``make_clip_pretrain_step`` that runs the
     towers in ``accum_steps`` microbatches while keeping the contrastive
@@ -135,7 +136,8 @@ def make_accum_clip_pretrain_step(
             bwd, zeros, (mbs, rngs, stats_pre, g_img, g_txt)
         )
 
-        new_state = _apply_updates(state, grads, tx, lrs, label_fn, final_stats)
+        new_state = _apply_updates(state, grads, tx, lrs, label_fn, final_stats,
+                                   ema_decay=ema_decay)
         return new_state, {"loss": loss}
 
     return step

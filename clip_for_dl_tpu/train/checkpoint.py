@@ -134,9 +134,12 @@ class CheckpointManager:
         variables_template,
         epoch: Optional[int] = None,
         allow_partial: bool = False,
+        use_ema: bool = False,
     ):
         """Restore only params/batch_stats (inference path) — independent of
         the optimizer structure the checkpoint was trained with.
+        ``use_ema=True`` reads the EMA slot (state.ema_params, written by
+        training with --ema-decay) as the params.
 
         By default an array present in the template but absent from the
         checkpoint is an **error**: orbax's partial restore silently keeps
@@ -153,7 +156,8 @@ class CheckpointManager:
         if step is None:
             return None
         self.manager.wait_until_finished()
-        template = {"state": {"params": variables_template["params"]}}
+        key = "ema_params" if use_ema else "params"
+        template = {"state": {key: variables_template["params"]}}
         if variables_template.get("batch_stats"):
             template["state"]["batch_stats"] = variables_template["batch_stats"]
         # Standalone checkpointer against the step dir: independent of this
@@ -197,7 +201,7 @@ class CheckpointManager:
             restored = ckptr.restore(
                 path, args=ocp.args.PyTreeRestore(template, partial_restore=True)
             )
-        out = {"params": restored["state"]["params"]}
+        out = {"params": restored["state"][key]}
         if "batch_stats" in restored["state"]:
             out["batch_stats"] = restored["state"]["batch_stats"]
         return out

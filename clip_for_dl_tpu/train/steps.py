@@ -59,12 +59,20 @@ def _apply_updates(
     label_fn,
     new_batch_stats=None,
     freeze=None,
+    ema_decay: float = 0.0,
 ) -> TrainState:
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     if freeze is not None:
         updates = mask_updates(updates, freeze)
     updates = apply_group_lrs(updates, state.params, lrs, label_fn)
     params = optax.apply_updates(state.params, updates)
+    ema = state.ema_params
+    if ema is not None and ema_decay:
+        # warmup-capped decay (min(d, (1+t)/(10+t))): early steps track the
+        # live params instead of the random init the EMA was seeded with
+        t = state.step.astype(jnp.float32)
+        d = jnp.minimum(jnp.float32(ema_decay), (1.0 + t) / (10.0 + t))
+        ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d), ema, params)
     return state.replace(
         params=params,
         opt_state=new_opt,
@@ -72,6 +80,7 @@ def _apply_updates(
             new_batch_stats if new_batch_stats is not None else state.batch_stats
         ),
         step=state.step + 1,
+        ema_params=ema,
     )
 
 
@@ -87,6 +96,7 @@ def make_clip_pretrain_step(
     compute_dtype=jnp.bfloat16,
     local_loss_mesh=None,
     local_loss_axis: str = "data",
+    ema_decay: float = 0.999,
 ):
     """``local_loss_mesh``: a 1-D data mesh switches the contrastive loss
     to the open-CLIP local-loss block form (losses/global_batch.py) —
@@ -163,7 +173,8 @@ def make_clip_pretrain_step(
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        new_state = _apply_updates(state, grads, tx, lrs, label_fn, new_stats)
+        new_state = _apply_updates(state, grads, tx, lrs, label_fn, new_stats,
+                                   ema_decay=ema_decay)
         return new_state, {"loss": loss}
 
     return step
@@ -177,14 +188,16 @@ def make_clip_eval_step(
     mean: Tuple[float, ...] = (0.0, 0.0, 0.0),
     std: Tuple[float, ...] = (1.0, 1.0, 1.0),
     compute_dtype=jnp.bfloat16,
+    use_ema: bool = False,
 ):
+    """``use_ema``: validate with the EMA weights (state.ema_params)."""
     loss_fn_base = PRETRAIN_LOSSES[loss_name]
 
     def step(state: TrainState, batch: Batch) -> Metrics:
         images = preprocess_images(
             batch["images"], image_size, image_size, mean, std, compute_dtype
         )
-        variables = state.to_variables()
+        variables = state.to_variables(use_ema)
         img_f = model.apply(variables, images, method="encode_image")
         txt_f = model.apply(
             variables, batch["input_ids"], batch["attention_mask"],
@@ -210,6 +223,7 @@ def make_multiview_train_step(
     flip_prob: float = 0.5,
     rotation_degrees: float = 10.0,
     translate_frac: float = 0.1,
+    ema_decay: float = 0.999,
 ):
     """Batch: images [B,2,H,W,3] u8, labels [B,C]; text_features [C,D]
     precomputed once per epoch (the 0426 hoisting fix, not 0425's per-batch
@@ -270,7 +284,8 @@ def make_multiview_train_step(
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        new_state = _apply_updates(state, grads, tx, lrs, label_fn, new_stats)
+        new_state = _apply_updates(state, grads, tx, lrs, label_fn, new_stats,
+                                   ema_decay=ema_decay)
         return new_state, {"loss": loss}
 
     return step
@@ -285,9 +300,10 @@ def make_multiview_eval_step(
     compute_dtype=jnp.bfloat16,
     use_enhance: bool = False,
     threshold: float = 0.5,
+    use_ema: bool = False,
 ):
     """Eval twin: loss + sigmoid(sims/T) probabilities for metrics
-    (0425/train.py:407-490 validate)."""
+    (0425/train.py:407-490 validate). ``use_ema``: EMA weights."""
 
     def step(state: TrainState, batch: Batch, text_features) -> Metrics:
         b = batch["images"].shape[0]
@@ -295,7 +311,7 @@ def make_multiview_eval_step(
         images = preprocess_images(
             flat, image_size, image_size, mean, std, compute_dtype
         )
-        variables = state.to_variables()
+        variables = state.to_variables(use_ema)
         feats = model.apply(
             variables, images.reshape((b, 2, *images.shape[1:])),
             method="encode_multiview",

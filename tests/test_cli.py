@@ -270,6 +270,36 @@ class TestRound2Flags:
         ]) == 0
         assert (tmp_path / "training_history.csv").exists()
 
+    def test_pretrain_ema_then_zeroshot_use_ema(self, tmp_path):
+        """--ema-decay writes the EMA slot; zeroshot --use-ema scores with
+        the smoothed weights, and without --ema-decay the flag errors."""
+        ck = tmp_path / "ck"
+        assert run([
+            "pretrain", "--synthetic", "--tiny", "--fp32",
+            "--synthetic-samples", "8", "--epochs", "1",
+            "--batch-size", "4", "--ema-decay", "0.999",
+            "--log-dir", str(tmp_path), "--checkpoint-dir", str(ck),
+        ]) == 0
+        assert run([
+            "zeroshot", "--synthetic", "--tiny", "--fp32",
+            "--synthetic-samples", "8", "--use-ema",
+            "--checkpoint", str(ck), "--log-dir", str(tmp_path / "zs"),
+        ]) == 0
+
+        ck2 = tmp_path / "ck2"
+        assert run([
+            "pretrain", "--synthetic", "--tiny", "--fp32",
+            "--synthetic-samples", "8", "--epochs", "1",
+            "--batch-size", "4",
+            "--log-dir", str(tmp_path), "--checkpoint-dir", str(ck2),
+        ]) == 0
+        with pytest.raises(ValueError, match="lacks"):
+            run([
+                "zeroshot", "--synthetic", "--tiny", "--fp32",
+                "--synthetic-samples", "8", "--use-ema",
+                "--checkpoint", str(ck2), "--log-dir", str(tmp_path / "z2"),
+            ])
+
     def test_pretrain_accum_steps(self, tmp_path):
         assert run([
             "pretrain", "--synthetic", "--tiny", "--fp32",

@@ -570,6 +570,112 @@ class TestPartialRestoreGuard:
         mgr.close()
 
 
+class TestEma:
+    """EMA weight averaging: ema_params in TrainState, updated inside the
+    jitted step, warmup-capped decay, eval/inference via use_ema."""
+
+    def _setup(self, ema_decay):
+        model, variables = tiny_model()
+        tx = base_transform(weight_decay=1e-3)
+        label_fn = make_label_fn(
+            ["image_tower", "text_tower", "image_projector",
+             "text_projector"]
+        )
+        step = jax.jit(make_clip_pretrain_step(
+            model, tx, label_fn, temperature=2.0, image_size=16,
+            compute_dtype=jnp.float32, ema_decay=ema_decay,
+        ))
+        state = TrainState.create(variables, tx, ema=True)
+        return model, step, state
+
+    def test_ema_matches_manual_recurrence(self, rng):
+        decay = 0.9
+        model, step, state = self._setup(decay)
+        batch = pretrain_batch(rng)
+        want = jax.tree.map(np.asarray, state.params)  # seeded from init
+        key = jax.random.key(1)
+        for i in range(4):
+            state, _ = step(state, batch, LRS, jax.random.fold_in(key, i))
+            d = min(decay, (1.0 + i) / (10.0 + i))  # warmup cap
+            want = jax.tree.map(
+                lambda e, p: e * d + np.asarray(p) * (1.0 - d),
+                want, state.params,
+            )
+        for got, w in zip(
+            jax.tree.leaves(state.ema_params), jax.tree.leaves(want)
+        ):
+            np.testing.assert_allclose(np.asarray(got), w, atol=1e-6)
+        # smoothed weights differ from the live ones after updates
+        diffs = [
+            float(np.abs(np.asarray(e) - np.asarray(p)).max())
+            for e, p in zip(jax.tree.leaves(state.ema_params),
+                            jax.tree.leaves(state.params))
+        ]
+        assert max(diffs) > 0
+
+    def test_off_by_default_state_has_no_ema(self, pretrain_setup, rng):
+        _, step, state, _ = pretrain_setup
+        assert state.ema_params is None
+        state, _ = step(state, pretrain_batch(rng), LRS, jax.random.key(0))
+        assert state.ema_params is None
+
+    def test_eval_step_uses_ema(self, rng):
+        model, step, state = self._setup(0.9)
+        batch = pretrain_batch(rng)
+        for i in range(3):
+            state, _ = step(state, batch, LRS,
+                            jax.random.fold_in(jax.random.key(1), i))
+        eval_live = jax.jit(make_clip_eval_step(
+            model, temperature=2.0, image_size=16,
+            compute_dtype=jnp.float32,
+        ))
+        eval_ema = jax.jit(make_clip_eval_step(
+            model, temperature=2.0, image_size=16,
+            compute_dtype=jnp.float32, use_ema=True,
+        ))
+        live = float(eval_live(state, batch)["loss"])
+        ema = float(eval_ema(state, batch)["loss"])
+        assert np.isfinite(ema) and ema != live
+
+    def test_to_variables_use_ema_requires_ema(self):
+        model, variables = tiny_model()
+        tx = base_transform()
+        state = TrainState.create(variables, tx)  # no EMA
+        with pytest.raises(ValueError, match="EMA"):
+            state.to_variables(use_ema=True)
+
+    def test_checkpoint_roundtrip_restores_ema_slot(self, tmp_path, rng):
+        """restore_variables(use_ema=True) reads the smoothed weights; on a
+        checkpoint trained WITHOUT EMA it errors instead of silently
+        returning random init."""
+        from clip_for_dl_tpu.train import CheckpointManager
+
+        model, step, state = self._setup(0.9)
+        batch = pretrain_batch(rng)
+        for i in range(3):
+            state, _ = step(state, batch, LRS,
+                            jax.random.fold_in(jax.random.key(1), i))
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        mgr.save(0, state, metrics={"val_loss": 1.0})
+        mgr.wait()
+        _, variables = tiny_model()
+        got = mgr.restore_variables(variables, use_ema=True)
+        for g, e in zip(jax.tree.leaves(got["params"]),
+                        jax.tree.leaves(state.ema_params)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(e))
+        mgr.close()
+
+        # a non-EMA checkpoint must hard-error on --use-ema
+        tx = base_transform(weight_decay=1e-3)
+        plain = TrainState.create(tiny_model()[1], tx)
+        mgr2 = CheckpointManager(str(tmp_path / "ck2"))
+        mgr2.save(0, plain, metrics={"val_loss": 1.0})
+        mgr2.wait()
+        with pytest.raises(ValueError, match="lacks"):
+            mgr2.restore_variables(tiny_model()[1], use_ema=True)
+        mgr2.close()
+
+
 class TestBf16Moments:
     """--bf16-moments parity guard: bf16 first-moment AdamW must track the
     fp32 optimizer closely (mu enters the update linearly; nu stays fp32)."""
