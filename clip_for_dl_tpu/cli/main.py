@@ -691,6 +691,7 @@ def cmd_pretrain(args) -> int:
             preemption_guard=guard,
             metric_writer=writer,
             stateful_loader=train_loader,
+            warmup_steps=int(getattr(args, "warmup_steps", 0) or 0),
         )
     if writer is not None:
         writer.close()
@@ -1399,6 +1400,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="store the first Adam moment in bf16 (halves "
                          "that optimizer-state slice; second moment "
                          "stays fp32 for sqrt(nu) dynamic range)")
+    sp.add_argument("--warmup-steps", type=int, default=0, metavar="N",
+                    help="linear LR warmup over the first N global steps "
+                         "(0 = off, the reference's behavior); composes "
+                         "with the epoch scheduler and survives resume")
     sp.add_argument("--ema-decay", type=float, default=0.0, metavar="D",
                     help="keep an exponential moving average of the "
                          "params (decay D, e.g. 0.999; warmup-capped) "

@@ -19,7 +19,12 @@ from typing import Any, Callable, Dict, Iterable, List, Mapping, Optional
 import numpy as np
 
 from ..evals.metrics import MeanAccumulator
-from .optim import CosineSchedule, EarlyStopping, ReduceLROnPlateau
+from .optim import (
+    CosineSchedule,
+    EarlyStopping,
+    ReduceLROnPlateau,
+    warmup_scale,
+)
 from .state import TrainState
 
 logger = logging.getLogger("clip_for_dl_tpu.train")
@@ -53,20 +58,34 @@ def run_epoch(
     log_every: int = 10,
     epoch: int = 0,
     preemption_guard=None,
+    warmup_steps: int = 0,
 ) -> tuple[TrainState, float, bool]:
     """One training epoch; returns (state, mean loss, interrupted).
 
     `interrupted` is True when `preemption_guard` fired mid-epoch — the
     loop broke before the loader was exhausted, so the caller can save a
     step-granular checkpoint (state + loader cursor) instead of losing the
-    partial epoch."""
+    partial epoch.
+
+    ``warmup_steps > 0``: linear LR warmup over the first N global steps —
+    the per-group lrs are scaled host-side per batch (scalars are dynamic
+    jit args, no recompile). The global step is read from the state ONCE
+    per epoch (one device sync) and counted host-side after that, so the
+    warmup survives resume without a per-batch fetch."""
     meter = MeanAccumulator()
     timer = time.perf_counter()
     metrics = None
     interrupted = False
+    global_step = int(state.step) if warmup_steps > 0 else 0
     for i, batch in enumerate(loader):
+        if warmup_steps > 0 and global_step < warmup_steps:
+            scale = warmup_scale(global_step, warmup_steps)
+            batch_lrs = {k: v * scale for k, v in lrs.items()}
+        else:
+            batch_lrs = dict(lrs)
+        global_step += 1
         state, metrics = step_fn(
-            state, batch, *step_args, dict(lrs), next(rng_stream)
+            state, batch, *step_args, batch_lrs, next(rng_stream)
         )
         if (i + 1) % log_every == 0 or i == 0:
             loss = float(metrics["loss"])  # device sync only at log cadence
@@ -164,6 +183,7 @@ def fit(
     preemption_guard=None,
     metric_writer=None,
     stateful_loader=None,
+    warmup_steps: int = 0,
 ) -> tuple[TrainState, History]:
     """The full train_clip loop. `epoch_args_fn` supplies per-epoch extras
     (e.g. precomputed text features) threaded into both steps.
@@ -193,7 +213,7 @@ def fit(
         state, train_loss, interrupted = run_epoch(
             train_step, state, train_loader_fn(), lrs, rng_stream,
             step_args=extra, log_every=log_every, epoch=epoch,
-            preemption_guard=preemption_guard,
+            preemption_guard=preemption_guard, warmup_steps=warmup_steps,
         )
         epoch_time = time.perf_counter() - t0
         if interrupted:

@@ -570,6 +570,44 @@ class TestPartialRestoreGuard:
         mgr.close()
 
 
+class TestWarmup:
+    """Linear LR warmup in run_epoch (--warmup-steps)."""
+
+    def _record_lrs(self, state, warmup_steps, n_batches=6):
+        from clip_for_dl_tpu.train.loop import run_epoch
+
+        seen = []
+
+        def step(st, batch, lrs, rng):
+            seen.append(lrs["g"])
+            return st.replace(step=st.step + 1), {"loss": jnp.zeros(())}
+
+        loader = [{"x": np.zeros(1)}] * n_batches
+        run_epoch(step, state, loader, {"g": 1.0},
+                  iter(lambda: jax.random.key(0), None),
+                  warmup_steps=warmup_steps, log_every=100)
+        return seen
+
+    def test_linear_ramp_then_flat(self):
+        tx = base_transform()
+        state = TrainState.create({"params": {"w": jnp.zeros(2)}}, tx)
+        seen = self._record_lrs(state, warmup_steps=4)
+        np.testing.assert_allclose(seen, [0.25, 0.5, 0.75, 1.0, 1.0, 1.0])
+
+    def test_resume_continues_the_ramp(self):
+        tx = base_transform()
+        state = TrainState.create({"params": {"w": jnp.zeros(2)}}, tx)
+        state = state.replace(step=jnp.asarray(2, jnp.int32))  # resumed
+        seen = self._record_lrs(state, warmup_steps=4, n_batches=3)
+        np.testing.assert_allclose(seen, [0.75, 1.0, 1.0])
+
+    def test_off_by_default(self):
+        tx = base_transform()
+        state = TrainState.create({"params": {"w": jnp.zeros(2)}}, tx)
+        seen = self._record_lrs(state, warmup_steps=0, n_batches=2)
+        np.testing.assert_allclose(seen, [1.0, 1.0])
+
+
 class TestEma:
     """EMA weight averaging: ema_params in TrainState, updated inside the
     jitted step, warmup-capped decay, eval/inference via use_ema."""
