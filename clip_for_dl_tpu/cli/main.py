@@ -820,6 +820,9 @@ def cmd_train(args) -> int:
         ckpt = CheckpointManager(
             args.checkpoint_dir, cfg.train.max_checkpoints_to_keep
         )
+    # NOTE: EMA stays a pretrain-only feature — the multiview loss scores
+    # image features against the epoch-hoisted prompt bank, and a smoothed
+    # image tower against live-tower text features would mix weight sets.
     state = TrainState.create(variables, tx)
     state, start_epoch = resume_or_init(ckpt, state, loader=train_loader)
     step, eval_step, state = _maybe_dp(args, cfg, raw_step, raw_eval, state)
@@ -843,6 +846,7 @@ def cmd_train(args) -> int:
             preemption_guard=guard,
             metric_writer=writer,
             stateful_loader=train_loader,
+            warmup_steps=int(getattr(args, "warmup_steps", 0) or 0),
         )
     if writer is not None:
         writer.close()
@@ -1416,6 +1420,9 @@ def build_parser() -> argparse.ArgumentParser:
         "train", help="scripts-path multi-view training (0426 semantics)"
     )
     common(sp)
+    sp.add_argument("--warmup-steps", type=int, default=0, metavar="N",
+                    help="linear LR warmup over the first N global steps "
+                         "(0 = off, the reference's behavior)")
     sp.set_defaults(fn=cmd_train, preset="scripts_train")
 
     sp = sub.add_parser("adapter", help="frozen-CLIP C-Adapter training")
