@@ -82,6 +82,14 @@ def _apply_tiny(cfg, args, vocab_size: int):
         model = dataclasses.replace(
             model, text_moe_experts=args.moe_experts
         )
+    if getattr(args, "learnable_temperature", False):
+        loss = getattr(args, "loss", None) or cfg.train.loss
+        model = dataclasses.replace(
+            model, learnable_temperature=True,
+            # siglip trains from the paper's operating point (s=10,
+            # b=-10); the softmax losses start at the preset's fixed T
+            logit_scale_init=10.0 if loss == "siglip" else None,
+        )
     if getattr(args, "remat", False):
         model = dataclasses.replace(
             model, remat=True, remat_conv=True,
@@ -1408,6 +1416,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="linear LR warmup over the first N global steps "
                          "(0 = off, the reference's behavior); composes "
                          "with the epoch scheduler and survives resume")
+    sp.add_argument("--learnable-temperature", action="store_true",
+                    help="train the contrastive temperature (real-CLIP/"
+                         "SigLIP semantics): scalar logit_scale "
+                         "(clamped s<=100) and, for siglip, logit_bias "
+                         "join the params; scalars are excluded from "
+                         "weight decay. Resuming such a run needs the "
+                         "flag again; inference commands ignore the "
+                         "extra scalars")
     sp.add_argument("--ema-decay", type=float, default=0.0, metavar="D",
                     help="keep an exponential moving average of the "
                          "params (decay D, e.g. 0.999; warmup-capped) "

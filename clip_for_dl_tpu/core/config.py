@@ -89,6 +89,17 @@ class ModelConfig:
     # pretrain step — tools/trace_report.py). Opt-in, like bf16 Adam
     # moments; gradient closeness is test-guarded.
     bf16_attention_probs: bool = False
+    # Learnable contrastive temperature (real-CLIP/SigLIP training
+    # semantics; the reference fixes T — 0425/train.py:126-175). When on,
+    # CXRClip declares scalar params logit_scale (stored as log s, used
+    # clamped to s <= 100 like open-CLIP) and logit_bias (SigLIP's b). The
+    # softmax losses then run at T = 1/s; siglip at (s, b). Scalars are
+    # excluded from weight decay (train/optim.py).
+    learnable_temperature: bool = False
+    # initial SCALE s (stored as log s). None -> 1/temperature, i.e. the
+    # preset's fixed operating point; siglip runs want 10.0 (paper init).
+    logit_scale_init: Optional[float] = None
+    logit_bias_init: float = -10.0  # siglip's b init; unused by softmax
     use_multimodal_attention: bool = False
     remat: bool = False  # per-layer remat in the transformer towers
     remat_conv: bool = False  # per-block remat in the ResNet tower

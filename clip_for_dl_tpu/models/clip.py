@@ -50,6 +50,23 @@ class CXRClip(nn.Module):
     def setup(self):
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if getattr(cfg, "learnable_temperature", False):
+            # Scalar loss-calibration params (real-CLIP/SigLIP semantics;
+            # the reference fixes T). Stored as log s so the optimizer
+            # walks it multiplicatively; the steps clamp s <= 100
+            # (open-CLIP's guard). Declared here so they live in the
+            # params tree and receive gradients through the loss.
+            import math
+
+            s0 = cfg.logit_scale_init or 1.0 / cfg.temperature
+            self.logit_scale = self.param(
+                "logit_scale",
+                lambda rng: jnp.asarray(math.log(s0), jnp.float32),
+            )
+            self.logit_bias = self.param(
+                "logit_bias",
+                lambda rng: jnp.asarray(cfg.logit_bias_init, jnp.float32),
+            )
         if cfg.image_tower == "resnet50":
             self.image_tower = ResNet(
                 stage_sizes=cfg.resnet_stages, width=cfg.resnet_width,

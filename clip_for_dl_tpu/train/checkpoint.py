@@ -198,8 +198,19 @@ class CheckpointManager:
                 if not allow_partial:
                     raise ValueError(msg)
                 logger.warning(msg)
+            # Explicit target shardings from the template: a checkpoint
+            # saved on an N-device mesh (dp training) must restore onto
+            # THIS process's placement — without restore_args orbax falls
+            # back to the saved shardings, whose mesh doesn't exist in a
+            # single-device serving process.
+            restore_args = ocp.checkpoint_utils.construct_restore_args(
+                template
+            )
             restored = ckptr.restore(
-                path, args=ocp.args.PyTreeRestore(template, partial_restore=True)
+                path, args=ocp.args.PyTreeRestore(
+                    template, restore_args=restore_args,
+                    partial_restore=True,
+                )
             )
         out = {"params": restored["state"][key]}
         if "batch_stats" in restored["state"]:

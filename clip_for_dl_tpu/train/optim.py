@@ -51,7 +51,10 @@ def base_transform(
     moment_dtype=None,
 ) -> optax.GradientTransformation:
     """clip → Adam moments → decoupled weight decay (torch-AdamW semantics:
-    decay applies to every parameter, matching the reference's default).
+    decay applies to every parameter, matching the reference's default —
+    except 0-dim scalars, which the reference model doesn't have: the
+    learnable logit_scale/logit_bias calibration params must not be pulled
+    toward 0 by decay, the same exclusion open-CLIP applies).
 
     ``moment_dtype=jnp.bfloat16`` stores the FIRST Adam moment (mu) in
     bf16 — halves that slice of optimizer HBM. The second moment stays
@@ -66,7 +69,10 @@ def base_transform(
         optax.scale_by_adam(b1=b1, b2=b2, eps=eps, mu_dtype=moment_dtype)
     )
     if weight_decay:
-        parts.append(optax.add_decayed_weights(weight_decay))
+        parts.append(optax.add_decayed_weights(
+            weight_decay,
+            mask=lambda params: jax.tree.map(lambda p: p.ndim > 0, params),
+        ))
     return optax.chain(*parts)
 
 

@@ -20,6 +20,7 @@ variants in losses/global_batch.py available for hand-tuned overlap.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Dict, Mapping, Tuple
 
 import jax
@@ -49,6 +50,21 @@ PRETRAIN_LOSSES = {
     # scale/bias init (s=10, b=-10) is the operating point
     "siglip": lambda txt, img, t: siglip_loss(txt, img),
 }
+
+# open-CLIP's guard on the learnable scale: s = exp(log_s) clamped to 100
+_LOG_SCALE_MAX = math.log(100.0)
+
+
+def _learned_scale(params):
+    """(scale, bias) from the model's calibration scalars, or None when
+    the model was built without learnable_temperature (a static check —
+    the params dict either has the key at trace time or it doesn't)."""
+    if "logit_scale" not in params:
+        return None
+    s = jnp.exp(jnp.minimum(
+        params["logit_scale"].astype(jnp.float32), _LOG_SCALE_MAX
+    ))
+    return s, params["logit_bias"].astype(jnp.float32)
 
 
 def _apply_updates(
@@ -131,22 +147,52 @@ def make_clip_pretrain_step(
         }
         base = local_fns[loss_name]
 
-        _smapped = shard_map(
-            lambda txt_f, img_f: base(txt_f, img_f, temperature),
-            mesh=local_loss_mesh,
-            in_specs=(P(local_loss_axis), P(local_loss_axis)),
-            out_specs=P(),
-        )
+        # the calibration scalars (learnable temperature / siglip scale+
+        # bias) enter as replicated dynamic args so the compiled program
+        # is reused as they train
+        if loss_name == "siglip":
+            _smapped = shard_map(
+                lambda txt_f, img_f, s, b: ring_siglip_loss(
+                    txt_f, img_f, s, b, axis_name=local_loss_axis
+                ),
+                mesh=local_loss_mesh,
+                in_specs=(P(local_loss_axis), P(local_loss_axis), P(), P()),
+                out_specs=P(),
+            )
 
-        def loss_fn_base(txt_f, img_f, _t=None):  # noqa: F811
-            del _t  # closed over above — kept for call-site compatibility
-            return _smapped(txt_f, img_f)
+            def loss_fn_base(txt_f, img_f, _t=None, scale=10.0,  # noqa: F811
+                             bias=-10.0):
+                del _t
+                return _smapped(txt_f, img_f,
+                                jnp.asarray(scale, jnp.float32),
+                                jnp.asarray(bias, jnp.float32))
+        else:
+            _smapped = shard_map(
+                lambda txt_f, img_f, t: base(txt_f, img_f, t),
+                mesh=local_loss_mesh,
+                in_specs=(P(local_loss_axis), P(local_loss_axis), P()),
+                out_specs=P(),
+            )
+
+            def loss_fn_base(txt_f, img_f, t):  # noqa: F811
+                return _smapped(txt_f, img_f, jnp.asarray(t, jnp.float32))
 
     # MoE text tower sows its load-balancing loss into the "losses"
     # collection (models/moe.py); weight comes from the model config.
     aux_weight = getattr(
         getattr(model, "config", None), "moe_aux_weight", 0.0
     )
+
+    def contrastive(txt_f, img_f, params):
+        sb = _learned_scale(params)
+        if sb is None:
+            return loss_fn_base(txt_f, img_f, temperature)
+        scale, bias = sb
+        if loss_name == "siglip":
+            if local_loss_mesh is not None:
+                return loss_fn_base(txt_f, img_f, None, scale, bias)
+            return siglip_loss(txt_f, img_f, scale, bias)
+        return loss_fn_base(txt_f, img_f, 1.0 / scale)
 
     def step(state: TrainState, batch: Batch, lrs, rng) -> Tuple[TrainState, Metrics]:
         images = preprocess_images(
@@ -164,7 +210,7 @@ def make_clip_pretrain_step(
                 mutable=["batch_stats", "losses"],
                 rngs={"dropout": rng},
             )
-            loss = loss_fn_base(txt_f, img_f, temperature)
+            loss = contrastive(txt_f, img_f, params)
             sown = jax.tree.leaves(mutated.get("losses", {}))
             if sown:
                 loss = loss + aux_weight * sum(jnp.sum(v) for v in sown)
@@ -203,7 +249,14 @@ def make_clip_eval_step(
             variables, batch["input_ids"], batch["attention_mask"],
             method="encode_text",
         )
-        return {"loss": loss_fn_base(txt_f, img_f, temperature)}
+        sb = _learned_scale(variables["params"])
+        if sb is None:
+            loss = loss_fn_base(txt_f, img_f, temperature)
+        elif loss_name == "siglip":
+            loss = siglip_loss(txt_f, img_f, *sb)
+        else:
+            loss = loss_fn_base(txt_f, img_f, 1.0 / sb[0])
+        return {"loss": loss}
 
     return step
 

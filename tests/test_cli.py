@@ -300,6 +300,24 @@ class TestRound2Flags:
                 "--checkpoint", str(ck2), "--log-dir", str(tmp_path / "z2"),
             ])
 
+    def test_pretrain_learnable_temperature(self, tmp_path):
+        """--learnable-temperature trains the calibration scalars and the
+        checkpoint still serves a default (non-learnable) model — the
+        extra scalars are ignored at restore."""
+        ck = tmp_path / "ck"
+        assert run([
+            "pretrain", "--synthetic", "--tiny", "--fp32",
+            "--synthetic-samples", "8", "--epochs", "1",
+            "--batch-size", "4", "--loss", "siglip",
+            "--learnable-temperature",
+            "--log-dir", str(tmp_path), "--checkpoint-dir", str(ck),
+        ]) == 0
+        assert run([
+            "zeroshot", "--synthetic", "--tiny", "--fp32",
+            "--synthetic-samples", "8",
+            "--checkpoint", str(ck), "--log-dir", str(tmp_path / "zs"),
+        ]) == 0
+
     def test_pretrain_accum_steps(self, tmp_path):
         assert run([
             "pretrain", "--synthetic", "--tiny", "--fp32",

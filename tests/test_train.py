@@ -570,6 +570,117 @@ class TestPartialRestoreGuard:
         mgr.close()
 
 
+class TestCrossTopologyRestore:
+    def test_mesh_saved_checkpoint_restores_single_device(
+        self, tmp_path, eight_devices
+    ):
+        """A checkpoint written by dp training (arrays on an 8-device
+        mesh) must restore into a single-device serving process —
+        regression: without explicit restore_args orbax falls back to the
+        SAVED shardings, whose mesh doesn't exist at serving time
+        (ValueError: 'sharding ... Got None')."""
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from clip_for_dl_tpu.train import CheckpointManager
+
+        model, variables = tiny_model()
+        tx = base_transform()
+        state = TrainState.create(variables, tx)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        repl = NamedSharding(mesh, P())
+        state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        mgr.save(0, state, metrics={"val_loss": 1.0})
+        mgr.wait()
+
+        single = jax.tree.map(
+            lambda x: jax.device_put(np.asarray(x), jax.devices()[0]),
+            variables,
+        )
+        got = mgr.restore_variables(single)
+        for g, w in zip(jax.tree.leaves(got["params"]),
+                        jax.tree.leaves(state.params)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w))
+        mgr.close()
+
+
+class TestLearnableTemperature:
+    """ModelConfig.learnable_temperature: scalar logit_scale/logit_bias in
+    the params, trained through the contrastive loss."""
+
+    def _setup(self, loss_name, temperature=2.0):
+        # temperature must be consistent between the config (scale init
+        # s0 = 1/T) and the step factory — as the CLI keeps it
+        cfg = dataclasses.replace(
+            TINY, learnable_temperature=True, temperature=temperature,
+            logit_scale_init=10.0 if loss_name == "siglip" else None,
+        )
+        model = CXRClip(cfg)
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+            jnp.zeros((1, 8), jnp.int32),
+        )
+        tx = base_transform(weight_decay=1e-3)
+        label_fn = make_label_fn(
+            ["image_tower", "text_tower", "image_projector",
+             "text_projector"]
+        )
+        step = jax.jit(make_clip_pretrain_step(
+            model, tx, label_fn, loss_name, temperature, image_size=16,
+            compute_dtype=jnp.float32,
+        ))
+        return model, step, TrainState.create(variables, tx)
+
+    def test_scalars_exist_and_train(self, rng):
+        _, step, state = self._setup("clip_self_distill")
+        assert state.params["logit_scale"].shape == ()
+        s0 = float(state.params["logit_scale"])
+        batch = pretrain_batch(rng)
+        for i in range(5):
+            state, m = step(state, batch, LRS,
+                            jax.random.fold_in(jax.random.key(1), i))
+        assert np.isfinite(float(m["loss"]))
+        assert float(state.params["logit_scale"]) != s0  # it learns
+
+    def test_init_matches_fixed_temperature_loss(self, pretrain_setup, rng):
+        """At init, s = 1/T, so the first-step loss equals the fixed-T
+        step's loss bitwise (same batch, same rng, same init weights)."""
+        _, fixed_step, fixed_state, _ = pretrain_setup
+        _, learn_step, learn_state = self._setup("clip_self_distill")
+        batch = pretrain_batch(rng)
+        key = jax.random.key(2)
+        _, m_fixed = fixed_step(fixed_state, batch, LRS, key)
+        _, m_learn = learn_step(learn_state, batch, LRS, key)
+        # tower weights share the same init seed; the extra scalars don't
+        # perturb them (flax names are independent), so losses match
+        np.testing.assert_allclose(
+            float(m_learn["loss"]), float(m_fixed["loss"]), rtol=1e-6
+        )
+
+    def test_siglip_bias_trains(self, rng):
+        _, step, state = self._setup("siglip")
+        b0 = float(state.params["logit_bias"])
+        assert b0 == -10.0
+        s0 = float(np.exp(state.params["logit_scale"]))
+        np.testing.assert_allclose(s0, 10.0, rtol=1e-6)
+        batch = pretrain_batch(rng)
+        for i in range(5):
+            state, m = step(state, batch, LRS,
+                            jax.random.fold_in(jax.random.key(1), i))
+        assert np.isfinite(float(m["loss"]))
+        assert float(state.params["logit_bias"]) != b0
+
+    def test_scalars_excluded_from_weight_decay(self):
+        tx = base_transform(max_grad_norm=None, weight_decay=0.1)
+        params = {"w": jnp.ones((2, 2)), "logit_scale": jnp.ones(())}
+        opt_state = tx.init(params)
+        zero = jax.tree.map(jnp.zeros_like, params)
+        updates, _ = tx.update(zero, opt_state, params)
+        assert float(jnp.abs(updates["w"]).max()) > 0  # matrix decays
+        assert float(updates["logit_scale"]) == 0.0  # scalar does not
+
+
 class TestWarmup:
     """Linear LR warmup in run_epoch (--warmup-steps)."""
 
