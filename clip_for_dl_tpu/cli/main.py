@@ -162,6 +162,15 @@ def _loaders(cfg, args, multi_view=True):
 
         from ..data import frame_to_image_text_dataset, merge_image_report
 
+        cache = None
+        if getattr(args, "image_cache", None):
+            from ..data import ImageCache
+
+            cache = ImageCache(args.image_cache)
+            logging.info(
+                "image cache: %d preprocessed images from %s",
+                len(cache), args.image_cache,
+            )
         reports = pd.read_csv(cfg.data.reports_csv)
         projections = pd.read_csv(cfg.data.projections_csv)
         merged = merge_image_report(projections, reports)
@@ -175,16 +184,20 @@ def _loaders(cfg, args, multi_view=True):
                 reports[reports.uid.isin(val_f.uid)], projections,
                 cfg.data.image_dir,
             )
-            train_ds = ChestXrayMultiViewDataset(train_idx, cfg.model.image_size)
-            val_ds = ChestXrayMultiViewDataset(val_idx, cfg.model.image_size)
+            train_ds = ChestXrayMultiViewDataset(
+                train_idx, cfg.model.image_size, cache=cache
+            )
+            val_ds = ChestXrayMultiViewDataset(
+                val_idx, cfg.model.image_size, cache=cache
+            )
         else:
             # CLIP pretrain: flat (image, report) pairs over every image
             # (02 nb cell 12 semantics — 4497 rows, not per-exam views)
             train_ds = frame_to_image_text_dataset(
-                train_f, cfg.data.image_dir, cfg.model.image_size
+                train_f, cfg.data.image_dir, cfg.model.image_size, cache=cache
             )
             val_ds = frame_to_image_text_dataset(
-                val_f, cfg.data.image_dir, cfg.model.image_size
+                val_f, cfg.data.image_dir, cfg.model.image_size, cache=cache
             )
     else:
         logging.warning("Indiana images unavailable — using synthetic data")
@@ -341,6 +354,43 @@ def cmd_prep(args) -> int:
 
     df = prepare_labeled_csv(args.reports, args.out, args.unlabeled_out)
     print(f"labeled {len(df)} reports → {args.out}")
+    return 0
+
+
+def cmd_cache_images(args) -> int:
+    """One-time decode+resize of the dataset into a memmap cache
+    (data/cache.py); later runs pass --image-cache DIR to skip per-epoch
+    cv2 decode entirely."""
+    import time
+
+    from ..data import build_image_cache
+
+    if args.projections_csv and os.path.exists(args.projections_csv):
+        import pandas as pd
+
+        names = pd.read_csv(args.projections_csv)["filename"].astype(str)
+        paths = [os.path.join(args.image_dir, n) for n in names]
+    else:
+        exts = (".png", ".jpg", ".jpeg")
+        paths = sorted(
+            os.path.join(root, f)
+            for root, _, files in os.walk(args.image_dir)
+            for f in files
+            if f.lower().endswith(exts)
+        )
+    if not paths:
+        print(f"error: no images found under {args.image_dir}",
+              file=sys.stderr)
+        return 2
+    t0 = time.time()
+    cache = build_image_cache(
+        paths, args.image_size, args.out, workers=args.workers
+    )
+    dt = time.time() - t0
+    print(
+        f"cached {len(cache)} images at {args.image_size}px → {args.out} "
+        f"({dt:.1f}s, {len(cache) / max(dt, 1e-9):.0f} img/s)"
+    )
     return 0
 
 
@@ -1207,6 +1257,16 @@ def cmd_eval(args) -> int:
         probs_cat, labels_cat, DISEASE_LABELS,
         os.path.join(args.log_dir, "eval_predictions.csv"),
     )
+    if getattr(args, "bootstrap", 0):
+        from ..evals.metrics import bootstrap_ci
+
+        metrics = {
+            "point": metrics,
+            "bootstrap_ci_95": bootstrap_ci(
+                probs_cat, labels_cat, n_boot=args.bootstrap,
+                class_names=DISEASE_LABELS,
+            ),
+        }
     print(json.dumps(metrics, indent=2))
     return 0
 
@@ -1304,6 +1364,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="labeled reports CSV (overrides preset)")
         sp.add_argument("--projections-csv", default=None)
         sp.add_argument("--image-dir", default=None)
+        sp.add_argument("--image-cache", default=None, metavar="DIR",
+                        help="preprocessed-image cache directory (built by "
+                             "`cache-images`): epochs read decoded uint8 "
+                             "rows from a memmap instead of cv2-decoding "
+                             "every image every epoch")
         sp.add_argument("--batch-size", type=int, default=None)
         sp.add_argument("--num-devices", type=int, default=None,
                         help="run data-parallel over the first N visible "
@@ -1372,6 +1437,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out", default="indiana_reports_labeled.csv")
     sp.add_argument("--unlabeled-out", default="unlabeled_samples.csv")
     sp.set_defaults(fn=cmd_prep)
+
+    sp = sub.add_parser(
+        "cache-images",
+        help="decode+resize the image set once into a memmap cache "
+             "(pass --image-cache to training/eval commands to use it)",
+    )
+    sp.add_argument("--image-dir", required=True)
+    sp.add_argument("--out", required=True, help="cache directory to write")
+    sp.add_argument("--projections-csv", default=None,
+                    help="cache exactly this CSV's filename column "
+                         "(default: recursive glob of --image-dir)")
+    sp.add_argument("--image-size", type=int, default=224)
+    sp.add_argument("--workers", type=int, default=8)
+    sp.set_defaults(fn=cmd_cache_images)
 
     sp = sub.add_parser("pretrain", help="CLIP contrastive pretraining")
     common(sp)
@@ -1477,6 +1556,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("eval", help="metric suite over a checkpoint")
     common(sp)
+    sp.add_argument("--bootstrap", type=int, default=0, metavar="B",
+                    help="append percentile-bootstrap 95%% confidence "
+                         "intervals over B sample resamples to every "
+                         "metric (0 = point estimates only)")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser(

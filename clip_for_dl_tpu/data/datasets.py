@@ -163,13 +163,33 @@ def build_exam_index(
     )
 
 
+def _check_cache(cache, image_size: int):
+    """A cache built at a different size would silently feed wrong-scale
+    pixels — reject at construction, not per item."""
+    if cache is not None and cache.image_size != image_size:
+        raise ValueError(
+            f"image cache was built at size {cache.image_size}, dataset "
+            f"wants {image_size} — rebuild with `cache-images`"
+        )
+    return cache
+
+
+def _cached_load(cache, path: str, image_size: int) -> np.ndarray:
+    if cache is not None:
+        img = cache.get(path)
+        if img is not None:
+            return img
+    return load_image(path, image_size)
+
+
 class ChestXrayMultiViewDataset:
     """Exam-level dataset: (images [2, S, S, 3] uint8, labels [16],
     findings str, view_types) — NHWC, device does the rest."""
 
-    def __init__(self, index: ExamIndex, image_size: int = 224):
+    def __init__(self, index: ExamIndex, image_size: int = 224, cache=None):
         self.index = index
         self.image_size = image_size
+        self.cache = _check_cache(cache, image_size)
 
     def __len__(self) -> int:
         return len(self.index)
@@ -181,7 +201,7 @@ class ChestXrayMultiViewDataset:
             if path is None:
                 views.append(np.zeros((s, s, 3), np.uint8))
             else:
-                views.append(load_image(path, s))
+                views.append(_cached_load(self.cache, path, s))
         return {
             "images": np.stack(views),
             "labels": self.index.labels[i],
@@ -198,18 +218,22 @@ class ImageTextDataset:
         image_paths: Sequence[str],
         texts: Sequence[str],
         image_size: int = 224,
+        cache=None,
     ):
         assert len(image_paths) == len(texts)
         self.image_paths = list(image_paths)
         self.texts = list(texts)
         self.image_size = image_size
+        self.cache = _check_cache(cache, image_size)
 
     def __len__(self) -> int:
         return len(self.image_paths)
 
     def __getitem__(self, i: int) -> Dict:
         return {
-            "image": load_image(self.image_paths[i], self.image_size),
+            "image": _cached_load(
+                self.cache, self.image_paths[i], self.image_size
+            ),
             "text": self.texts[i],
         }
 
@@ -224,19 +248,23 @@ class ImageMultiLabelDataset:
         labels: np.ndarray,
         image_size: int = 224,
         texts: Optional[Sequence[str]] = None,
+        cache=None,
     ):
         assert len(image_paths) == len(labels)
         self.image_paths = list(image_paths)
         self.labels = np.asarray(labels, np.float32)
         self.image_size = image_size
         self.texts = list(texts) if texts is not None else None
+        self.cache = _check_cache(cache, image_size)
 
     def __len__(self) -> int:
         return len(self.image_paths)
 
     def __getitem__(self, i: int) -> Dict:
         out = {
-            "image": load_image(self.image_paths[i], self.image_size),
+            "image": _cached_load(
+                self.cache, self.image_paths[i], self.image_size
+            ),
             "labels": self.labels[i],
             "path": self.image_paths[i],
         }
@@ -247,16 +275,17 @@ class ImageMultiLabelDataset:
 
 def frame_to_multilabel_dataset(
     frame: pd.DataFrame, image_dir: str = "", image_size: int = 224,
-    with_text: bool = False,
+    with_text: bool = False, cache=None,
 ) -> ImageMultiLabelDataset:
     paths = [os.path.join(image_dir, p) for p in frame["image_path"]]
     labels = frame[list(DISEASE_LABELS)].to_numpy(np.float32)
     texts = list(frame["report"]) if with_text else None
-    return ImageMultiLabelDataset(paths, labels, image_size, texts)
+    return ImageMultiLabelDataset(paths, labels, image_size, texts, cache)
 
 
 def frame_to_image_text_dataset(
-    frame: pd.DataFrame, image_dir: str = "", image_size: int = 224
+    frame: pd.DataFrame, image_dir: str = "", image_size: int = 224,
+    cache=None,
 ) -> ImageTextDataset:
     paths = [os.path.join(image_dir, p) for p in frame["image_path"]]
-    return ImageTextDataset(paths, list(frame["report"]), image_size)
+    return ImageTextDataset(paths, list(frame["report"]), image_size, cache)

@@ -218,16 +218,12 @@ def auroc_per_class(scores: np.ndarray, true: np.ndarray) -> np.ndarray:
         n_pos, n_neg = int(y.sum()), int((~y).sum())
         if n_pos == 0 or n_neg == 0:
             continue
-        order = np.argsort(s, kind="mergesort")
-        ranks = np.empty(len(s), np.float64)
-        sorted_s = s[order]
-        i = 0
-        while i < len(s):
-            j = i
-            while j + 1 < len(s) and sorted_s[j + 1] == sorted_s[i]:
-                j += 1
-            ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
-            i = j + 1
+        # average ranks with tie correction, vectorized: np.unique sorts,
+        # each tie block of size m starting at position p gets rank
+        # p + (m-1)/2 + 1 — identical values to the classic two-pointer scan
+        _, inv, counts = np.unique(s, return_inverse=True, return_counts=True)
+        starts = np.concatenate(([0.0], np.cumsum(counts)[:-1].astype(np.float64)))
+        ranks = starts[inv] + (counts[inv] - 1) / 2.0 + 1.0
         rank_sum = ranks[y].sum()
         out[c] = (rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
     return out
@@ -271,6 +267,59 @@ def multilabel_metrics(
         per = auroc_per_class(scores, true)
         for i, name in enumerate(class_names):
             out[f"auroc/{name}"] = float(per[i])
+    return out
+
+
+def bootstrap_ci(
+    scores: np.ndarray,
+    true: np.ndarray,
+    n_boot: int = 1000,
+    alpha: float = 0.05,
+    seed: int = 0,
+    threshold: float = 0.5,
+    metrics: Optional[Sequence[str]] = None,
+    class_names: Optional[Sequence[str]] = None,
+) -> Dict[str, Dict[str, float]]:
+    """Nonparametric percentile-bootstrap confidence intervals over SAMPLES
+    (the exam is the resampling unit — labels within a sample stay together,
+    so label correlation is respected). Returns
+    {metric: {"value": point, "lo": q_{α/2}, "hi": q_{1-α/2}, "n_boot": B}}.
+
+    The reference reports bare point metrics (02 nb cell 30); on a 902-exam
+    validation split the headline numbers move by several points between
+    seeds, so CIs are what make model comparisons meaningful. Degenerate
+    replicates (a class losing all its positives → NaN AUROC) are excluded
+    per-metric from the percentile, mirroring macro_auroc's NaN policy.
+    """
+    scores, true = _np(scores), _np(true)
+    point = multilabel_metrics(scores, true, threshold, class_names)
+    keys = list(metrics) if metrics is not None else list(point)
+    unknown = [k for k in keys if k not in point]
+    if unknown:
+        raise KeyError(f"unknown metric(s) {unknown}; have {sorted(point)}")
+    rng = np.random.default_rng(seed)
+    n = len(scores)
+    reps = {k: np.empty(n_boot) for k in keys}
+    for b in range(n_boot):
+        idx = rng.integers(0, n, n)
+        m = multilabel_metrics(scores[idx], true[idx], threshold, class_names)
+        for k in keys:
+            reps[k][b] = m[k]
+    lo_q, hi_q = 100.0 * alpha / 2.0, 100.0 * (1.0 - alpha / 2.0)
+    out: Dict[str, Dict[str, float]] = {}
+    for k in keys:
+        r = reps[k]
+        valid = r[~np.isnan(r)]
+        if valid.size:
+            lo, hi = np.percentile(valid, [lo_q, hi_q])
+        else:
+            lo = hi = float("nan")
+        out[k] = {
+            "value": float(point[k]),
+            "lo": float(lo),
+            "hi": float(hi),
+            "n_boot": int(valid.size),
+        }
     return out
 
 

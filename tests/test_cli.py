@@ -43,6 +43,7 @@ def test_prep_roundtrip(tmp_path):
     (["zeroshot"], []),
     (["zeroshot", "--dynamic"], []),
     (["eval"], []),
+    (["eval"], ["--bootstrap", "20"]),
 ])
 def test_inference_commands(tmp_path, command, extra):
     rc = run(command + [

@@ -148,3 +148,63 @@ def test_top1_per_label_counts():
     counts = top1_per_label_counts(scores, true)
     assert counts[0] == {"predicted": 2, "correct": 1}
     assert counts[1] == {"predicted": 1, "correct": 1}
+
+
+class TestBootstrapCI:
+    def _data(self, n=120, seed=3):
+        rng = np.random.default_rng(seed)
+        true = (rng.random((n, 6)) < 0.3).astype(np.int32)
+        # informative but overlapping scores → AUROC well inside (0.5, 1)
+        scores = np.clip(0.35 * true + 0.65 * rng.random((n, 6)), 0.0, 1.0)
+        return scores, true
+
+    def test_interval_brackets_point_and_orders(self):
+        from clip_for_dl_tpu.evals import bootstrap_ci
+
+        scores, true = self._data()
+        cis = bootstrap_ci(scores, true, n_boot=200, seed=0)
+        for k, c in cis.items():
+            assert c["lo"] <= c["hi"], k
+            # percentile bootstrap: point estimate inside the 95% interval
+            # for these well-behaved metrics
+            assert c["lo"] - 1e-9 <= c["value"] <= c["hi"] + 1e-9, k
+        # the CI is non-degenerate for a continuous metric
+        assert cis["auroc_macro"]["hi"] > cis["auroc_macro"]["lo"]
+
+    def test_deterministic_and_metric_subset(self):
+        from clip_for_dl_tpu.evals import bootstrap_ci
+
+        scores, true = self._data()
+        a = bootstrap_ci(scores, true, n_boot=50, seed=7,
+                         metrics=("auroc_macro", "f1_micro"))
+        b = bootstrap_ci(scores, true, n_boot=50, seed=7,
+                         metrics=("auroc_macro", "f1_micro"))
+        assert a == b
+        assert set(a) == {"auroc_macro", "f1_micro"}
+        with pytest.raises(KeyError, match="unknown metric"):
+            bootstrap_ci(scores, true, n_boot=10, metrics=("nope",))
+
+    def test_more_samples_tighter_interval(self):
+        from clip_for_dl_tpu.evals import bootstrap_ci
+
+        small = self._data(n=40, seed=1)
+        large = self._data(n=640, seed=1)
+        w_small = bootstrap_ci(*small, n_boot=200, seed=2,
+                               metrics=("auroc_macro",))["auroc_macro"]
+        w_large = bootstrap_ci(*large, n_boot=200, seed=2,
+                               metrics=("auroc_macro",))["auroc_macro"]
+        assert (w_large["hi"] - w_large["lo"]) < (w_small["hi"] - w_small["lo"])
+
+    def test_degenerate_replicates_excluded(self):
+        from clip_for_dl_tpu.evals import bootstrap_ci
+
+        # one positive in one class: many replicates lose it → NaN AUROC
+        true = np.zeros((20, 2), np.int32)
+        true[0, 0] = 1
+        true[:10, 1] = 1
+        rng = np.random.default_rng(0)
+        scores = rng.random((20, 2))
+        cis = bootstrap_ci(scores, true, n_boot=100, seed=0,
+                           metrics=("auroc_macro",))
+        assert cis["auroc_macro"]["n_boot"] <= 100
+        assert np.isfinite(cis["auroc_macro"]["lo"])

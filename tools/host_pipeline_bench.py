@@ -8,13 +8,17 @@ measures the whole pipeline the way a real eval runs it (reference path:
   (data/loader.py prefetch_to_device) → jitted resize+normalize+ResNet50+
   similarity zero-shot step.
 
-Two pipeline layouts are measured:
+Three pipeline layouts are measured:
   device-resize  decode at stored resolution, ship uint8, resize+normalize
                  on the TPU (the north-star input-fusion layout; H2D scales
                  with source resolution)
   host-resize    decode + native C++ threaded resize to 224 on the host
                  (native/bindings.py batch_resize_u8), ship the small uint8
                  batch, normalize on device (minimum H2D bytes)
+  cached         one-time decode into a uint8 memmap (data/cache.py,
+                 `cache-images` CLI); epochs read preprocessed rows at
+                 disk/page-cache bandwidth — zero per-epoch decode work
+                 (the layout real multi-epoch runs should use)
 
 Also reports the host-only decode rate (loader iterated with no device
 work) and the raw H2D bandwidth, so the bottleneck — host decode vs H2D vs
@@ -73,13 +77,21 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=2,
                    help="timed epochs (first full epoch warms the compile)")
     p.add_argument("--mode", nargs="+",
-                   default=["device-resize", "host-resize"],
-                   choices=["device-resize", "host-resize"])
+                   default=["device-resize", "host-resize", "cached"],
+                   choices=["device-resize", "host-resize", "cached"])
     p.add_argument("--tiny", action="store_true",
                    help="tiny model/shapes for CI smoke")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (smoke runs; the tunneled "
+                        "axon backend hangs when no TPU is attached)")
     args = p.parse_args(argv)
 
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -186,7 +198,23 @@ def main(argv=None) -> int:
             return n / (time.perf_counter() - t0)
 
         for mode in args.mode:
-            if mode == "device-resize":
+            cache_build_s = None
+            if mode == "cached":
+                # one-time decode into the memmap cache (data/cache.py);
+                # the epoch then reads preprocessed uint8 rows — no cv2
+                from clip_for_dl_tpu.data.cache import build_image_cache
+
+                t0 = time.perf_counter()
+                cache = build_image_cache(
+                    paths, image_size, os.path.join(root, "img_cache"),
+                    workers=args.threads,
+                )
+                cache_build_s = time.perf_counter() - t0
+                dataset = ImageMultiLabelDataset(
+                    paths, labels, image_size=image_size, cache=cache
+                )
+                transform = None
+            elif mode == "device-resize":
                 # decode at stored resolution; resize happens inside the jit
                 dataset = ImageMultiLabelDataset(
                     paths, labels, image_size=None
@@ -211,14 +239,17 @@ def main(argv=None) -> int:
                 n, dt = run_epoch(dataset, transform)
                 best = max(best, n / dt)
             decode_rate = host_only_rate(dataset)
-            results.append({
+            row = {
                 "metric": f"host-pipeline zero-shot img/s ({mode})",
                 "value": round(best, 1),
                 "unit": "images/sec",
                 "stored_px": args.stored_size,
                 "host_decode_img_s": round(decode_rate, 1),
                 "h2d_MBps": round(h2d_mbps, 1),
-            })
+            }
+            if cache_build_s is not None:
+                row["cache_build_s"] = round(cache_build_s, 2)
+            results.append(row)
             print(json.dumps(results[-1]))
 
     return 0
