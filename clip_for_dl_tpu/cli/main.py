@@ -1085,6 +1085,12 @@ def cmd_zeroshot(args) -> int:
             csv_path=csv,
         )
         print(json.dumps({"thresholds": out["thresholds"]}, indent=2))
+        # persist the calibration so `serve --thresholds` / later evals can
+        # reuse it without re-running the two-pass pipeline
+        tpath = os.path.join(args.log_dir, "thresholds.json")
+        with open(tpath, "w") as f:
+            json.dump(out["thresholds"], f, indent=2)
+        logging.info("calibrated thresholds → %s", tpath)
     else:
         out = run_zero_shot_eval(engine, val_loader, cfg.zeroshot.top_k, csv)
     print(json.dumps(
@@ -1299,9 +1305,18 @@ def cmd_serve(args) -> int:
     engine.build_text_features(
         prompts_for_family(args.prompts, DISEASE_LABELS)
     )
+    threshold = args.threshold
+    if getattr(args, "thresholds", None):
+        with open(args.thresholds) as f:
+            threshold = {str(k): float(v) for k, v in json.load(f).items()}
+        unknown = set(threshold) - set(DISEASE_LABELS)
+        if unknown:
+            print(f"error: --thresholds has unknown diseases {sorted(unknown)}",
+                  file=sys.stderr)
+            return 2
     service = ZeroShotService(
         engine, DISEASE_LABELS,
-        threshold=args.threshold,
+        threshold=threshold,
         buckets=tuple(sorted(args.buckets)),
         max_wait_ms=args.max_wait_ms,
         image_size=cfg.model.image_size,
@@ -1572,6 +1587,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--host", default="0.0.0.0")
     sp.add_argument("--port", type=int, default=8008)
     sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--thresholds", default=None, metavar="FILE",
+                    help="per-disease threshold JSON (written by "
+                         "`zeroshot --dynamic` as thresholds.json); "
+                         "overrides --threshold per disease, 0.5 for "
+                         "diseases absent from the file")
     sp.add_argument("--buckets", type=int, nargs="+", default=[1, 4, 16, 64],
                     help="pre-compiled batch sizes for the micro-batcher")
     sp.add_argument("--max-wait-ms", type=float, default=5.0,

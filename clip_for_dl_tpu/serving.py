@@ -289,13 +289,25 @@ class ZeroShotService:
         self,
         engine,
         disease_list: Sequence[str],
-        threshold: float = 0.5,
+        threshold=0.5,
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         max_wait_ms: float = 5.0,
         image_size: int = 224,
     ):
         self.disease_list = list(disease_list)
-        self.threshold = threshold
+        # scalar, or per-disease mapping (e.g. the calibration written by
+        # `zeroshot --dynamic` → thresholds.json); unknown diseases fall
+        # back to 0.5
+        if isinstance(threshold, dict):
+            self.thresholds = np.array(
+                [float(threshold.get(d, 0.5)) for d in disease_list],
+                np.float64,
+            )
+        else:
+            self.thresholds = np.full(
+                len(disease_list), float(threshold), np.float64
+            )
+        self.threshold = threshold  # as given, reported by /stats
         self.image_size = image_size
         if hasattr(engine, "_dispatch"):
             # async path: dispatch returns a device handle (sigmoid fused
@@ -320,8 +332,8 @@ class ZeroShotService:
         probs = self.batcher.submit(image_u8).result(timeout=timeout_s)
         positive = [
             (d, float(p))
-            for d, p in zip(self.disease_list, probs)
-            if p > self.threshold
+            for d, p, t in zip(self.disease_list, probs, self.thresholds)
+            if p > t
         ]
         return {
             "probs": {d: float(p) for d, p in zip(self.disease_list, probs)},

@@ -51,6 +51,10 @@ def test_inference_commands(tmp_path, command, extra):
         "--log-dir", str(tmp_path),
     ] + extra)
     assert rc == 0
+    if "--dynamic" in command:
+        # the calibration is persisted for serve --thresholds
+        saved = json.loads((tmp_path / "thresholds.json").read_text())
+        assert saved and all(0.0 <= v <= 1.0 for v in saved.values())
 
 
 def test_pretrain_then_restore_zeroshot(tmp_path):

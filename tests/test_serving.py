@@ -389,3 +389,51 @@ class TestPipelinedBatcher:
             assert f2.result(timeout=10) == 48
         finally:
             batcher.close()
+
+
+class TestPerDiseaseThresholds:
+    """Calibrated thresholds (zeroshot --dynamic → thresholds.json) applied
+    per disease in the serving prediction set."""
+
+    class _StubEngine:
+        def __init__(self, probs_row):
+            self._row = np.asarray(probs_row, np.float32)
+
+        def probs(self, images_u8):
+            return np.tile(self._row, (len(images_u8), 1))
+
+    def _service(self, threshold):
+        row = np.linspace(0.1, 0.9, len(DISEASE_LABELS))
+        return (
+            ZeroShotService(
+                self._StubEngine(row), DISEASE_LABELS,
+                threshold=threshold, buckets=(1,), max_wait_ms=1.0,
+                image_size=8,
+            ),
+            row,
+        )
+
+    def test_scalar_threshold_unchanged(self):
+        service, row = self._service(0.5)
+        try:
+            out = service.predict_one(np.zeros((8, 8, 3), np.uint8))
+            want = {d for d, p in zip(DISEASE_LABELS, row) if p > 0.5}
+            assert set(out["predictions"]) == want
+        finally:
+            service.close()
+
+    def test_dict_threshold_per_disease_with_default(self):
+        # strict threshold for the highest-prob disease, lax for the lowest;
+        # everything else defaults to 0.5
+        lo, hi = DISEASE_LABELS[0], DISEASE_LABELS[-1]
+        service, row = self._service({hi: 0.95, lo: 0.05})
+        try:
+            out = service.predict_one(np.zeros((8, 8, 3), np.uint8))
+            preds = set(out["predictions"])
+            assert hi not in preds          # 0.9 < 0.95
+            assert lo in preds              # 0.1 > 0.05
+            mids = {d for d, p in zip(DISEASE_LABELS, row)
+                    if d not in (lo, hi) and p > 0.5}
+            assert mids <= preds
+        finally:
+            service.close()
