@@ -50,12 +50,17 @@ def test_host_pipeline_bench_tiny(capsys):
     rc = main(["--tiny"])
     assert rc == 0
     lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
-    assert len(lines) == 2  # device-resize + host-resize
+    assert len(lines) == 3  # device-resize + host-resize + cached
+    saw_cached = False
     for line in lines:
         rec = json.loads(line)
         assert rec["value"] > 0
         assert rec["host_decode_img_s"] > 0
         assert rec["h2d_MBps"] > 0
+        if "(cached)" in rec["metric"]:
+            saw_cached = True
+            assert rec["cache_build_s"] >= 0
+    assert saw_cached
 
 
 def test_scaling_report_tiny(capsys):
