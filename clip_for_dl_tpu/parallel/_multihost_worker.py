@@ -109,9 +109,39 @@ def run(args) -> list:
         donate_state=False,
     )
 
+    mgr = None
+    if args.ckpt_dir and args.ckpt_at:
+        from clip_for_dl_tpu.train.checkpoint import CheckpointManager
+
+        # every process constructs the manager and participates in the
+        # distributed save/restore — orbax coordinates through the
+        # jax.distributed service (primary writes metadata, barriers
+        # fence the commit)
+        mgr = CheckpointManager(args.ckpt_dir, max_to_keep=1)
+
     per_proc = args.batch_size // pc
     losses = []
     for s in range(args.steps):
+        if mgr is not None and s == args.ckpt_at:
+            mgr.save(0, state, metrics={"val_loss": 1.0})
+            mgr.wait()
+            # simulated restart: rebuild the state from a DIFFERENT init
+            # seed (so a restore that silently kept template values would
+            # change the loss trajectory), then restore the saved state
+            # onto this mesh
+            variables2 = jax.jit(model.init)(
+                jax.random.key(7),
+                jnp.zeros((1, 16, 16, 3), jnp.float32),
+                jnp.zeros((1, 8), jnp.int32),
+            )
+            template = replicate_state(
+                TrainState.create(variables2, tx), mesh
+            )
+            state, _ = mgr.restore(template)
+            restored_step = int(jax.device_get(state.step))
+            assert restored_step == args.ckpt_at, (
+                f"restored step {restored_step} != {args.ckpt_at}"
+            )
         gb = synthetic_global_batch(s, args.batch_size, 16, 8, cfg.vocab_size)
         # this process feeds only its contiguous row block of the global
         # batch (P('data') lays rows out in mesh order: proc 0 first)
@@ -121,6 +151,9 @@ def run(args) -> list:
             state, batch, {"default": 1e-3}, jax.random.key(1000 + s)
         )
         losses.append(float(metrics["loss"]))
+
+    if mgr is not None:
+        mgr.close()
 
     if args.out:
         with open(args.out, "w") as f:
@@ -139,6 +172,10 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--out", default=None)
+    # multihost-checkpoint proof leg: save the full TrainState at step
+    # --ckpt-at, rebuild from a different init seed, restore, continue
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--ckpt-at", type=int, default=0)
     run(p.parse_args(argv))
     return 0
 
