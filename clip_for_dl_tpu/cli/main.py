@@ -467,6 +467,12 @@ def cmd_pretrain(args) -> int:
                              "(adapter params train, not the towers)")
         if int(getattr(args, "accum_steps", 1) or 1) > 1:
             raise SystemExit("--accum-steps does not compose with --lora")
+        if getattr(args, "learnable_temperature", False):
+            raise SystemExit(
+                "--learnable-temperature does not compose with --lora "
+                "(the LoRA step trains adapter deltas only — the "
+                "calibration scalars would receive no gradient)"
+            )
         # Parameter-efficient fine-tuning: frozen towers + rank-r deltas on
         # the attention/MLP kernels (models/lora.py). The frozen base rides
         # through the jitted step as an argument, not a constant.
@@ -492,8 +498,10 @@ def cmd_pretrain(args) -> int:
         def step(state, batch, lrs, rng):
             return lora_step(state, frozen, batch, lrs, rng)
 
+        # validation must score the SAME objective the LoRA step trains —
+        # it drives ReduceLROnPlateau, early stopping and best-ckpt choice
         base_eval = make_clip_eval_step(
-            model, "clip_self_distill", cfg.model.temperature,
+            model, loss_name, cfg.model.temperature,
             cfg.model.image_size, cfg.augment.mean, cfg.augment.std, compute,
         )
 
@@ -556,6 +564,13 @@ def cmd_pretrain(args) -> int:
                     "--accum-steps composes with plain dp only (not "
                     "--pp/--ep)"
                 )
+            if getattr(args, "learnable_temperature", False):
+                raise SystemExit(
+                    "--learnable-temperature does not compose with "
+                    "--accum-steps (the GradCache step caches features at "
+                    "a fixed temperature — the scalars would silently "
+                    "train at zero gradient)"
+                )
             from ..train import make_accum_clip_pretrain_step
 
             try:
@@ -596,6 +611,11 @@ def cmd_pretrain(args) -> int:
     pp = getattr(args, "pp", 0) or 0
     if args.lora and pp > 1:
         raise SystemExit("--pp does not compose with --lora")
+    if pp > 1 and getattr(args, "learnable_temperature", False):
+        raise SystemExit(
+            "--learnable-temperature does not compose with --pp (the "
+            "staged step computes the loss at the fixed temperature)"
+        )
     if args.lora:
         pp = 0
     if pp > 1:
@@ -1271,6 +1291,7 @@ def cmd_eval(args) -> int:
             "bootstrap_ci_95": bootstrap_ci(
                 probs_cat, labels_cat, n_boot=args.bootstrap,
                 class_names=DISEASE_LABELS,
+                point=metrics,  # already computed above — don't redo
             ),
         }
     print(json.dumps(metrics, indent=2))
@@ -1288,6 +1309,38 @@ def cmd_serve(args) -> int:
     if min(args.buckets) < 1:
         print("error: --buckets entries must be >= 1", file=sys.stderr)
         return 2
+    # parse + validate the calibration file BEFORE the (slow) engine build
+    # so a bad file fails in milliseconds, not after model load + prompt
+    # encoding
+    threshold = args.threshold
+    if getattr(args, "thresholds", None):
+        with open(args.thresholds) as f:
+            raw = json.load(f)
+        threshold = {}
+        for k, v in raw.items():
+            try:
+                threshold[str(k)] = float(v)
+            except (TypeError, ValueError):
+                print(
+                    f"error: --thresholds[{k!r}] = {v!r} is not a number",
+                    file=sys.stderr,
+                )
+                return 2
+        unknown = set(threshold) - set(DISEASE_LABELS)
+        if unknown:
+            print(f"error: --thresholds has unknown diseases {sorted(unknown)}",
+                  file=sys.stderr)
+            return 2
+        bad = {k: v for k, v in threshold.items() if not 0.0 <= v <= 1.0}
+        if bad:
+            # a threshold outside [0,1] silently pins the disease to
+            # always/never predicted — refuse rather than serve garbage
+            print(
+                "error: --thresholds values must be probabilities in "
+                f"[0, 1]; got {bad}",
+                file=sys.stderr,
+            )
+            return 2
     cfg = get_preset(args.preset)
     _setup_logging(args.log_dir, "serve")
     tokenizer = _tokenizer(args)
@@ -1305,15 +1358,6 @@ def cmd_serve(args) -> int:
     engine.build_text_features(
         prompts_for_family(args.prompts, DISEASE_LABELS)
     )
-    threshold = args.threshold
-    if getattr(args, "thresholds", None):
-        with open(args.thresholds) as f:
-            threshold = {str(k): float(v) for k, v in json.load(f).items()}
-        unknown = set(threshold) - set(DISEASE_LABELS)
-        if unknown:
-            print(f"error: --thresholds has unknown diseases {sorted(unknown)}",
-                  file=sys.stderr)
-            return 2
     service = ZeroShotService(
         engine, DISEASE_LABELS,
         threshold=threshold,

@@ -240,6 +240,58 @@ def macro_auroc(scores: np.ndarray, true: np.ndarray) -> float:
 # ---------------------------------------------------------------------------
 
 
+def _suite_thunks(
+    scores: np.ndarray,
+    true: np.ndarray,
+    threshold: float,
+    class_names: Optional[Sequence[str]],
+) -> Dict[str, Any]:
+    """key → thunk map covering every :func:`multilabel_metrics` key.
+
+    Shared intermediates (binarized predictions, the F1 family, per-class
+    AUROC) are computed at most once per (scores, true) realization, and a
+    key's metric is computed only when its thunk runs — this is what lets
+    :func:`bootstrap_ci` evaluate a requested SUBSET per replicate instead
+    of paying for the whole suite 1000 times."""
+    pred = (scores > threshold).astype(np.int32)
+    cache: Dict[str, Any] = {}
+
+    def _f1(k: str) -> float:
+        if "f1" not in cache:
+            cache["f1"] = f1_scores(pred, true)
+        return cache["f1"][k]
+
+    def _per_auroc() -> np.ndarray:
+        if "per" not in cache:
+            cache["per"] = auroc_per_class(scores, true)
+        return cache["per"]
+
+    def _macro_auroc() -> float:
+        per = _per_auroc()
+        valid = ~np.isnan(per)
+        return float(per[valid].mean()) if valid.any() else float("nan")
+
+    thunks: Dict[str, Any] = {
+        "sample_accuracy": lambda: sample_accuracy(pred, true),
+        "label_accuracy": lambda: label_accuracy(pred, true),
+        "hamming_score": lambda: hamming_score(pred, true),
+        "hamming_loss": lambda: hamming_loss(pred, true),
+        "exact_match": lambda: exact_match(pred, true),
+        "jaccard": lambda: jaccard_example_accuracy(pred, true),
+        "top1_accuracy": lambda: top_k_accuracy(scores, true, 1),
+        "top3_accuracy": lambda: top_k_accuracy(scores, true, 3),
+        "mAP": lambda: mean_average_precision(scores, true),
+        "LRAP": lambda: lrap(scores, true),
+        "auroc_macro": _macro_auroc,
+    }
+    for k in ("f1_macro", "f1_micro", "f1_weighted", "f1_samples"):
+        thunks[k] = lambda k=k: _f1(k)
+    if class_names is not None:
+        for i, name in enumerate(class_names):
+            thunks[f"auroc/{name}"] = lambda i=i: float(_per_auroc()[i])
+    return thunks
+
+
 def multilabel_metrics(
     scores: np.ndarray,
     true: np.ndarray,
@@ -248,26 +300,8 @@ def multilabel_metrics(
 ) -> Dict[str, float]:
     """The full suite from probabilities: everything in §2.6 plus AUROC."""
     scores, true = _np(scores), _np(true)
-    pred = (scores > threshold).astype(np.int32)
-    out: Dict[str, float] = {
-        "sample_accuracy": sample_accuracy(pred, true),
-        "label_accuracy": label_accuracy(pred, true),
-        "hamming_score": hamming_score(pred, true),
-        "hamming_loss": hamming_loss(pred, true),
-        "exact_match": exact_match(pred, true),
-        "jaccard": jaccard_example_accuracy(pred, true),
-        "top1_accuracy": top_k_accuracy(scores, true, 1),
-        "top3_accuracy": top_k_accuracy(scores, true, 3),
-        "mAP": mean_average_precision(scores, true),
-        "LRAP": lrap(scores, true),
-        "auroc_macro": macro_auroc(scores, true),
-    }
-    out.update(f1_scores(pred, true))
-    if class_names is not None:
-        per = auroc_per_class(scores, true)
-        for i, name in enumerate(class_names):
-            out[f"auroc/{name}"] = float(per[i])
-    return out
+    thunks = _suite_thunks(scores, true, threshold, class_names)
+    return {k: float(t()) for k, t in thunks.items()}
 
 
 def bootstrap_ci(
@@ -279,6 +313,7 @@ def bootstrap_ci(
     threshold: float = 0.5,
     metrics: Optional[Sequence[str]] = None,
     class_names: Optional[Sequence[str]] = None,
+    point: Optional[Dict[str, float]] = None,
 ) -> Dict[str, Dict[str, float]]:
     """Nonparametric percentile-bootstrap confidence intervals over SAMPLES
     (the exam is the resampling unit — labels within a sample stay together,
@@ -290,9 +325,14 @@ def bootstrap_ci(
     seeds, so CIs are what make model comparisons meaningful. Degenerate
     replicates (a class losing all its positives → NaN AUROC) are excluded
     per-metric from the percentile, mirroring macro_auroc's NaN policy.
+
+    ``point``: pre-computed point metrics (the exact output of
+    ``multilabel_metrics(scores, true, threshold, class_names)``) — pass it
+    when the caller already computed them so they aren't recomputed here.
     """
     scores, true = _np(scores), _np(true)
-    point = multilabel_metrics(scores, true, threshold, class_names)
+    if point is None:
+        point = multilabel_metrics(scores, true, threshold, class_names)
     keys = list(metrics) if metrics is not None else list(point)
     unknown = [k for k in keys if k not in point]
     if unknown:
@@ -302,9 +342,11 @@ def bootstrap_ci(
     reps = {k: np.empty(n_boot) for k in keys}
     for b in range(n_boot):
         idx = rng.integers(0, n, n)
-        m = multilabel_metrics(scores[idx], true[idx], threshold, class_names)
+        # only the REQUESTED metrics are computed per replicate (shared
+        # intermediates cached inside the thunk map)
+        thunks = _suite_thunks(scores[idx], true[idx], threshold, class_names)
         for k in keys:
-            reps[k][b] = m[k]
+            reps[k][b] = thunks[k]()
     lo_q, hi_q = 100.0 * alpha / 2.0, 100.0 * (1.0 - alpha / 2.0)
     out: Dict[str, Dict[str, float]] = {}
     for k in keys:

@@ -47,8 +47,20 @@ def load_trained_model(
         jnp.zeros((1, s, s, 3), compute_dtype),
         jnp.zeros((1, l), jnp.int32),
     )
+    if not checkpoint:
+        if use_ema:
+            raise ValueError(
+                "--use-ema requires a checkpoint (no EMA slot exists on a "
+                "fresh init)"
+            )
     if checkpoint:
         if checkpoint.endswith(".pth"):
+            if use_ema:
+                raise ValueError(
+                    "--use-ema is not available for reference .pth "
+                    "checkpoints (torch saves carry no EMA slot) — restore "
+                    "an orbax checkpoint written by pretrain --ema-decay"
+                )
             from .train.checkpoint import (
                 import_reference_checkpoint,
                 merge_imported_params,
@@ -75,7 +87,13 @@ def load_trained_model(
                 use_ema=use_ema,
             )
             mgr.close()
-            if restored is not None:
+            if restored is None:
+                if use_ema:
+                    raise ValueError(
+                        f"--use-ema: no checkpoint found under {checkpoint} "
+                        "— the fresh-init fallback has no EMA slot"
+                    )
+            else:
                 variables = restored
     return model, variables
 

@@ -110,7 +110,7 @@ def run(args) -> list:
     )
 
     mgr = None
-    if args.ckpt_dir and args.ckpt_at:
+    if args.ckpt_dir:  # --ckpt-at 0 is valid (save before the first step)
         from clip_for_dl_tpu.train.checkpoint import CheckpointManager
 
         # every process constructs the manager and participates in the

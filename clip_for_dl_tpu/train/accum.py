@@ -52,7 +52,7 @@ def make_accum_clip_pretrain_step(
     mean: Tuple[float, ...] = (0.0, 0.0, 0.0),
     std: Tuple[float, ...] = (1.0, 1.0, 1.0),
     compute_dtype=jnp.bfloat16,
-    ema_decay: float = 0.999,
+    ema_decay: float = 0.0,
 ):
     """Drop-in replacement for ``make_clip_pretrain_step`` that runs the
     towers in ``accum_steps`` microbatches while keeping the contrastive

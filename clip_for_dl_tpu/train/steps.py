@@ -82,6 +82,18 @@ def _apply_updates(
         updates = mask_updates(updates, freeze)
     updates = apply_group_lrs(updates, state.params, lrs, label_fn)
     params = optax.apply_updates(state.params, updates)
+    if "logit_scale" in params:
+        # open-CLIP clamps the PARAMETER after each step (not the gradient
+        # path): an in-loss min() alone would zero the gradient once the
+        # optimizer overshoots log(100), freezing the scale forever. With
+        # the post-step clamp the stored value never exceeds the cap, so
+        # the loss-side min stays a no-op and s remains trainable in both
+        # directions at the boundary.
+        params = {**params, "logit_scale": jnp.minimum(
+            params["logit_scale"], jnp.asarray(
+                _LOG_SCALE_MAX, params["logit_scale"].dtype
+            )
+        )}
     ema = state.ema_params
     if ema is not None and ema_decay:
         # warmup-capped decay (min(d, (1+t)/(10+t))): early steps track the
@@ -112,7 +124,7 @@ def make_clip_pretrain_step(
     compute_dtype=jnp.bfloat16,
     local_loss_mesh=None,
     local_loss_axis: str = "data",
-    ema_decay: float = 0.999,
+    ema_decay: float = 0.0,
 ):
     """``local_loss_mesh``: a 1-D data mesh switches the contrastive loss
     to the open-CLIP local-loss block form (losses/global_batch.py) —
@@ -276,7 +288,7 @@ def make_multiview_train_step(
     flip_prob: float = 0.5,
     rotation_degrees: float = 10.0,
     translate_frac: float = 0.1,
-    ema_decay: float = 0.999,
+    ema_decay: float = 0.0,
 ):
     """Batch: images [B,2,H,W,3] u8, labels [B,C]; text_features [C,D]
     precomputed once per epoch (the 0426 hoisting fix, not 0425's per-batch

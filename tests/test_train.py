@@ -671,6 +671,39 @@ class TestLearnableTemperature:
         assert np.isfinite(float(m["loss"]))
         assert float(state.params["logit_bias"]) != b0
 
+    def test_scale_cap_is_post_step_clamp_not_gradient_freeze(self):
+        """open-CLIP semantics: the log(100) cap clamps the PARAMETER after
+        each step — the stored value never exceeds the cap, and at the cap
+        the scale remains trainable downward (an in-loss min() alone would
+        zero the gradient forever once the optimizer overshot)."""
+        import math
+
+        from clip_for_dl_tpu.train.steps import _LOG_SCALE_MAX, _apply_updates
+
+        # apply_group_lrs supplies the final scale(-lr) itself
+        tx = optax.identity()
+        params = {
+            "logit_scale": jnp.asarray(math.log(99.0), jnp.float32),
+            "logit_bias": jnp.asarray(0.0, jnp.float32),
+        }
+        state = TrainState.create({"params": params}, tx)
+        label_fn = make_label_fn([])
+        lrs = {"default": 1.0}
+        up = {"logit_scale": jnp.asarray(-5.0),  # param -= lr * grad
+              "logit_bias": jnp.asarray(0.0)}
+        state = _apply_updates(state, up, tx, lrs, label_fn)
+        # overshot by ~5 log units → stored value is exactly the cap
+        assert float(state.params["logit_scale"]) == pytest.approx(
+            _LOG_SCALE_MAX
+        )
+        down = {"logit_scale": jnp.asarray(0.5),
+                "logit_bias": jnp.asarray(0.0)}
+        state = _apply_updates(state, down, tx, lrs, label_fn)
+        # still trainable at the boundary: the next step moves it DOWN
+        assert float(state.params["logit_scale"]) == pytest.approx(
+            _LOG_SCALE_MAX - 0.5
+        )
+
     def test_scalars_excluded_from_weight_decay(self):
         tx = base_transform(max_grad_norm=None, weight_decay=0.1)
         params = {"w": jnp.ones((2, 2)), "logit_scale": jnp.ones(())}
