@@ -34,9 +34,29 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--stablehlo", action="store_true",
+                   help="also serialize the zero-shot scorer + text encoder "
+                        "as portable StableHLO modules (jax.export): "
+                        "weights and prompt features baked in, symbolic "
+                        "batch, lowered for cpu+tpu")
+    p.add_argument("--source-size", type=int, default=0,
+                   help="input view height/width baked into the exported "
+                        "scorer's resize (default: the model image size, "
+                        "i.e. pre-resized input)")
+    p.add_argument("--vocab", default=None,
+                   help="BERT vocab.txt for the prompt bank (synthetic dev "
+                        "vocabulary when absent)")
+    p.add_argument("--cpu", action="store_true",
+                   help="run on the CPU backend (export lowers for cpu+tpu "
+                        "regardless — no chip needed to produce the "
+                        "artifact)")
     args = p.parse_args(argv)
 
     import jax
+
+    if args.cpu or os.environ.get("CLIP_FOR_DL_TPU_FORCE_CPU"):
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     import orbax.checkpoint as ocp
@@ -92,6 +112,63 @@ def main(argv=None) -> int:
         for a in jax.tree.leaves(folded["params"])
     )
     print(f"exported {n_params/1e6:.1f}M params → {out}")
+
+    if args.stablehlo:
+        from clip_for_dl_tpu.export import (
+            SCORER_FILE,
+            TEXT_ENCODER_FILE,
+            export_multiview_scorer,
+            export_text_encoder,
+            write_artifact,
+        )
+        from clip_for_dl_tpu.models import CXRClip
+        from clip_for_dl_tpu.zeroshot.prompts import create_basic_prompts
+
+        # the artifact runs the BN-folded tower in the serving dtype — the
+        # exact weight set written to <out>/weights above
+        compute = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
+        folded_model = CXRClip(cfg.model, dtype=compute, fold_bn=True)
+        fold_vars = {"params": folded["params"]}
+
+        if args.vocab and os.path.exists(args.vocab):
+            from clip_for_dl_tpu.text import BertTokenizer
+
+            tokenizer = BertTokenizer(args.vocab, do_lower_case=False)
+        else:
+            from clip_for_dl_tpu.text import BertTokenizer, build_tiny_vocab
+
+            print("no vocab file — synthetic dev vocabulary for the "
+                  "prompt bank")
+            tokenizer = BertTokenizer(build_tiny_vocab(
+                "this chest x-ray shows a of normal without any "
+                "significant findings".split()
+                + [w for d in DISEASE_LABELS for w in d.split()]
+                + [w for d in DISEASE_LABELS for w in d.lower().split()]
+            ))
+        prompts = create_basic_prompts(DISEASE_LABELS)
+        enc = tokenizer.encode(prompts, max_length=cfg.model.max_text_length)
+        text_features = jax.jit(
+            lambda v, i, m: folded_model.apply(
+                v, i, m, normalize=True, method="encode_text"
+            )
+        )(fold_vars, jnp.asarray(enc["input_ids"]),
+          jnp.asarray(enc["attention_mask"]))
+
+        src = args.source_size or cfg.model.image_size
+        scorer_bytes = export_multiview_scorer(
+            folded_model, fold_vars, text_features,
+            cfg.model.image_size, cfg.augment.mean, cfg.augment.std,
+            source_hw=(src, src),
+        )
+        text_bytes = export_text_encoder(
+            folded_model, fold_vars, cfg.model.max_text_length
+        )
+        write_artifact(out, scorer_bytes, text_bytes, manifest=None)
+        print(
+            f"stablehlo: {SCORER_FILE} ({len(scorer_bytes)/1e6:.1f} MB, "
+            f"input [b,2,{src},{src},3] u8), {TEXT_ENCODER_FILE} "
+            f"({len(text_bytes)/1e6:.1f} MB, L={cfg.model.max_text_length})"
+        )
     return 0
 
 
