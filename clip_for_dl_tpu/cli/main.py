@@ -1343,39 +1343,65 @@ def cmd_serve(args) -> int:
             return 2
     cfg = get_preset(args.preset)
     _setup_logging(args.log_dir, "serve")
-    tokenizer = _tokenizer(args)
-    cfg = _apply_tiny(cfg, args, len(tokenizer.vocab))
-    model, variables = _model_and_state(cfg, args, tokenizer)
-    mesh = _inference_mesh(args, cfg)
-    engine = ZeroShotEngine(
-        model, variables, tokenizer, DISEASE_LABELS, cfg.zeroshot,
-        cfg.augment.mean, cfg.augment.std, cfg.model.image_size,
-        cfg.model.max_text_length,
-        jnp.float32 if args.fp32 else jnp.bfloat16,
-        use_enhance=cfg.model.use_multimodal_attention,
-        mesh=mesh,
-    )
-    engine.build_text_features(
-        prompts_for_family(args.prompts, DISEASE_LABELS)
-    )
+    if getattr(args, "exported", None):
+        # StableHLO artifact serving: the scorer bytes ARE the model —
+        # no checkpoint restore, no tokenizer, no prompt encoding (the
+        # bank and temperature were baked at export time)
+        for flag, why in (
+            ("checkpoint", "the artifact carries its own weights"),
+            ("use_ema", "EMA was resolved at export time"),
+        ):
+            if getattr(args, flag, None):
+                raise SystemExit(
+                    f"--{flag.replace('_', '-')} does not compose with "
+                    f"--exported ({why})"
+                )
+        if getattr(args, "tp", 1) > 1:
+            raise SystemExit(
+                "--tp does not compose with --exported (the serialized "
+                "module is a single-device program)"
+            )
+        from ..export import ExportedEngine
+
+        engine = ExportedEngine(args.exported)
+        image_size = engine.image_size
+        labels = engine.disease_list
+        checkpoint_info = args.exported
+    else:
+        tokenizer = _tokenizer(args)
+        cfg = _apply_tiny(cfg, args, len(tokenizer.vocab))
+        model, variables = _model_and_state(cfg, args, tokenizer)
+        mesh = _inference_mesh(args, cfg)
+        engine = ZeroShotEngine(
+            model, variables, tokenizer, DISEASE_LABELS, cfg.zeroshot,
+            cfg.augment.mean, cfg.augment.std, cfg.model.image_size,
+            cfg.model.max_text_length,
+            jnp.float32 if args.fp32 else jnp.bfloat16,
+            use_enhance=cfg.model.use_multimodal_attention,
+            mesh=mesh,
+        )
+        engine.build_text_features(
+            prompts_for_family(args.prompts, DISEASE_LABELS)
+        )
+        image_size = cfg.model.image_size
+        labels = DISEASE_LABELS
+        checkpoint_info = args.checkpoint or "fresh"
     service = ZeroShotService(
-        engine, DISEASE_LABELS,
+        engine, labels,
         threshold=threshold,
         buckets=tuple(sorted(args.buckets)),
         max_wait_ms=args.max_wait_ms,
-        image_size=cfg.model.image_size,
+        image_size=image_size,
     )
     # warm every bucket so no request pays a compile
     for b in sorted(set(args.buckets)):
-        engine.probs(np.zeros(
-            (b, cfg.model.image_size, cfg.model.image_size, 3), np.uint8
-        ))
+        engine.probs(np.zeros((b, image_size, image_size, 3), np.uint8))
         logging.info("warmed batch bucket %d", b)
     try:
         server = create_server(
             service, args.host, args.port,
-            model_info={"image_size": cfg.model.image_size,
-                        "checkpoint": args.checkpoint or "fresh",
+            model_info={"image_size": image_size,
+                        "checkpoint": checkpoint_info,
                         "buckets": sorted(set(args.buckets))},
         )
     except OSError as exc:
@@ -1643,6 +1669,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--tp", type=int, default=1,
                     help="with --num-devices: tensor-parallel degree for "
                          "the transformer towers (N/tp × tp mesh)")
+    sp.add_argument("--exported", default=None, metavar="DIR",
+                    help="serve a StableHLO deployment artifact "
+                         "(tools/export_inference.py --stablehlo) instead "
+                         "of rebuilding the model: weights, prompt bank "
+                         "and temperature are baked into the module")
     sp.set_defaults(fn=cmd_serve)
     return p
 

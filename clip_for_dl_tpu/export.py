@@ -39,9 +39,10 @@ from jax import export as jex
 
 from .core.config import DISEASE_LABELS
 from .ops.image_prep import preprocess_images
-from .ops.similarity import l2_normalize
+from .ops.similarity import l2_normalize, similarity_reference
 
 SCORER_FILE = "score_multiview.jaxexport"
+SINGLEVIEW_FILE = "score_image.jaxexport"
 TEXT_ENCODER_FILE = "encode_text.jaxexport"
 MANIFEST_FILE = "manifest.json"
 
@@ -115,6 +116,77 @@ def export_multiview_scorer(
     return exported.serialize()
 
 
+def make_singleview_scorer(
+    model,
+    variables,
+    text_features,
+    image_size: int,
+    mean: Sequence[float],
+    std: Sequence[float],
+    temperature: float = 0.5,
+    compute_dtype=jnp.bfloat16,
+    use_enhance: bool = False,
+):
+    """The serving hot path (``zeroshot.engine.ZeroShotEngine._probs``) with
+    weights, prompt bank and temperature closed over:
+    ``images_u8 [b, H, W, 3] -> logits [b, C]``.
+
+    Uses ``similarity_reference`` (pure XLA) rather than the TPU Pallas
+    ``fused_similarity`` kernel on purpose: the exported module must carry
+    no platform-specific custom calls, or the cpu lowering (and any future
+    backend) would be invalid. The Pallas kernel and the reference are
+    equivalence-tested in tests/test_ops.py, so live-engine and artifact
+    logits agree on every platform.
+    """
+    variables = jax.tree.map(jnp.asarray, variables)
+    text_features = jnp.asarray(text_features)
+    mean, std = tuple(mean), tuple(std)
+
+    def scorer(images_u8):
+        x = preprocess_images(
+            images_u8, image_size, image_size, mean, std, compute_dtype
+        )
+        feats = model.apply(variables, x, normalize=True,
+                            method="encode_image")
+        if use_enhance:
+            feats, _ = model.apply(
+                variables, feats, text_features, method="enhance"
+            )
+            feats = l2_normalize(feats)
+        return similarity_reference(
+            feats.astype(jnp.float32),
+            text_features.astype(jnp.float32),
+            temperature,
+        )
+
+    return scorer
+
+
+def export_singleview_scorer(
+    model,
+    variables,
+    text_features,
+    image_size: int,
+    mean: Sequence[float],
+    std: Sequence[float],
+    temperature: float = 0.5,
+    source_hw: Optional[Tuple[int, int]] = None,
+    compute_dtype=jnp.bfloat16,
+    use_enhance: bool = False,
+    platforms: Sequence[str] = DEFAULT_PLATFORMS,
+) -> bytes:
+    """Serialize the single-view serving scorer to StableHLO bytes."""
+    h, w = source_hw or (image_size, image_size)
+    scorer = make_singleview_scorer(
+        model, variables, text_features, image_size, mean, std,
+        temperature, compute_dtype, use_enhance,
+    )
+    (b,) = jex.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8)
+    exported = jex.export(jax.jit(scorer), platforms=tuple(platforms))(spec)
+    return exported.serialize()
+
+
 def export_text_encoder(
     model,
     variables,
@@ -146,11 +218,15 @@ def write_artifact(
     scorer_bytes: bytes,
     text_encoder_bytes: Optional[bytes] = None,
     manifest: Optional[dict] = None,
+    singleview_bytes: Optional[bytes] = None,
 ) -> None:
     """Lay out the deployment directory: serialized modules + manifest."""
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, SCORER_FILE), "wb") as f:
         f.write(scorer_bytes)
+    if singleview_bytes is not None:
+        with open(os.path.join(out_dir, SINGLEVIEW_FILE), "wb") as f:
+            f.write(singleview_bytes)
     if text_encoder_bytes is not None:
         with open(os.path.join(out_dir, TEXT_ENCODER_FILE), "wb") as f:
             f.write(text_encoder_bytes)
@@ -202,6 +278,61 @@ class ExportedScorer:
             )
         probs = np.asarray(self._exported.call(x.astype(np.uint8)))
         return (probs > self.threshold).astype(np.float32), probs
+
+
+class ExportedEngine:
+    """Duck-typed :class:`zeroshot.engine.ZeroShotEngine` replacement built
+    from a serialized single-view scorer — plugs straight into
+    :class:`clip_for_dl_tpu.serving.ZeroShotService` (``serve --exported``).
+
+    Exposes the engine surface the service uses: ``_dispatch`` (returns the
+    device handle so the batcher's finalizer thread overlaps fetch with the
+    next batch's compute), ``logits`` and ``probs``. The prompt bank and
+    temperature are baked into the module at export time.
+    """
+
+    def __init__(self, path: str, disease_list: Optional[Sequence[str]] = None):
+        manifest = {}
+        if os.path.isdir(path):
+            module_path = os.path.join(path, SINGLEVIEW_FILE)
+            manifest_path = os.path.join(path, MANIFEST_FILE)
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as f:
+                    manifest = json.load(f)
+        else:
+            module_path = path
+        if not os.path.exists(module_path):
+            raise FileNotFoundError(
+                f"{module_path} not found — produce it with "
+                "tools/export_inference.py --stablehlo"
+            )
+        with open(module_path, "rb") as f:
+            self._exported = jex.deserialize(f.read())
+        self.disease_list = list(
+            disease_list or manifest.get("disease_labels") or DISEASE_LABELS
+        )
+        self.manifest = manifest
+        spec = self._exported.in_avals[0]  # [b, H, W, 3]
+        self.input_hw = (int(spec.shape[1]), int(spec.shape[2]))
+        self.image_size = self.input_hw[0]
+
+    def _dispatch(self, images_u8):
+        imgs = np.asarray(images_u8)
+        if imgs.ndim == 5:  # [B, V, H, W, 3] multi-view → flattened views
+            imgs = imgs.reshape((-1, *imgs.shape[2:]))
+        if imgs.shape[1:3] != self.input_hw:
+            raise ValueError(
+                f"expected [B, {self.input_hw[0]}, {self.input_hw[1]}, 3] "
+                f"uint8 (the exported geometry), got {imgs.shape}"
+            )
+        return self._exported.call(imgs.astype(np.uint8)), imgs.shape[0]
+
+    def logits(self, images_u8) -> np.ndarray:
+        out, n_real = self._dispatch(images_u8)
+        return np.asarray(out)[:n_real]
+
+    def probs(self, images_u8) -> np.ndarray:
+        return 1.0 / (1.0 + np.exp(-self.logits(images_u8)))
 
 
 class ExportedTextEncoder:

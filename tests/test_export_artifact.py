@@ -120,6 +120,102 @@ class TestScorerExport:
         assert (preds == (probs > 0.7)).all()  # threshold honored
 
 
+class TestSingleViewExport:
+    def test_lockstep_with_live_engine(self, setup, rng, tmp_path):
+        from clip_for_dl_tpu.core.config import ZeroShotConfig
+        from clip_for_dl_tpu.export import (
+            SINGLEVIEW_FILE,
+            ExportedEngine,
+            export_singleview_scorer,
+        )
+        from clip_for_dl_tpu.zeroshot import ZeroShotEngine, prompts_for_family
+
+        model, variables, tokenizer, _, cfg = setup
+        engine = ZeroShotEngine(
+            model, variables, tokenizer, DISEASE_LABELS,
+            ZeroShotConfig(temperature=0.5), image_size=32,
+            max_text_length=16,
+        )
+        engine.build_text_features(
+            prompts_for_family("prediction", DISEASE_LABELS)
+        )
+        data = export_singleview_scorer(
+            model, variables, engine.text_features, 32,
+            engine.mean, engine.std, temperature=0.5,
+        )
+        write_artifact(
+            str(tmp_path), b"", singleview_bytes=data,
+            manifest={"disease_labels": list(DISEASE_LABELS)},
+        )
+        exp = ExportedEngine(str(tmp_path))
+        assert exp.image_size == 32
+        imgs = rng.integers(0, 255, (3, 32, 32, 3), dtype=np.uint8)
+        np.testing.assert_allclose(
+            exp.logits(imgs), engine.logits(imgs), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            exp.probs(imgs), engine.probs(imgs), atol=2e-6
+        )
+        # multi-view input flattens like the live engine
+        mv = rng.integers(0, 255, (2, 2, 32, 32, 3), dtype=np.uint8)
+        np.testing.assert_allclose(
+            exp.logits(mv), engine.logits(mv), atol=2e-5
+        )
+        with pytest.raises(ValueError, match="exported geometry"):
+            exp.logits(rng.integers(0, 255, (2, 48, 48, 3), np.uint8))
+        # missing module file → clear error
+        with pytest.raises(FileNotFoundError, match="stablehlo"):
+            ExportedEngine(str(tmp_path / "nope" / SINGLEVIEW_FILE))
+
+    def test_serves_through_zeroshot_service(self, setup, rng, tmp_path):
+        from clip_for_dl_tpu.export import (
+            ExportedEngine,
+            export_singleview_scorer,
+        )
+        from clip_for_dl_tpu.serving import ZeroShotService
+        from clip_for_dl_tpu.zeroshot import ZeroShotEngine, prompts_for_family
+
+        model, variables, tokenizer, _, _ = setup
+        engine = ZeroShotEngine(
+            model, variables, tokenizer, DISEASE_LABELS,
+            image_size=32, max_text_length=16,
+        )
+        engine.build_text_features(
+            prompts_for_family("prediction", DISEASE_LABELS)
+        )
+        data = export_singleview_scorer(
+            model, variables, engine.text_features, 32,
+            engine.mean, engine.std,
+            temperature=engine.config.temperature,
+        )
+        write_artifact(
+            str(tmp_path), b"", singleview_bytes=data,
+            manifest={"disease_labels": list(DISEASE_LABELS)},
+        )
+        service = ZeroShotService(
+            ExportedEngine(str(tmp_path)), DISEASE_LABELS,
+            buckets=(1, 2), max_wait_ms=1.0, image_size=32,
+        )
+        try:
+            out = service.predict_one(
+                rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+            )
+            assert set(out["probs"]) == set(DISEASE_LABELS)
+            assert all(0.0 <= p <= 1.0 for p in out["probs"].values())
+        finally:
+            service.close()
+
+
+class TestServeExportedCLI:
+    def test_exported_rejects_checkpoint_tp_ema(self, tmp_path):
+        from clip_for_dl_tpu.cli.main import main
+
+        for extra in (["--checkpoint", "ckpts"], ["--tp", "2"],
+                      ["--use-ema"]):
+            with pytest.raises(SystemExit, match="--exported"):
+                main(["serve", "--exported", str(tmp_path)] + extra)
+
+
 class TestTextEncoderExport:
     def test_roundtrip_matches_encode_text(self, setup, tmp_path):
         model, variables, tokenizer, _, cfg = setup

@@ -46,6 +46,10 @@ def main(argv=None) -> int:
     p.add_argument("--vocab", default=None,
                    help="BERT vocab.txt for the prompt bank (synthetic dev "
                         "vocabulary when absent)")
+    p.add_argument("--prompts", default="prediction",
+                   choices=["prediction", "basic", "showing"],
+                   help="prompt family baked into the single-view serving "
+                        "scorer (matches serve's default)")
     p.add_argument("--cpu", action="store_true",
                    help="run on the CPU backend (export lowers for cpu+tpu "
                         "regardless — no chip needed to produce the "
@@ -116,13 +120,19 @@ def main(argv=None) -> int:
     if args.stablehlo:
         from clip_for_dl_tpu.export import (
             SCORER_FILE,
+            SINGLEVIEW_FILE,
             TEXT_ENCODER_FILE,
             export_multiview_scorer,
+            export_singleview_scorer,
             export_text_encoder,
             write_artifact,
         )
         from clip_for_dl_tpu.models import CXRClip
-        from clip_for_dl_tpu.zeroshot.prompts import create_basic_prompts
+        from clip_for_dl_tpu.zeroshot.engine import encode_prompt_bank
+        from clip_for_dl_tpu.zeroshot.prompts import (
+            create_basic_prompts,
+            prompts_for_family,
+        )
 
         # the artifact runs the BN-folded tower in the serving dtype — the
         # exact weight set written to <out>/weights above
@@ -160,14 +170,54 @@ def main(argv=None) -> int:
             cfg.model.image_size, cfg.augment.mean, cfg.augment.std,
             source_hw=(src, src),
         )
+        # single-view serving scorer: the serve command's prompt bank
+        # (mean-pooled per-disease family, default "prediction") at the
+        # preset's zero-shot temperature — serve --exported runs this
+        bank = encode_prompt_bank(
+            prompts_for_family(args.prompts, DISEASE_LABELS),
+            DISEASE_LABELS,
+            lambda ids, m: folded_model.apply(
+                fold_vars, ids, m, normalize=True, method="encode_text"
+            ),
+            tokenizer, cfg.model.max_text_length,
+        )
+        single_bytes = export_singleview_scorer(
+            folded_model, fold_vars, bank,
+            cfg.model.image_size, cfg.augment.mean, cfg.augment.std,
+            temperature=cfg.zeroshot.temperature, source_hw=(src, src),
+            compute_dtype=compute,
+        )
         text_bytes = export_text_encoder(
             folded_model, fold_vars, cfg.model.max_text_length
         )
-        write_artifact(out, scorer_bytes, text_bytes, manifest=None)
+        write_artifact(out, scorer_bytes, text_bytes, manifest=None,
+                       singleview_bytes=single_bytes)
+        # record export provenance next to the modules (the manifest body
+        # was written by the weight export above — extend, don't replace)
+        mpath = os.path.join(out, "manifest.json")
+        with open(mpath) as f:
+            m = json.load(f)
+        m["stablehlo"] = {
+            "jax_version": jax.__version__,
+            "platforms": ["cpu", "tpu"],
+            "source_hw": [src, src],
+            "prompts": args.prompts,
+            "temperature": cfg.zeroshot.temperature,
+            "files": {
+                "multiview": SCORER_FILE,
+                "singleview": SINGLEVIEW_FILE,
+                "text_encoder": TEXT_ENCODER_FILE,
+            },
+        }
+        with open(mpath, "w") as f:
+            json.dump(m, f, indent=2)
         print(
             f"stablehlo: {SCORER_FILE} ({len(scorer_bytes)/1e6:.1f} MB, "
-            f"input [b,2,{src},{src},3] u8), {TEXT_ENCODER_FILE} "
-            f"({len(text_bytes)/1e6:.1f} MB, L={cfg.model.max_text_length})"
+            f"input [b,2,{src},{src},3] u8), {SINGLEVIEW_FILE} "
+            f"({len(single_bytes)/1e6:.1f} MB, input [b,{src},{src},3] u8, "
+            f"T={cfg.zeroshot.temperature}, prompts={args.prompts}), "
+            f"{TEXT_ENCODER_FILE} ({len(text_bytes)/1e6:.1f} MB, "
+            f"L={cfg.model.max_text_length})"
         )
     return 0
 
