@@ -965,7 +965,13 @@ def cmd_shared_adapter(args) -> int:
         model, tx, label_fn, freeze, cfg.model.image_size,
         cfg.augment.mean, cfg.augment.std, compute,
     )
-    train_loader, _ = _loaders(cfg, args, multi_view=True)
+    from ..train import make_shared_adapter_eval_step
+
+    raw_eval = make_shared_adapter_eval_step(
+        model, cfg.model.image_size, cfg.augment.mean, cfg.augment.std,
+        compute,
+    )
+    train_loader, val_loader = _loaders(cfg, args, multi_view=True)
     max_len = cfg.model.max_text_length
 
     def to_batch(batch):
@@ -986,20 +992,61 @@ def cmd_shared_adapter(args) -> int:
             "labels": np.asarray(batch["labels"]),
         }
 
+    ckpt = None
+    if args.checkpoint_dir:
+        from ..train import CheckpointManager
+
+        ckpt = CheckpointManager(
+            args.checkpoint_dir, cfg.train.max_checkpoints_to_keep
+        )
+    from ..train import resume_or_init
+
     state = TrainState.create(variables, tx)
-    step, _, state = _maybe_dp(args, cfg, raw_step, None, state)
+    state, start_epoch = resume_or_init(ckpt, state)
+    step, eval_step, state = _maybe_dp(args, cfg, raw_step, raw_eval, state)
     kc = KeyChain(cfg.data.seed)
     state, history = fit(
-        state, step, None,
+        state, step, eval_step,
         train_loader_fn=lambda: map(to_batch, train_loader),
-        val_loader_fn=None,
+        val_loader_fn=lambda: map(to_batch, val_loader),
         base_lrs={"shared_adapter": cfg.train.lr, "default": 0.0},
         num_epochs=args.epochs or cfg.train.num_epochs,
         rng_stream=kc.stream("dropout"),
         scheduler="none",
         early_stop_patience=None,
+        checkpointer=ckpt,
+        start_epoch=start_epoch,
         log_every=cfg.train.log_every,
     )
+    history.save_csv(
+        os.path.join(args.log_dir, "shared_adapter_history.csv")
+    )
+    # final test-set suite from the shared-embedding adapter logits — the
+    # 03-notebook metric family (cell 30: F1 micro 0.6224 / mAP 0.2911 /
+    # LRAP 0.7809 BASELINE.md rows; needs report text at inference, which
+    # is why the reference abandoned it — preserved here as built)
+    if _primary():
+        from ..core.config import DISEASE_LABELS
+        from ..evals.metrics import multilabel_metrics
+        from ..train import run_eval
+        from ..utils.visualization import save_predictions_csv
+
+        val = run_eval(eval_step, state, map(to_batch, val_loader))
+        metrics = multilabel_metrics(
+            val["probs"], val["labels"], class_names=DISEASE_LABELS
+        )
+        save_predictions_csv(
+            val["probs"], val["labels"], DISEASE_LABELS,
+            os.path.join(args.log_dir, "shared_adapter_predictions.csv"),
+        )
+        with open(os.path.join(args.log_dir,
+                               "shared_adapter_metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        print(json.dumps(
+            {k: v for k, v in metrics.items()
+             if not k.startswith("auroc/")},
+            indent=2,
+        ))
     print(f"shared-adapter done: {len(history.rows)} epochs")
     return 0
 
@@ -1008,7 +1055,7 @@ def cmd_adapter(args) -> int:
     import jax
     import jax.numpy as jnp
 
-    from ..core.config import get_preset
+    from ..core.config import DISEASE_LABELS, get_preset
     from ..core.prng import KeyChain
     from ..train import (
         TrainState,
@@ -1018,6 +1065,7 @@ def cmd_adapter(args) -> int:
         make_adapter_eval_step,
         make_adapter_train_step,
         make_label_fn,
+        resume_or_init,
     )
 
     cfg = get_preset("adapter")
@@ -1047,7 +1095,15 @@ def cmd_adapter(args) -> int:
         return {"images": imgs, "labels": np.asarray(batch["labels"]),
                 "mask": batch.get("mask")}
 
+    ckpt = None
+    if args.checkpoint_dir:
+        from ..train import CheckpointManager
+
+        ckpt = CheckpointManager(
+            args.checkpoint_dir, cfg.train.max_checkpoints_to_keep
+        )
     state = TrainState.create(variables, tx)
+    state, start_epoch = resume_or_init(ckpt, state)
     step, eval_step, state = _maybe_dp(args, cfg, raw_step, raw_eval, state)
     kc = KeyChain(cfg.data.seed)
     state, history = fit(
@@ -1059,9 +1115,37 @@ def cmd_adapter(args) -> int:
         rng_stream=kc.stream("dropout"),
         scheduler="none",
         early_stop_patience=cfg.train.early_stop_patience,
+        checkpointer=ckpt,
+        start_epoch=start_epoch,
         log_every=cfg.train.log_every,
     )
     history.save_csv(os.path.join(args.log_dir, "adapter_history.csv"))
+    # final test-set suite from the ADAPTER logits — the metric family the
+    # reference publishes for phase B (02 nb cell 30: Jaccard / Hamming /
+    # F1 / mAP / LRAP; BASELINE.md "C-Adapter" rows) plus per-class AUROC
+    if _primary():
+        from ..evals.metrics import multilabel_metrics
+        from ..train import run_eval
+        from ..utils.visualization import save_predictions_csv
+
+        val = run_eval(
+            eval_step, state, map(to_single_view, val_loader)
+        )
+        metrics = multilabel_metrics(
+            val["probs"], val["labels"], class_names=DISEASE_LABELS
+        )
+        save_predictions_csv(
+            val["probs"], val["labels"], DISEASE_LABELS,
+            os.path.join(args.log_dir, "adapter_predictions.csv"),
+        )
+        with open(os.path.join(args.log_dir, "adapter_metrics.json"),
+                  "w") as f:
+            json.dump(metrics, f, indent=2)
+        print(json.dumps(
+            {k: v for k, v in metrics.items()
+             if not k.startswith("auroc/")},
+            indent=2,
+        ))
     print(f"adapter done: {len(history.rows)} epochs")
     return 0
 
@@ -1260,15 +1344,47 @@ def cmd_eval(args) -> int:
     tokenizer = _tokenizer(args)
     cfg = _apply_tiny(cfg, args, len(tokenizer.vocab))
     model, variables = _model_and_state(cfg, args, tokenizer)
-    session = InferenceSession(
-        model, variables, tokenizer, DISEASE_LABELS,
-        cfg.augment.mean, cfg.augment.std, cfg.model.image_size,
-        max_text_length=cfg.model.max_text_length,
-    )
+    if getattr(args, "head", "zeroshot") == "adapter":
+        # score from the C-ADAPTER classifier (02 nb cell 30 semantics:
+        # frontal view, frozen-tower encode, sigmoid(Linear(512,16))) —
+        # point it at the checkpoint written by the `adapter` command;
+        # a pretrain-only checkpoint restores an UNTRAINED adapter head
+        # (structurally identical), so metrics near chance mean the wrong
+        # checkpoint was given
+        import jax
+
+        from ..ops.image_prep import preprocess_images
+
+        @jax.jit
+        def _adapter_probs(variables, images_u8):
+            x = preprocess_images(
+                images_u8, cfg.model.image_size, cfg.model.image_size,
+                cfg.augment.mean, cfg.augment.std,
+                jnp.float32 if args.fp32 else jnp.bfloat16,
+            )
+            feats = model.apply(variables, x, method="encode_image")
+            logits = model.apply(variables, feats, method="adapter_logits")
+            return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+        def score(images):
+            if images.ndim == 5:
+                images = images[:, 0]  # frontal view (the adapter's input)
+            return np.asarray(_adapter_probs(variables, jnp.asarray(images)))
+    else:
+        session = InferenceSession(
+            model, variables, tokenizer, DISEASE_LABELS,
+            cfg.augment.mean, cfg.augment.std, cfg.model.image_size,
+            max_text_length=cfg.model.max_text_length,
+        )
+
+        def score(images):
+            _, probs = session(images)
+            return probs
+
     _, val_loader = _loaders(cfg, args, multi_view=True)
     probs_all, labels_all = [], []
     for batch in val_loader:
-        _, probs = session(np.asarray(batch["images"]))
+        probs = score(np.asarray(batch["images"]))
         mask = np.asarray(batch.get("mask", np.ones(len(probs)))).astype(bool)
         probs_all.append(probs[mask])
         labels_all.append(np.asarray(batch["labels"])[mask])
@@ -1645,6 +1761,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="append percentile-bootstrap 95%% confidence "
                          "intervals over B sample resamples to every "
                          "metric (0 = point estimates only)")
+    sp.add_argument("--head", default="zeroshot",
+                    choices=["zeroshot", "adapter"],
+                    help="scoring head: 'zeroshot' = sigmoid(sim*4) vs the "
+                         "prompt bank (load_model.py contract); 'adapter' "
+                         "= the trained C-Adapter classifier (02 nb cell "
+                         "30 contract — use the `adapter` command's "
+                         "--checkpoint-dir output)")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser(

@@ -94,6 +94,45 @@ def test_rollout_writes_overlays(tmp_path):
     assert list((tmp_path / "rollout").glob("*.png"))
 
 
+def test_adapter_saves_checkpoint_metrics_and_head_eval(tmp_path):
+    """The phase-B chain the reference publishes (02 nb cells 28-32):
+    adapter training persists its weights, emits the cell-30 metric family
+    from the ADAPTER logits, and `eval --head adapter` re-scores the saved
+    checkpoint with the classifier (not zero-shot similarity)."""
+    ck = str(tmp_path / "adapter_ck")
+    assert run([
+        "adapter", "--synthetic", "--tiny", "--fp32",
+        "--synthetic-samples", "8", "--epochs", "1",
+        "--log-dir", str(tmp_path), "--checkpoint-dir", ck,
+    ]) == 0
+    import os
+
+    assert os.path.isdir(ck)  # trained adapter weights persisted
+    metrics = json.loads((tmp_path / "adapter_metrics.json").read_text())
+    for key in ("jaccard", "hamming_loss", "f1_micro", "f1_macro",
+                "mAP", "LRAP", "auroc_macro"):
+        assert key in metrics  # 02 nb cell 30 family + AUROC
+    assert (tmp_path / "adapter_predictions.csv").exists()
+    assert run([
+        "eval", "--synthetic", "--tiny", "--fp32",
+        "--synthetic-samples", "8", "--log-dir", str(tmp_path),
+        "--checkpoint", ck, "--head", "adapter",
+    ]) == 0
+
+
+def test_shared_adapter_emits_metric_suite(tmp_path):
+    assert run([
+        "shared-adapter", "--synthetic", "--tiny", "--fp32",
+        "--synthetic-samples", "8", "--epochs", "1",
+        "--log-dir", str(tmp_path),
+    ]) == 0
+    metrics = json.loads(
+        (tmp_path / "shared_adapter_metrics.json").read_text()
+    )
+    assert "mAP" in metrics and "LRAP" in metrics  # 03 nb cell 30 family
+    assert (tmp_path / "shared_adapter_history.csv").exists()
+
+
 def test_serve_rejects_bad_buckets():
     # validation fires before any model construction — fast
     assert run(["serve", "--tiny", "--buckets", "0"]) == 2
