@@ -187,9 +187,32 @@ def main(argv=None) -> int:
     run_cli(["pretrain", *sizing, *data_flags, "--fp32", "--epochs", "1",
              "--checkpoint-dir", ckpt, "--log-dir", logs])
     assert os.path.exists(os.path.join(logs, "training_history.csv"))
+    adapter_ckpt = os.path.join(work, "adapter_ckpt")
     run_cli(["adapter", *sizing, *data_flags, "--fp32", "--epochs", "1",
-             "--checkpoint", ckpt, "--log-dir", logs])
-    checks["train_chain"] = "pretrain+adapter ok (resumed from orbax)"
+             "--checkpoint", ckpt, "--checkpoint-dir", adapter_ckpt,
+             "--log-dir", logs])
+    # phase B publishes its own metric family from the ADAPTER logits
+    # (02 nb cell 30) and persists the trained head
+    am_path = os.path.join(logs, "adapter_metrics.json")
+    assert os.path.exists(am_path), "adapter_metrics.json missing"
+    with open(am_path) as f:
+        am = json.load(f)
+    missing = [k for k in BASELINE_METRIC_KEYS["eval"] if k not in am]
+    assert not missing, f"adapter metrics missing {missing}"
+    assert os.path.isdir(adapter_ckpt), "adapter checkpoint not persisted"
+    # eval --head adapter re-scores the saved adapter head
+    out = run_cli(["eval", *sizing, *data_flags, "--fp32", "--head",
+                   "adapter", "--checkpoint", adapter_ckpt,
+                   "--log-dir", logs])
+    head_ev = _last_json(out)
+    assert abs(head_ev["mAP"] - am["mAP"]) < 1e-6, (
+        "eval --head adapter does not reproduce the in-train adapter "
+        f"metrics ({head_ev['mAP']} vs {am['mAP']})"
+    )
+    checks["train_chain"] = (
+        "pretrain+adapter ok (resumed from orbax; adapter head "
+        "persisted + reproduced by eval --head adapter)"
+    )
 
     # 4. zero-shot (union-max) + dynamic-threshold two-pass
     out = run_cli(["zeroshot", *sizing, *data_flags, "--fp32",
