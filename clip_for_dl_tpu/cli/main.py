@@ -1477,12 +1477,35 @@ def cmd_serve(args) -> int:
                 "--tp does not compose with --exported (the serialized "
                 "module is a single-device program)"
             )
-        from ..export import ExportedEngine
+        from ..export import ADAPTER_FILE, SINGLEVIEW_FILE, ExportedEngine
 
-        engine = ExportedEngine(args.exported)
+        engine = ExportedEngine(
+            args.exported,
+            module=(ADAPTER_FILE if getattr(args, "head", "zeroshot")
+                    == "adapter" else SINGLEVIEW_FILE),
+        )
         image_size = engine.image_size
         labels = engine.disease_list
         checkpoint_info = args.exported
+    elif getattr(args, "head", "zeroshot") == "adapter":
+        # deploy a trained C-Adapter checkpoint (the `adapter` command's
+        # --checkpoint-dir output): sigmoid(classifier logits), no prompt
+        # bank or text tower at request time
+        if getattr(args, "tp", 1) > 1:
+            raise SystemExit("--tp does not compose with --head adapter")
+        from ..inference import AdapterEngine
+
+        tokenizer = _tokenizer(args)
+        cfg = _apply_tiny(cfg, args, len(tokenizer.vocab))
+        model, variables = _model_and_state(cfg, args, tokenizer)
+        engine = AdapterEngine(
+            model, variables, cfg.augment.mean, cfg.augment.std,
+            cfg.model.image_size,
+            jnp.float32 if args.fp32 else jnp.bfloat16,
+        )
+        image_size = cfg.model.image_size
+        labels = DISEASE_LABELS
+        checkpoint_info = args.checkpoint or "fresh"
     else:
         tokenizer = _tokenizer(args)
         cfg = _apply_tiny(cfg, args, len(tokenizer.vocab))
@@ -1797,6 +1820,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "(tools/export_inference.py --stablehlo) instead "
                          "of rebuilding the model: weights, prompt bank "
                          "and temperature are baked into the module")
+    sp.add_argument("--head", default="zeroshot",
+                    choices=["zeroshot", "adapter"],
+                    help="'zeroshot' scores against the prompt bank; "
+                         "'adapter' deploys a trained C-Adapter checkpoint "
+                         "(sigmoid classifier logits, no text tower) — "
+                         "with --exported it selects score_adapter"
+                         ".jaxexport")
     sp.set_defaults(fn=cmd_serve)
     return p
 

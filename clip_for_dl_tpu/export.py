@@ -43,6 +43,7 @@ from .ops.similarity import l2_normalize, similarity_reference
 
 SCORER_FILE = "score_multiview.jaxexport"
 SINGLEVIEW_FILE = "score_image.jaxexport"
+ADAPTER_FILE = "score_adapter.jaxexport"
 TEXT_ENCODER_FILE = "encode_text.jaxexport"
 MANIFEST_FILE = "manifest.json"
 
@@ -187,6 +188,54 @@ def export_singleview_scorer(
     return exported.serialize()
 
 
+def make_adapter_scorer(
+    model,
+    variables,
+    image_size: int,
+    mean: Sequence[float],
+    std: Sequence[float],
+    compute_dtype=jnp.bfloat16,
+):
+    """The C-Adapter serving path (``inference.AdapterEngine`` lockstep):
+    ``images_u8 [b, H, W, 3] -> classifier logits [b, C]``."""
+    variables = jax.tree.map(jnp.asarray, variables)
+    mean, std = tuple(mean), tuple(std)
+
+    def scorer(images_u8):
+        x = preprocess_images(
+            images_u8, image_size, image_size, mean, std, compute_dtype
+        )
+        feats = model.apply(variables, x, method="encode_image")
+        out = model.apply(variables, feats, method="adapter_logits")
+        return out.astype(jnp.float32)
+
+    return scorer
+
+
+def export_adapter_scorer(
+    model,
+    variables,
+    image_size: int,
+    mean: Sequence[float],
+    std: Sequence[float],
+    source_hw: Optional[Tuple[int, int]] = None,
+    compute_dtype=jnp.bfloat16,
+    platforms: Sequence[str] = DEFAULT_PLATFORMS,
+) -> bytes:
+    """Serialize the C-Adapter serving scorer to StableHLO bytes. Only
+    meaningful for checkpoints whose adapter head was trained (the
+    ``adapter`` command's --checkpoint-dir output) — the head always
+    exists structurally, so an untrained export scores at chance."""
+    h, w = source_hw or (image_size, image_size)
+    scorer = make_adapter_scorer(
+        model, variables, image_size, mean, std, compute_dtype
+    )
+    (b,) = jex.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8)
+    exported = jex.export(jax.jit(scorer), platforms=tuple(platforms))(spec)
+    return exported.serialize()
+
+
 def export_text_encoder(
     model,
     variables,
@@ -219,6 +268,7 @@ def write_artifact(
     text_encoder_bytes: Optional[bytes] = None,
     manifest: Optional[dict] = None,
     singleview_bytes: Optional[bytes] = None,
+    adapter_bytes: Optional[bytes] = None,
 ) -> None:
     """Lay out the deployment directory: serialized modules + manifest."""
     os.makedirs(out_dir, exist_ok=True)
@@ -227,6 +277,9 @@ def write_artifact(
     if singleview_bytes is not None:
         with open(os.path.join(out_dir, SINGLEVIEW_FILE), "wb") as f:
             f.write(singleview_bytes)
+    if adapter_bytes is not None:
+        with open(os.path.join(out_dir, ADAPTER_FILE), "wb") as f:
+            f.write(adapter_bytes)
     if text_encoder_bytes is not None:
         with open(os.path.join(out_dir, TEXT_ENCODER_FILE), "wb") as f:
             f.write(text_encoder_bytes)
@@ -291,10 +344,18 @@ class ExportedEngine:
     temperature are baked into the module at export time.
     """
 
-    def __init__(self, path: str, disease_list: Optional[Sequence[str]] = None):
+    def __init__(
+        self,
+        path: str,
+        disease_list: Optional[Sequence[str]] = None,
+        module: str = SINGLEVIEW_FILE,
+    ):
+        """``module``: which scorer to load from an artifact directory —
+        ``SINGLEVIEW_FILE`` (zero-shot, default) or ``ADAPTER_FILE``
+        (the trained C-Adapter classifier)."""
         manifest = {}
         if os.path.isdir(path):
-            module_path = os.path.join(path, SINGLEVIEW_FILE)
+            module_path = os.path.join(path, module)
             manifest_path = os.path.join(path, MANIFEST_FILE)
             if os.path.exists(manifest_path):
                 with open(manifest_path) as f:

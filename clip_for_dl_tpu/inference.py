@@ -160,6 +160,52 @@ class InferenceSession:
         return (probs > self.threshold).astype(np.float32), probs
 
 
+class AdapterEngine:
+    """Serving engine for the trained C-Adapter classifier (phase-B models,
+    02 nb cells 28-30): ``sigmoid(Linear(512, C))`` over frozen-tower image
+    features. Duck-types the engine surface :class:`serving.ZeroShotService`
+    uses (``_dispatch``/``logits``/``probs``) so ``serve --head adapter``
+    deploys an adapter checkpoint exactly like a zero-shot model — no
+    prompt bank, no text tower at request time."""
+
+    def __init__(
+        self,
+        model: CXRClip,
+        variables,
+        mean: Tuple[float, ...] = (0.0, 0.0, 0.0),
+        std: Tuple[float, ...] = (1.0, 1.0, 1.0),
+        image_size: int = 224,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.variables = variables
+        self.image_size = image_size
+        mean, std = tuple(mean), tuple(std)
+
+        @jax.jit
+        def _logits(variables, images_u8):
+            x = preprocess_images(
+                images_u8, image_size, image_size, mean, std, compute_dtype
+            )
+            feats = model.apply(variables, x, method="encode_image")
+            out = model.apply(variables, feats, method="adapter_logits")
+            return out.astype(jnp.float32)
+
+        self._logits_fn = _logits
+
+    def _dispatch(self, images_u8):
+        imgs = jnp.asarray(images_u8)
+        if imgs.ndim == 5:  # [B, V, ...] multi-view → flattened views
+            imgs = imgs.reshape((-1, *imgs.shape[2:]))
+        return self._logits_fn(self.variables, imgs), imgs.shape[0]
+
+    def logits(self, images_u8) -> np.ndarray:
+        out, n_real = self._dispatch(images_u8)
+        return np.asarray(out)[:n_real]
+
+    def probs(self, images_u8) -> np.ndarray:
+        return 1.0 / (1.0 + np.exp(-self.logits(images_u8)))
+
+
 def get_model_predictions(
     model,
     variables,

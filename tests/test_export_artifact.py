@@ -206,6 +206,51 @@ class TestSingleViewExport:
             service.close()
 
 
+class TestAdapterExport:
+    def test_lockstep_with_adapter_engine_and_service(
+        self, setup, rng, tmp_path
+    ):
+        from clip_for_dl_tpu.export import (
+            ADAPTER_FILE,
+            ExportedEngine,
+            export_adapter_scorer,
+        )
+        from clip_for_dl_tpu.inference import AdapterEngine
+        from clip_for_dl_tpu.serving import ZeroShotService
+
+        model, variables, _, _, _ = setup
+        live = AdapterEngine(model, variables, image_size=32)
+        data = export_adapter_scorer(model, variables, 32, (0, 0, 0),
+                                     (1, 1, 1))
+        write_artifact(
+            str(tmp_path), b"", adapter_bytes=data,
+            manifest={"disease_labels": list(DISEASE_LABELS)},
+        )
+        exp = ExportedEngine(str(tmp_path), module=ADAPTER_FILE)
+        imgs = rng.integers(0, 255, (3, 32, 32, 3), dtype=np.uint8)
+        np.testing.assert_allclose(
+            exp.logits(imgs), live.logits(imgs), atol=2e-5
+        )
+        # multi-view flattening matches
+        mv = rng.integers(0, 255, (2, 2, 32, 32, 3), dtype=np.uint8)
+        np.testing.assert_allclose(
+            exp.logits(mv), live.logits(mv), atol=2e-5
+        )
+        # both engines drive the service (async _dispatch path)
+        for engine in (live, exp):
+            service = ZeroShotService(
+                engine, DISEASE_LABELS, buckets=(1,), max_wait_ms=1.0,
+                image_size=32,
+            )
+            try:
+                out = service.predict_one(
+                    rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+                )
+                assert set(out["probs"]) == set(DISEASE_LABELS)
+            finally:
+                service.close()
+
+
 class TestServeExportedCLI:
     def test_exported_rejects_checkpoint_tp_ema(self, tmp_path):
         from clip_for_dl_tpu.cli.main import main
@@ -214,6 +259,12 @@ class TestServeExportedCLI:
                       ["--use-ema"]):
             with pytest.raises(SystemExit, match="--exported"):
                 main(["serve", "--exported", str(tmp_path)] + extra)
+
+    def test_head_adapter_rejects_tp(self):
+        from clip_for_dl_tpu.cli.main import main
+
+        with pytest.raises(SystemExit, match="--head adapter"):
+            main(["serve", "--tiny", "--head", "adapter", "--tp", "2"])
 
 
 class TestTextEncoderExport:

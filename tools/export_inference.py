@@ -69,13 +69,26 @@ def main(argv=None) -> int:
     from clip_for_dl_tpu.inference import load_trained_model
     from clip_for_dl_tpu.models.resnet import fold_clip_image_tower
 
+    # the tokenizer must be the SAME one the CLI builds (vocab file, or its
+    # synthetic dev vocabulary) — checkpoints trained by the CLI store a
+    # token-embedding table sized to it, and the exported prompt banks must
+    # tokenize identically
+    from clip_for_dl_tpu.cli.main import _tokenizer
+
+    tokenizer = _tokenizer(args)
     cfg = get_preset(args.preset)
+    # the CLI sizes the vocabulary to the loaded tokenizer unconditionally
+    # (_apply_tiny) — mirror it, or CLI-trained checkpoints fail to restore
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, vocab_size=len(tokenizer.vocab)
+    ))
     if args.tiny:
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, image_size=64, max_text_length=32,
             text_embedding_dim=64, text_layers=2, text_heads=2,
             text_intermediate_dim=128, shared_embedding_dim=64,
-            resnet_stages=(1, 1, 1, 1), resnet_width=16, vocab_size=128,
+            resnet_stages=(1, 1, 1, 1), resnet_width=16,
+            vit_layers=2, vit_hidden=64, vit_heads=2, vit_mlp_dim=128,
         ))
 
     model, variables = load_trained_model(
@@ -119,9 +132,11 @@ def main(argv=None) -> int:
 
     if args.stablehlo:
         from clip_for_dl_tpu.export import (
+            ADAPTER_FILE,
             SCORER_FILE,
             SINGLEVIEW_FILE,
             TEXT_ENCODER_FILE,
+            export_adapter_scorer,
             export_multiview_scorer,
             export_singleview_scorer,
             export_text_encoder,
@@ -140,21 +155,6 @@ def main(argv=None) -> int:
         folded_model = CXRClip(cfg.model, dtype=compute, fold_bn=True)
         fold_vars = {"params": folded["params"]}
 
-        if args.vocab and os.path.exists(args.vocab):
-            from clip_for_dl_tpu.text import BertTokenizer
-
-            tokenizer = BertTokenizer(args.vocab, do_lower_case=False)
-        else:
-            from clip_for_dl_tpu.text import BertTokenizer, build_tiny_vocab
-
-            print("no vocab file — synthetic dev vocabulary for the "
-                  "prompt bank")
-            tokenizer = BertTokenizer(build_tiny_vocab(
-                "this chest x-ray shows a of normal without any "
-                "significant findings".split()
-                + [w for d in DISEASE_LABELS for w in d.split()]
-                + [w for d in DISEASE_LABELS for w in d.lower().split()]
-            ))
         prompts = create_basic_prompts(DISEASE_LABELS)
         enc = tokenizer.encode(prompts, max_length=cfg.model.max_text_length)
         text_features = jax.jit(
@@ -187,11 +187,19 @@ def main(argv=None) -> int:
             temperature=cfg.zeroshot.temperature, source_hw=(src, src),
             compute_dtype=compute,
         )
+        # C-Adapter serving scorer (meaningful when --checkpoint is an
+        # adapter run's output; the head exists structurally either way)
+        adapter_bytes = export_adapter_scorer(
+            folded_model, fold_vars,
+            cfg.model.image_size, cfg.augment.mean, cfg.augment.std,
+            source_hw=(src, src), compute_dtype=compute,
+        )
         text_bytes = export_text_encoder(
             folded_model, fold_vars, cfg.model.max_text_length
         )
         write_artifact(out, scorer_bytes, text_bytes, manifest=None,
-                       singleview_bytes=single_bytes)
+                       singleview_bytes=single_bytes,
+                       adapter_bytes=adapter_bytes)
         # record export provenance next to the modules (the manifest body
         # was written by the weight export above — extend, don't replace)
         mpath = os.path.join(out, "manifest.json")
@@ -206,6 +214,7 @@ def main(argv=None) -> int:
             "files": {
                 "multiview": SCORER_FILE,
                 "singleview": SINGLEVIEW_FILE,
+                "adapter": ADAPTER_FILE,
                 "text_encoder": TEXT_ENCODER_FILE,
             },
         }
@@ -216,6 +225,7 @@ def main(argv=None) -> int:
             f"input [b,2,{src},{src},3] u8), {SINGLEVIEW_FILE} "
             f"({len(single_bytes)/1e6:.1f} MB, input [b,{src},{src},3] u8, "
             f"T={cfg.zeroshot.temperature}, prompts={args.prompts}), "
+            f"{ADAPTER_FILE} ({len(adapter_bytes)/1e6:.1f} MB), "
             f"{TEXT_ENCODER_FILE} ({len(text_bytes)/1e6:.1f} MB, "
             f"L={cfg.model.max_text_length})"
         )
