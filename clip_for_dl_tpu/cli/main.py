@@ -118,6 +118,8 @@ def _model_and_state(cfg, args, tokenizer):
         args.checkpoint, cfg, compute,
         allow_partial=getattr(args, "allow_partial_restore", False),
         use_ema=getattr(args, "use_ema", False),
+        init_image_tower=getattr(args, "init_image_tower", None),
+        init_text_tower=getattr(args, "init_text_tower", None),
     )
     return model, variables
 
@@ -1564,6 +1566,68 @@ def cmd_serve(args) -> int:
 # ---------------------------------------------------------------------------
 
 
+def cmd_convert(args) -> int:
+    """Checkpoint interop: orbax dir / reference .pth / flat .safetensors
+    → reference-layout .pth or .safetensors (the reference's
+    {epoch, models:{name: state_dict}} contract, 0425/train.py:505-541)."""
+    import jax.numpy as jnp
+
+    from ..core.config import get_preset
+    from ..inference import load_trained_model
+
+    if not args.checkpoint:
+        print("error: convert requires --checkpoint (orbax dir, .pth or "
+              ".safetensors)", file=sys.stderr)
+        return 2
+    cfg = get_preset(args.preset)
+    tokenizer = _tokenizer(args)
+    cfg = _apply_tiny(cfg, args, len(tokenizer.vocab))
+    # fp32 restore: the converted artifact should carry full-precision
+    # weights regardless of the serving compute dtype
+    model, variables = load_trained_model(
+        args.checkpoint, cfg, jnp.float32,
+        allow_partial=getattr(args, "allow_partial_restore", False),
+        use_ema=getattr(args, "use_ema", False),
+    )
+    text_layers = cfg.model.text_layers
+    if args.out.endswith(".safetensors"):
+        from ..models.safetensors_io import (
+            save_reference_checkpoint_safetensors,
+        )
+
+        save_reference_checkpoint_safetensors(
+            variables, args.out, epoch=args.epoch, text_layers=text_layers
+        )
+    elif args.out.endswith((".pth", ".pt")):
+        from ..models.torch_export import save_reference_checkpoint
+
+        save_reference_checkpoint(
+            variables, args.out, epoch=args.epoch, text_layers=text_layers
+        )
+    else:
+        print("error: --out must end in .safetensors, .pth or .pt",
+              file=sys.stderr)
+        return 2
+    print(f"wrote {args.out}")
+    return 0
+
+
+def _tower_init_args(sp) -> None:
+    sp.add_argument(
+        "--init-image-tower", default=None, metavar="FILE",
+        help="initialize the image tower from a torchvision "
+             "resnet50/vit_b_16 state_dict (.safetensors/.pth/.bin) — "
+             "the reference's pretrained=True construction; a restored "
+             "checkpoint still wins",
+    )
+    sp.add_argument(
+        "--init-text-tower", default=None, metavar="FILE_OR_DIR",
+        help="initialize the text tower from an HF BertModel weight file "
+             "or snapshot dir (Bio_ClinicalBERT: model.safetensors / "
+             "pytorch_model.bin; 'bert.'-prefixed keys accepted)",
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="clip_for_dl_tpu", description=__doc__,
@@ -1733,6 +1797,7 @@ def build_parser() -> argparse.ArgumentParser:
                          "updated inside the jitted step; validation "
                          "and the saved checkpoints carry both the live "
                          "and the smoothed weights")
+    _tower_init_args(sp)
     sp.set_defaults(fn=cmd_pretrain, preset="pretrain_clip")
 
     sp = sub.add_parser(
@@ -1742,6 +1807,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--warmup-steps", type=int, default=0, metavar="N",
                     help="linear LR warmup over the first N global steps "
                          "(0 = off, the reference's behavior)")
+    _tower_init_args(sp)
     sp.set_defaults(fn=cmd_train, preset="scripts_train")
 
     sp = sub.add_parser("adapter", help="frozen-CLIP C-Adapter training")
@@ -1828,6 +1894,18 @@ def build_parser() -> argparse.ArgumentParser:
                          "with --exported it selects score_adapter"
                          ".jaxexport")
     sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser(
+        "convert",
+        help="checkpoint interop: orbax dir / .pth / .safetensors → "
+             "reference-layout .pth or .safetensors",
+    )
+    common(sp)
+    sp.add_argument("--out", required=True,
+                    help="output file (.safetensors, .pth or .pt)")
+    sp.add_argument("--epoch", type=int, default=0,
+                    help="epoch stamp for the artifact header")
+    sp.set_defaults(fn=cmd_convert)
     return p
 
 

@@ -32,12 +32,18 @@ def load_trained_model(
     seed: int = 0,
     allow_partial: bool = False,
     use_ema: bool = False,
+    init_image_tower: Optional[str] = None,
+    init_text_tower: Optional[str] = None,
 ):
     """Returns (model, variables). `checkpoint` may be an orbax directory,
-    a reference ``.pth`` file, or None (fresh init). A checkpoint missing
-    arrays the model needs is an error unless ``allow_partial``
-    (see CheckpointManager.restore_variables). ``use_ema``: read the EMA
-    weight slot written by training with --ema-decay."""
+    a reference ``.pth`` / flat ``.safetensors`` file, or None (fresh
+    init). A checkpoint missing arrays the model needs is an error unless
+    ``allow_partial`` (see CheckpointManager.restore_variables).
+    ``use_ema``: read the EMA weight slot written by training with
+    --ema-decay. ``init_image_tower`` / ``init_text_tower``: overlay
+    hub-pretrained tower weight files onto the fresh init before any
+    checkpoint restore (the reference's pretrained=True construction,
+    0425/train.py:761-776) — a restored checkpoint still wins."""
     cfg = config or get_preset("zero_shot")
     model = CXRClip(cfg.model, dtype=compute_dtype)
     s = cfg.model.image_size
@@ -47,6 +53,13 @@ def load_trained_model(
         jnp.zeros((1, s, s, 3), compute_dtype),
         jnp.zeros((1, l), jnp.int32),
     )
+    if init_image_tower or init_text_tower:
+        from .models.pretrained import init_tower_weights
+
+        variables = init_tower_weights(
+            jax.tree.map(np.asarray, variables), cfg.model,
+            image_path=init_image_tower, text_path=init_text_tower,
+        )
     if not checkpoint:
         if use_ema:
             raise ValueError(
@@ -54,12 +67,13 @@ def load_trained_model(
                 "fresh init)"
             )
     if checkpoint:
-        if checkpoint.endswith(".pth"):
+        if checkpoint.endswith((".pth", ".safetensors")):
             if use_ema:
                 raise ValueError(
-                    "--use-ema is not available for reference .pth "
-                    "checkpoints (torch saves carry no EMA slot) — restore "
-                    "an orbax checkpoint written by pretrain --ema-decay"
+                    "--use-ema is not available for reference-layout "
+                    ".pth/.safetensors checkpoints (they carry no EMA "
+                    "slot) — restore an orbax checkpoint written by "
+                    "pretrain --ema-decay"
                 )
             from .train.checkpoint import (
                 import_reference_checkpoint,

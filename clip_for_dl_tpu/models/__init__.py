@@ -22,7 +22,18 @@ from .lora import (
     make_lora_pretrain_step,
     merge_lora,
 )
+from .pretrained import (
+    init_tower_weights,
+    load_image_tower_weights,
+    load_text_tower_weights,
+)
 from .resnet import ResNet, import_torchvision_resnet50, resnet50
+from .safetensors_io import (
+    load_reference_checkpoint_safetensors,
+    load_state_dict,
+    save_reference_checkpoint_safetensors,
+    save_safetensors,
+)
 from .vit import ViT, import_torchvision_vit_b16, vit_b16
 
 __all__ = [
@@ -52,4 +63,11 @@ __all__ = [
     "ViT",
     "import_torchvision_vit_b16",
     "vit_b16",
+    "init_tower_weights",
+    "load_image_tower_weights",
+    "load_text_tower_weights",
+    "load_reference_checkpoint_safetensors",
+    "load_state_dict",
+    "save_reference_checkpoint_safetensors",
+    "save_safetensors",
 ]

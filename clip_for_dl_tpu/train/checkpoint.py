@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import jax
 import numpy as np
@@ -319,21 +319,45 @@ _MODULE_IMPORTERS = {
 
 
 def import_reference_checkpoint(path: str) -> Dict[str, Any]:
-    """Load a reference checkpoint dict {epoch, models:{name: state_dict},
-    ...} and convert each module's weights into our params tree keys.
+    """Load a reference checkpoint {epoch, models:{name: state_dict}, ...}
+    — a torch ``.pth`` pickle or its flat ``.safetensors`` mirror (written
+    by :func:`models.safetensors_io.save_reference_checkpoint_safetensors`
+    or the ``convert`` CLI command) — and convert each module's weights
+    into our params tree keys.
 
     Returns {"params": {...converted modules...}, "batch_stats": {...},
     "epoch": int}. Missing modules are simply absent (the reference's own
     tolerant-load behavior, 0425/train.py:523-541).
     """
+    if path.endswith(".safetensors"):
+        from ..models.safetensors_io import (
+            load_reference_checkpoint_safetensors,
+        )
+
+        models, epoch = load_reference_checkpoint_safetensors(path)
+        params, stats = convert_reference_models(models)
+        return {"params": params, "batch_stats": stats, "epoch": epoch}
+
     import torch
 
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    models = ckpt.get("models", ckpt)
+    params, stats = convert_reference_models(models)
+    return {
+        "params": params,
+        "batch_stats": stats,
+        "epoch": int(ckpt.get("epoch", 0)) if isinstance(ckpt, dict) else 0,
+    }
+
+
+def convert_reference_models(
+    models: Mapping[str, Any],
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """{reference module name: state_dict} → (params, batch_stats) trees."""
     from ..models.bert import import_hf_bert
     from ..models.resnet import import_torchvision_resnet50
     from ..models import torch_import as ti
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    models = ckpt.get("models", ckpt)
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
     for name, sd in models.items():
@@ -359,11 +383,7 @@ def import_reference_checkpoint(path: str) -> Dict[str, Any]:
             params["multimodal_attention"] = ti.import_additive_attention(sd)
         elif name == "classifier":
             params["adapter"] = ti.import_linear_classifier(sd)
-    return {
-        "params": params,
-        "batch_stats": stats,
-        "epoch": int(ckpt.get("epoch", 0)) if isinstance(ckpt, dict) else 0,
-    }
+    return params, stats
 
 
 def merge_imported_params(target_params, imported) -> Any:
