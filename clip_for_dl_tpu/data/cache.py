@@ -9,10 +9,11 @@ pass: a flat uint8 memmap of [N, S, S, 3] preprocessed images plus a JSON
 index keyed by filename, so every later epoch is a pread of 150 KB/row with
 zero decode work.
 
-Semantics are byte-identical to the live path: rows are produced by
-datasets.load_image (same cv2 decode, same host resize, same zero-image
-fallback on decode failure), so a cached run and an uncached run feed the
-model the same bytes (tests/test_cache.py pins this).
+Semantics are byte-identical to the live path: rows carry the exact
+datasets.load_image bytes (native libpng decode + cv2-parity resize, cv2
+fallback, same zero-image fallback on decode failure), so a cached run and
+an uncached run feed the model the same bytes (tests/test_cache.py,
+tests/test_native.py pin this).
 
 Layout (directory):
   cache_meta.json  — {"version", "image_size", "keys": [filename, ...]}
@@ -93,10 +94,15 @@ def build_image_cache(
     directory: str,
     workers: int = 8,
 ) -> "ImageCache":
-    """One-time pass: decode + host-resize every path via the exact live-path
-    loader (datasets.load_image) into the memmap. cv2 releases the GIL, so a
-    small thread pool overlaps decode with the memmap writes."""
+    """One-time pass: decode + host-resize every path into the memmap.
+
+    PNGs run through the native batch loader (read→decode→resize in C++
+    threads, one Python call per chunk — byte-identical to
+    datasets.load_image, tests/test_native.py); failed or non-PNG slots
+    retry through load_image (cv2), whose zero-image fallback matches the
+    native loader's zero-fill."""
     from .datasets import load_image
+    from ..native import bindings as native
 
     keys, first_path, unique_paths = [], {}, []
     for p in paths:
@@ -125,11 +131,23 @@ def build_image_cache(
         shape=(len(keys), s, s, 3),
     )
 
-    def _fill(i: int) -> None:
-        arr[i] = load_image(unique_paths[i], s)
+    if native.is_available():
+        chunk = 256  # bounds peak native buffer memory at ~chunk·S²·3 bytes
+        for start in range(0, len(keys), chunk):
+            chunk_paths = unique_paths[start : start + chunk]
+            batch, ok = native.batch_load_resize_u8(
+                chunk_paths, s, s, threads=max(1, workers)
+            )
+            arr[start : start + len(chunk_paths)] = batch
+            for j in np.nonzero(~ok)[0]:
+                arr[start + int(j)] = load_image(chunk_paths[int(j)], s)
+    else:
 
-    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
-        list(pool.map(_fill, range(len(keys))))
+        def _fill(i: int) -> None:
+            arr[i] = load_image(unique_paths[i], s)
+
+        with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+            list(pool.map(_fill, range(len(keys))))
     arr.flush()
     del arr
 

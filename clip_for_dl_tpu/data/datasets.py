@@ -30,8 +30,25 @@ from ..core.config import DISEASE_LABELS
 def load_image(path: str, image_size: Optional[int] = None) -> np.ndarray:
     """Decode to RGB uint8 HWC; zero image on failure (the reference's
     decode-failure fallback). Resize on host only if image_size is given —
-    the TPU path leaves native resolution and resizes on device."""
+    the TPU path leaves native resolution and resizes on device.
+
+    PNG files (the whole Indiana dataset: ``*.dcm.png``) decode through the
+    native runtime (libpng + cv2-parity resize, byte-identical output,
+    tests/test_native.py); other formats and native-unavailable fall back
+    to cv2."""
     size = image_size or 224
+    try:
+        from ..native import bindings as native
+
+        with open(path, "rb") as f:
+            data = f.read()
+        img = native.decode_png(data)
+        if img is not None:
+            if image_size is not None:
+                img = native.resize_u8(img, image_size, image_size)
+            return img
+    except Exception:
+        pass
     try:
         import cv2
 

@@ -26,8 +26,61 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+_EXPECTED_VERSION = 2  # bump when cxr_native.cpp's ABI grows
+
+
+def _build() -> bool:
+    src = os.path.join(_REPO_NATIVE, "src", "cxr_native.cpp")
+    if not os.path.exists(src):
+        return False
+    # Build to a temp name then rename: overwriting a dlopen'd path in
+    # place keeps the old inode, and a re-dlopen would return the stale
+    # handle. os.replace gives the new build a fresh inode atomically.
+    tmp = _LIB_PATH + ".build"
+    subprocess.run(
+        ["g++", "-O3", "-std=c++17", "-fPIC", "-pthread",
+         "-shared", src, "-o", tmp, "-lpng16", "-lz"],
+        check=True, capture_output=True,
+    )
+    os.replace(tmp, _LIB_PATH)
+    return True
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.cxr_resize_u8.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u8p, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.cxr_batch_resize_normalize.argtypes = [
+        ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+    ]
+    lib.cxr_batch_resize_u8.argtypes = [
+        ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int,
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.cxr_png_info.argtypes = [
+        u8p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.cxr_png_info.restype = ctypes.c_int
+    lib.cxr_decode_png_rgb.argtypes = [u8p, ctypes.c_size_t, u8p]
+    lib.cxr_decode_png_rgb.restype = ctypes.c_int
+    lib.cxr_batch_load_resize_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
+    ]
+    lib.cxr_version.restype = ctypes.c_int
+
+
 def load_library(rebuild: bool = False) -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native library; None on failure."""
+    """Load (building if needed) the native library; None on failure.
+    A stale on-disk .so (older ABI version) is rebuilt from source once."""
     global _lib, _tried
     with _lock:
         if _lib is not None and not rebuild:
@@ -37,34 +90,17 @@ def load_library(rebuild: bool = False) -> Optional[ctypes.CDLL]:
         _tried = True
         try:
             if rebuild or not os.path.exists(_LIB_PATH):
-                src = os.path.join(_REPO_NATIVE, "src", "cxr_native.cpp")
-                if not os.path.exists(src):
+                if not _build():
                     return None
-                subprocess.run(
-                    ["g++", "-O3", "-std=c++17", "-fPIC", "-pthread",
-                     "-shared", src, "-o", _LIB_PATH],
-                    check=True, capture_output=True,
-                )
             lib = ctypes.CDLL(_LIB_PATH)
-            u8p = ctypes.POINTER(ctypes.c_uint8)
-            lib.cxr_resize_u8.argtypes = [
-                u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                u8p, ctypes.c_int, ctypes.c_int,
-            ]
-            lib.cxr_batch_resize_normalize.argtypes = [
-                ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_int),
-                ctypes.c_int, ctypes.c_int,
-                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
-                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-                ctypes.c_int,
-            ]
-            lib.cxr_batch_resize_u8.argtypes = [
-                ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_int),
-                ctypes.c_int, ctypes.c_int,
-                u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ]
             lib.cxr_version.restype = ctypes.c_int
-            assert lib.cxr_version() == 1
+            if lib.cxr_version() != _EXPECTED_VERSION:
+                if not _build():
+                    return None
+                lib = ctypes.CDLL(_LIB_PATH)
+                lib.cxr_version.restype = ctypes.c_int
+                assert lib.cxr_version() == _EXPECTED_VERSION
+            _bind(lib)
             _lib = lib
         except Exception:
             _lib = None
@@ -161,3 +197,60 @@ def batch_resize_normalize(
         scale.ctypes.data_as(f32p), bias.ctypes.data_as(f32p), threads,
     )
     return dst
+
+
+# ---------------------------------------------------------------------------
+# PNG decode + whole-batch native loading (libpng, cv2.imread parity)
+# ---------------------------------------------------------------------------
+
+
+def decode_png(data: bytes) -> Optional[np.ndarray]:
+    """PNG bytes → RGB uint8 HWC with cv2.imread conversion semantics
+    (16-bit high-byte strip, palette/sub-8-bit expansion, alpha strip,
+    gray→RGB). None when the native library is unavailable, the buffer is
+    not a PNG, or decode fails — caller falls back to cv2."""
+    lib = load_library()
+    if lib is None or len(data) < 8:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    h, w = ctypes.c_int(), ctypes.c_int()
+    if lib.cxr_png_info(
+        buf.ctypes.data_as(u8p), len(data), ctypes.byref(h), ctypes.byref(w)
+    ) != 0:
+        return None
+    if h.value <= 0 or w.value <= 0:
+        return None
+    dst = np.empty((h.value, w.value, 3), np.uint8)
+    if lib.cxr_decode_png_rgb(
+        buf.ctypes.data_as(u8p), len(data), dst.ctypes.data_as(u8p)
+    ) != 0:
+        return None
+    return dst
+
+
+def batch_load_resize_u8(
+    paths: Sequence[str], dh: int, dw: int, threads: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """File paths → (NHWC RGB uint8 batch resized to dh×dw, ok flags).
+
+    The whole read→decode→resize pipeline runs in native threads with one
+    Python-boundary crossing per batch. Failed slots (missing file,
+    non-PNG, corrupt data) come back zero-filled with ok=False — retry
+    those through `data.datasets.load_image` (cv2) for non-PNG formats.
+    Returns (None, None)-equivalent by raising only on programmer error;
+    when the native library is unavailable every slot is ok=False.
+    """
+    n = len(paths)
+    dst = np.zeros((n, dh, dw, 3), np.uint8)
+    ok = np.zeros(n, np.uint8)
+    lib = load_library()
+    if lib is None or n == 0:
+        return dst, ok.astype(bool)
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.cxr_batch_load_resize_u8(
+        arr, n, dst.ctypes.data_as(u8p), dh, dw, threads,
+        ok.ctypes.data_as(u8p),
+    )
+    return dst, ok.astype(bool)

@@ -4,7 +4,7 @@ bench.py measures the compute ceiling on HBM-resident batches; this tool
 measures the whole pipeline the way a real eval runs it (reference path:
 0425/prepare_data.py DataLoader workers + cv2 decode feeding the GPU loop):
 
-  PNGs on disk → HostLoader threaded cv2 decode → double-buffered H2D
+  PNGs on disk → HostLoader threaded native-libpng decode → buffered H2D
   (data/loader.py prefetch_to_device) → jitted resize+normalize+ResNet50+
   similarity zero-shot step.
 
