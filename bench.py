@@ -35,6 +35,9 @@ def main(argv=None) -> None:
                    help="tanh-GELU in the ViT tower (serving knob)")
     p.add_argument("--fused-attention", action="store_true",
                    help="Pallas fused-MHA in the ViT layers")
+    p.add_argument("--fused-mlp", action="store_true",
+                   help="Pallas fused MLP block in the ViT layers "
+                        "(exact-GELU, 3.5x the XLA composition)")
     p.add_argument("--batch", type=int, default=BATCH)
     p.add_argument("--compiler-options", default=None, metavar="JSON",
                    help="JSON dict of XLA backend compiler options passed "
@@ -68,6 +71,7 @@ def main(argv=None) -> None:
         max_text_length=64,
         vit_gelu_approximate=args.fast_gelu,
         vit_fused_attention=args.fused_attention,
+        vit_fused_mlp=args.fused_mlp,
     )
     if args.tower == "vit":
         cfg = cfg.with_vit()

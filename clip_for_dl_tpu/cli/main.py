@@ -76,6 +76,8 @@ def _apply_tiny(cfg, args, vocab_size: int):
         model = dataclasses.replace(model, vit_gelu_approximate=True)
     if getattr(args, "fused_attention", False):
         model = dataclasses.replace(model, vit_fused_attention=True)
+    if getattr(args, "fused_mlp", False):
+        model = dataclasses.replace(model, vit_fused_mlp=True)
     if getattr(args, "bf16_attention_probs", False):
         model = dataclasses.replace(model, bf16_attention_probs=True)
     if getattr(args, "moe_experts", 0):
@@ -1679,6 +1681,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "(bf16-exact; measured SLOWER in-model on "
                              "v5e r1 — flag kept so the tradeoff stays "
                              "re-measurable per XLA revision)")
+        sp.add_argument("--fused-mlp", action="store_true",
+                        help="Pallas fused MLP block in the ViT layers "
+                             "(exact-GELU to bf16 rounding; measured "
+                             "3.5x the XLA composition on v5e — "
+                             "inference-only, training falls back)")
         sp.add_argument("--bf16-attention-probs", action="store_true",
                         help="store attention probabilities in bf16 "
                              "(halves the backward-saved [B,H,L,L] "

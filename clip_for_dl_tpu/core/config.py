@@ -81,6 +81,13 @@ class ModelConfig:
     # 111.6 ms @ B=256) despite winning standalone — kept as a flag so the
     # result is re-measurable per hardware/XLA revision (VERDICT r1 #2).
     vit_fused_attention: bool = False
+    # Pallas fused MLP block in the ViT layers (ops/mlp_block.py):
+    # LN2→mlp_1→GELU→mlp_2→residual as one VMEM-resident kernel. Measured
+    # r2 standalone: 4.66 ms vs XLA's 16.38 ms per layer-equivalent at
+    # B=256 (3.5×, ~102 TF/s) — the trace-identified 29%-efficiency
+    # GEMM+LayerNorm fusions replaced. Inference-only (no VJP; training
+    # and MXU-unaligned tiny configs fall back to the XLA path in-layer).
+    vit_fused_mlp: bool = False
     # Training knob: store attention probabilities in bf16 in BOTH towers'
     # transformer layers. Forward math unchanged to bf16 rounding (the PV
     # einsum already casts); the backward-saved [B, H, L, L] softmax

@@ -27,6 +27,44 @@ from . import torch_import as ti
 Dtype = Any
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense's exact param tree (kernel/bias, same inits)
+    without running the matmul — lets the fused-MLP branch reach the raw
+    tensors under the same checkpoint names mlp_1/mlp_2."""
+
+    in_features: int
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+        )
+        return kernel, bias
+
+
+class _LayerNormParams(nn.Module):
+    """nn.LayerNorm's param tree (scale/bias) without the normalization."""
+
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+        )
+        return scale, bias
+
+
 class ViTEncoderLayer(nn.Module):
     hidden: int
     heads: int
@@ -40,6 +78,14 @@ class ViTEncoderLayer(nn.Module):
     # the flag exists so that result stays reproducible on every
     # hardware/XLA revision rather than folklore. Off by default.
     fused_attention: bool = False
+    # Route LN2→mlp_1→GELU→mlp_2→residual through the Pallas fused MLP
+    # block (ops/mlp_block.py) — the measured ViT inference win: the
+    # trace-identified 29%-efficiency GEMM+LayerNorm epilogue fusions
+    # (45.8% of the zero-shot step) become one VMEM-resident kernel at
+    # ~102 TF/s, 3.5× the XLA composition standalone (NOTES.md r2).
+    # Inference-only (no VJP); training calls fall back to the XLA path,
+    # as do MXU-unaligned tiny configs.
+    fused_mlp: bool = False
     # Store attention probabilities in bf16 (training knob; halves the
     # saved [B, H, N, N] softmax residual + its backward layout copies —
     # see models/bert.py BertSelfAttention.bf16_probs for the trace data).
@@ -92,6 +138,30 @@ class ViTEncoderLayer(nn.Module):
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         x = x + attn
 
+        use_fused_mlp = (
+            self.fused_mlp
+            and deterministic  # inference-only: pallas_call has no VJP —
+            # training traces (deterministic=False) keep the XLA path so
+            # AD works even at dropout 0
+            and self.hidden % 128 == 0
+            and self.mlp_dim % 128 == 0
+        )
+        if use_fused_mlp:
+            from ..ops.mlp_block import fused_mlp_block
+
+            ls, lbias = _LayerNormParams(
+                self.hidden, self.param_dtype, name="ln_2"
+            )()
+            w1, b1 = _DenseParams(
+                self.hidden, self.mlp_dim, self.param_dtype, name="mlp_1"
+            )()
+            w2, b2 = _DenseParams(
+                self.mlp_dim, self.hidden, self.param_dtype, name="mlp_2"
+            )()
+            return fused_mlp_block(
+                x, ls, lbias, w1, b1, w2, b2,
+                eps=1e-6, gelu_approximate=self.gelu_approximate,
+            )
         y = nn.LayerNorm(name="ln_2", **ln)(x.astype(jnp.float32)).astype(self.dtype)
         y = nn.Dense(self.mlp_dim, name="mlp_1", **kw)(y)
         y = nn.gelu(y, approximate=self.gelu_approximate)
@@ -118,6 +188,7 @@ class ViT(nn.Module):
     # exact-erf GELU by ~1e-3 relative — parity runs must keep it False.
     gelu_approximate: bool = False
     fused_attention: bool = False  # see ViTEncoderLayer.fused_attention
+    fused_mlp: bool = False  # see ViTEncoderLayer.fused_mlp
     bf16_probs: bool = False  # see ViTEncoderLayer.bf16_probs
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -163,6 +234,7 @@ class ViT(nn.Module):
             x = layer_cls(
                 self.hidden, self.heads, self.mlp_dim, self.dropout,
                 self.gelu_approximate, self.fused_attention,
+                fused_mlp=self.fused_mlp,
                 bf16_probs=self.bf16_probs,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",
