@@ -77,6 +77,19 @@ def _apply_tiny(cfg, args, vocab_size: int):
     if getattr(args, "fused_attention", False):
         model = dataclasses.replace(model, vit_fused_attention=True)
     if getattr(args, "fused_mlp", False):
+        if (
+            (getattr(args, "tp", 1) or 1) > 1
+            or (getattr(args, "pp", 0) or 0) > 1
+            or (getattr(args, "ep", 1) or 1) > 1
+        ):
+            # opaque custom call: model-dim sharding can't partition
+            # through the kernel (XLA would replicate the sharded
+            # weights); the in-train eval step (deterministic=True) would
+            # hit it even though the train step falls back
+            raise SystemExit(
+                "--fused-mlp composes with data parallelism only "
+                "(not --tp/--pp/--ep)"
+            )
         model = dataclasses.replace(model, vit_fused_mlp=True)
     if getattr(args, "bf16_attention_probs", False):
         model = dataclasses.replace(model, bf16_attention_probs=True)

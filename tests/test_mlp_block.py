@@ -71,6 +71,20 @@ class TestKernelEquivalence:
             fused_mlp_block(*args)
 
 
+def test_cli_fused_mlp_model_parallel_guard():
+    """--fused-mlp is data-parallel-only: the opaque custom call can't be
+    partitioned by tp/pp/ep model sharding — clear error, not XLA
+    replication."""
+    from clip_for_dl_tpu.cli.main import main
+
+    with pytest.raises(SystemExit, match="data parallelism only"):
+        main(["zeroshot", "--tiny", "--synthetic", "--preset", "vit",
+              "--fused-mlp", "--tp", "2", "--num-devices", "2"])
+    with pytest.raises(SystemExit, match="data parallelism only"):
+        main(["pretrain", "--tiny", "--synthetic", "--preset", "vit",
+              "--fused-mlp", "--pp", "2"])
+
+
 def test_erf_matches_lax_erf():
     """The in-kernel A&S 7.1.26 erf (Mosaic lowers neither erf nor erfc)
     stays within 1e-6 of lax.erf — three orders below bf16 resolution."""
