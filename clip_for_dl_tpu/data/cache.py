@@ -131,6 +131,7 @@ def build_image_cache(
         shape=(len(keys), s, s, 3),
     )
 
+    retry: list = []
     if native.is_available():
         chunk = 256  # bounds peak native buffer memory at ~chunk·S²·3 bytes
         for start in range(0, len(keys), chunk):
@@ -139,15 +140,18 @@ def build_image_cache(
                 chunk_paths, s, s, threads=max(1, workers)
             )
             arr[start : start + len(chunk_paths)] = batch
-            for j in np.nonzero(~ok)[0]:
-                arr[start + int(j)] = load_image(chunk_paths[int(j)], s)
+            retry.extend(start + int(j) for j in np.nonzero(~ok)[0])
     else:
+        retry = list(range(len(keys)))
 
+    if retry:
+        # non-PNG / failed slots go through the cv2 path with the same
+        # thread fan-out the pre-native builder used (cv2 releases the GIL)
         def _fill(i: int) -> None:
             arr[i] = load_image(unique_paths[i], s)
 
         with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
-            list(pool.map(_fill, range(len(keys))))
+            list(pool.map(_fill, retry))
     arr.flush()
     del arr
 

@@ -41,8 +41,15 @@ def load_image(path: str, image_size: Optional[int] = None) -> np.ndarray:
         from ..native import bindings as native
 
         with open(path, "rb") as f:
-            data = f.read()
-        img = native.decode_png(data)
+            magic = f.read(8)
+            # probe the signature before committing to a full read: a
+            # non-PNG file (or native-unavailable host) falls to cv2
+            # without reading the bytes twice
+            if magic.startswith(b"\x89PNG\r\n\x1a\n") and native.is_available():
+                data = magic + f.read()
+            else:
+                data = None
+        img = native.decode_png(data) if data is not None else None
         if img is not None:
             if image_size is not None:
                 img = native.resize_u8(img, image_size, image_size)

@@ -67,7 +67,7 @@ def load_trained_model(
                 "fresh init)"
             )
     if checkpoint:
-        if checkpoint.endswith((".pth", ".safetensors")):
+        if checkpoint.endswith((".pth", ".pt", ".safetensors")):
             if use_ema:
                 raise ValueError(
                     "--use-ema is not available for reference-layout "

@@ -27,12 +27,6 @@ import numpy as np
 from .safetensors_io import load_state_dict
 
 
-def _strip_prefix(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
-    if any(k.startswith(prefix) for k in sd):
-        return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
-    return dict(sd)
-
-
 def check_tree_matches(name: str, got: Any, want: Any, path: str = "") -> None:
     """Raise ValueError at the first key or leaf-shape mismatch between an
     imported tree and the initialized target tree."""

@@ -114,33 +114,6 @@ def save_safetensors(
     return path
 
 
-def flatten_tree(tree: Mapping[str, Any], sep: str = ".") -> Dict[str, np.ndarray]:
-    """Nested params pytree → flat dotted-key mapping of numpy arrays."""
-    out: Dict[str, np.ndarray] = {}
-
-    def walk(node, prefix):
-        if isinstance(node, Mapping):
-            for k, v in node.items():
-                walk(v, f"{prefix}{sep}{k}" if prefix else str(k))
-        else:
-            out[prefix] = np.asarray(node)
-
-    walk(tree, "")
-    return out
-
-
-def unflatten_tree(flat: Mapping[str, np.ndarray], sep: str = ".") -> Dict[str, Any]:
-    """Inverse of :func:`flatten_tree`."""
-    out: Dict[str, Any] = {}
-    for key, v in flat.items():
-        parts = key.split(sep)
-        node = out
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = np.asarray(v)
-    return out
-
-
 def save_reference_checkpoint_safetensors(
     variables: Mapping[str, Any], path: str, epoch: int = 0,
     text_layers: int = 12,
@@ -168,8 +141,21 @@ def load_reference_checkpoint_safetensors(
 ) -> Tuple[Dict[str, Dict[str, np.ndarray]], int]:
     """Flat reference-layout safetensors → (``{module: state_dict}``,
     epoch). Module is the first dotted component (module names are
-    dot-free by construction)."""
+    dot-free by construction).
+
+    The format metadata written by :func:`save_reference_checkpoint_
+    safetensors` is required — a hub weight file (e.g. Bio_ClinicalBERT's
+    ``model.safetensors``) passed as ``--checkpoint`` would otherwise
+    partition into unknown module groups, import nothing, and silently
+    score with fresh-init weights."""
     tensors, meta = _load_safetensors_file(path)
+    if meta.get(_FORMAT_KEY) != _FORMAT:
+        raise ValueError(
+            f"{path} is not a {_FORMAT} checkpoint (metadata "
+            f"{_FORMAT_KEY!r} missing) — hub tower weight files load via "
+            "--init-image-tower/--init-text-tower, not --checkpoint; "
+            "write checkpoints with the `convert` command"
+        )
     models: Dict[str, Dict[str, np.ndarray]] = {}
     for key, v in tensors.items():
         module, _, param = key.partition(".")

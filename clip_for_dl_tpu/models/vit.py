@@ -145,6 +145,11 @@ class ViTEncoderLayer(nn.Module):
             # AD works even at dropout 0
             and self.hidden % 128 == 0
             and self.mlp_dim % 128 == 0
+            # bf16 only: the fp32 weight set alone (2·768·3072·4 B =
+            # 18.9 MB) exceeds the 16 MB scoped VMEM the kernel budgets —
+            # fall back rather than fail Mosaic compile; fp32 is the
+            # parity mode and keeps the parity (XLA) path anyway
+            and jnp.dtype(self.dtype) == jnp.bfloat16
         )
         if use_fused_mlp:
             from ..ops.mlp_block import fused_mlp_block

@@ -33,10 +33,12 @@ def _build() -> bool:
     src = os.path.join(_REPO_NATIVE, "src", "cxr_native.cpp")
     if not os.path.exists(src):
         return False
-    # Build to a temp name then rename: overwriting a dlopen'd path in
-    # place keeps the old inode, and a re-dlopen would return the stale
-    # handle. os.replace gives the new build a fresh inode atomically.
-    tmp = _LIB_PATH + ".build"
+    # Build to a per-process temp name then rename: overwriting a
+    # dlopen'd path in place keeps the old inode (a re-dlopen would
+    # return the stale handle), and a shared temp name would let two
+    # concurrent builders (pytest workers, multi-host shared FS) publish
+    # interleaved output. os.replace is atomic per publisher.
+    tmp = f"{_LIB_PATH}.build.{os.getpid()}"
     subprocess.run(
         ["g++", "-O3", "-std=c++17", "-fPIC", "-pthread",
          "-shared", src, "-o", tmp, "-lpng16", "-lz"],

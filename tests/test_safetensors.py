@@ -231,6 +231,40 @@ def test_cli_convert_roundtrips_through_zeroshot(tmp_path):
     assert "models" in ckpt and "resnet" in ckpt["models"]
 
 
+def test_non_checkpoint_safetensors_rejected(tmp_path, rng):
+    """A hub weight file (no format metadata) passed as --checkpoint must
+    error, not silently score with fresh-init weights."""
+    path = str(tmp_path / "model.safetensors")
+    save_safetensors(
+        {"bert.embeddings.word_embeddings.weight":
+         rng.standard_normal((8, 4)).astype(np.float32)}, path,
+    )
+    with pytest.raises(ValueError, match="init-image-tower|init-text-tower"):
+        load_reference_checkpoint_safetensors(path)
+
+
+def test_pt_extension_routes_to_reference_importer(tmp_path):
+    """convert --out model.pt writes a torch pickle that load_trained_model
+    must route to import_reference_checkpoint (not the orbax branch)."""
+    from clip_for_dl_tpu.core.config import get_preset
+    from clip_for_dl_tpu.inference import load_trained_model
+    from clip_for_dl_tpu.models.torch_export import save_reference_checkpoint
+
+    model, variables = _variables()
+    path = str(tmp_path / "model.pt")
+    save_reference_checkpoint(
+        variables, path, epoch=1, text_layers=CFG.text_layers
+    )
+    cfg = get_preset("zero_shot")
+    cfg = cfg.replace(model=CFG)
+    model2, restored = load_trained_model(path, cfg, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["image_projector"]["projection"]["kernel"]),
+        np.asarray(variables["params"]["image_projector"]["projection"]["kernel"]),
+        atol=1e-6,
+    )
+
+
 def test_cli_pretrain_init_towers_smoke(tmp_path):
     """--init-image-tower/--init-text-tower wire through pretrain; a
     geometry mismatch aborts before training."""
