@@ -85,7 +85,8 @@ def _apply_tiny(cfg, args, vocab_size: int):
             # opaque custom call: model-dim sharding can't partition
             # through the kernel (XLA would replicate the sharded
             # weights); the in-train eval step (deterministic=True) would
-            # hit it even though the train step falls back
+            # hit it even though the train step falls back. Row (dp)
+            # sharding IS partitioned (ops/mlp_block custom_partitioning).
             raise SystemExit(
                 "--fused-mlp composes with data parallelism only "
                 "(not --tp/--pp/--ep)"

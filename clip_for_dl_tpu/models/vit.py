@@ -83,8 +83,10 @@ class ViTEncoderLayer(nn.Module):
     # trace-identified 29%-efficiency GEMM+LayerNorm epilogue fusions
     # (45.8% of the zero-shot step) become one VMEM-resident kernel at
     # ~102 TF/s, 3.5× the XLA composition standalone (NOTES.md r2).
-    # Inference-only (no VJP); training calls fall back to the XLA path,
-    # as do MXU-unaligned tiny configs.
+    # Inference-only by measurement (training wiring was slower — see the
+    # gate below); differentiable THROUGH the inference forward via the
+    # custom VJP (GradCAM). Training traces, MXU-unaligned tiny configs
+    # and fp32 fall back to the XLA path bitwise.
     fused_mlp: bool = False
     # Store attention probabilities in bf16 (training knob; halves the
     # saved [B, H, N, N] softmax residual + its backward layout copies —
@@ -140,9 +142,14 @@ class ViTEncoderLayer(nn.Module):
 
         use_fused_mlp = (
             self.fused_mlp
-            and deterministic  # inference-only: pallas_call has no VJP —
-            # training traces (deterministic=False) keep the XLA path so
-            # AD works even at dropout 0
+            and deterministic  # inference-only BY MEASUREMENT: wiring the
+            # kernel into the training trace (custom VJP, exact-XLA
+            # backward recomputed from the inputs) was measured SLOWER —
+            # ViT pretrain B=128 seq200: 296.9 → 281.3 img/s, the
+            # backward's block recompute outweighs the forward win
+            # (NOTES r2). The custom VJP is still wired so differentiating
+            # THROUGH an inference forward (GradCAM on a --fused-mlp
+            # model) works instead of raising.
             and self.hidden % 128 == 0
             and self.mlp_dim % 128 == 0
             # bf16 only: the fp32 weight set alone (2·768·3072·4 B =
@@ -152,7 +159,7 @@ class ViTEncoderLayer(nn.Module):
             and jnp.dtype(self.dtype) == jnp.bfloat16
         )
         if use_fused_mlp:
-            from ..ops.mlp_block import fused_mlp_block
+            from ..ops.mlp_block import fused_mlp_block_trainable
 
             ls, lbias = _LayerNormParams(
                 self.hidden, self.param_dtype, name="ln_2"
@@ -163,7 +170,7 @@ class ViTEncoderLayer(nn.Module):
             w2, b2 = _DenseParams(
                 self.mlp_dim, self.hidden, self.param_dtype, name="mlp_2"
             )()
-            return fused_mlp_block(
+            return fused_mlp_block_trainable(
                 x, ls, lbias, w1, b1, w2, b2,
                 eps=1e-6, gelu_approximate=self.gelu_approximate,
             )

@@ -23,9 +23,15 @@ residual add in the compute dtype. Rows are independent (LN reduces over
 the feature dim only), so the flattened [B·N, D] view needs no masking —
 padded tail rows compute garbage that is never written back.
 
-Inference-only: pallas_call has no VJP here; training paths keep the XLA
-composition (the backward's logits/residual scheduling is a different
-problem). Wire via ViT(fused_mlp=True) / CLI --fused-mlp.
+`fused_mlp_block` is forward-only (pallas_call has no VJP);
+`fused_mlp_block_trainable` wraps it in a custom VJP — fused Pallas
+forward, backward = the exact XLA linearization of `mlp_block_reference`
+recomputed from the saved inputs — so GradCAM can differentiate through
+a fused inference forward. Training steps keep the XLA composition by
+measurement (NOTES r2: the bwd recompute outweighs the fwd win). The op
+is GSPMD-partitionable along rows via custom_partitioning, so dp-sharded
+batches stay sharded through it. Wire via ViT(fused_mlp=True) /
+CLI --fused-mlp.
 """
 
 from __future__ import annotations
@@ -36,7 +42,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def _round_up(x: int, m: int) -> int:
@@ -126,15 +134,32 @@ def fused_mlp_block(
         m *= s
     x2 = x.reshape(m, d)
     compute_dtype = x.dtype
-    bm = min(block_rows, _round_up(m, 8))
-    grid = (pl.cdiv(m, bm),)
 
     row = lambda a: a.reshape(1, -1)
+    op = _partitioned_mlp_op(eps, gelu_approximate, block_rows, interpret)
+    out = op(
+        x2, row(ln_scale), row(ln_bias),
+        w1.astype(compute_dtype), row(b1),
+        w2.astype(compute_dtype), row(b2),
+    )
+    return out.reshape(orig_shape)
+
+
+def _pallas_mlp_2d(
+    x2, ls, lb, w1, b1, w2, b2,
+    *, eps: float, approximate: bool, block_rows: int, interpret: bool,
+):
+    """The raw pallas_call on the flat [M, D] view."""
+    m, d = x2.shape
+    h = w1.shape[1]
+    compute_dtype = x2.dtype
+    bm = min(block_rows, _round_up(m, 8))
+    grid = (pl.cdiv(m, bm),)
     kernel = functools.partial(
         _mlp_block_kernel,
-        eps=eps, approximate=gelu_approximate, compute_dtype=compute_dtype,
+        eps=eps, approximate=approximate, compute_dtype=compute_dtype,
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -152,16 +177,117 @@ def fused_mlp_block(
         out_shape=jax.ShapeDtypeStruct((m, d), compute_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * d * h * 2,
-            bytes_accessed=(m * d * 2 + d * h + h * d) * x.dtype.itemsize,
+            bytes_accessed=(m * d * 2 + d * h + h * d) * x2.dtype.itemsize,
             transcendentals=m * h,
         ),
         interpret=interpret,
-    )(
-        x2, row(ln_scale), row(ln_bias),
-        w1.astype(compute_dtype), row(b1),
-        w2.astype(compute_dtype), row(b2),
+    )(x2, ls, lb, w1, b1, w2, b2)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_mlp_op(
+    eps: float, approximate: bool, block_rows: int, interpret: bool
+):
+    """GSPMD-partitionable wrapper: rows are independent, so the kernel is
+    trivially data-parallel — but an opaque custom call is otherwise
+    REPLICATED by the partitioner (verified: a dp-sharded input produced an
+    all-gather + fully-replicated compute). custom_partitioning declares
+    row-dim sharding legal (`m d, ... -> m d`), weights replicated, and
+    lowers to the same pallas_call on each device's local rows."""
+
+    def impl(x2, ls, lb, w1, b1, w2, b2):
+        return _pallas_mlp_2d(
+            x2, ls, lb, w1, b1, w2, b2,
+            eps=eps, approximate=approximate,
+            block_rows=block_rows, interpret=interpret,
+        )
+
+    op = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        x_spec = arg_shapes[0].sharding.spec
+        # keep only the row-dim sharding of x; the feature dim and every
+        # weight must be whole on each device (the dp-only CLI guard)
+        row_sharding = NamedSharding(
+            mesh, P(x_spec[0] if len(x_spec) else None, None)
+        )
+        repl = NamedSharding(mesh, P())
+        arg_shardings = (row_sharding,) + tuple(repl for _ in arg_shapes[1:])
+        return mesh, impl, row_sharding, arg_shardings
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        x_spec = arg_shapes[0].sharding.spec
+        return NamedSharding(
+            mesh, P(x_spec[0] if len(x_spec) else None, None)
+        )
+
+    op.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule="m d, u d, u d, d h, u h, h d, u d -> m d",
     )
-    return out.reshape(orig_shape)
+    return op
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _mlp_block_vjp(eps, gelu_approximate, x, ls, lb, w1, b1, w2, b2):
+    return fused_mlp_block(
+        x, ls, lb, w1, b1, w2, b2,
+        eps=eps, gelu_approximate=gelu_approximate,
+    )
+
+
+def _mlp_block_vjp_fwd(eps, gelu_approximate, x, ls, lb, w1, b1, w2, b2):
+    out = fused_mlp_block(
+        x, ls, lb, w1, b1, w2, b2,
+        eps=eps, gelu_approximate=gelu_approximate,
+    )
+    # Residuals are just the inputs — the backward recomputes the block's
+    # internals (LN stats, the hidden activation) through XLA instead of
+    # saving the [rows, H] tensor, the same economy jax.checkpoint buys.
+    return out, (x, ls, lb, w1, b1, w2, b2)
+
+
+def _mlp_block_vjp_bwd(eps, gelu_approximate, res, g):
+    x, ls, lb, w1, b1, w2, b2 = res
+    _, pullback = jax.vjp(
+        functools.partial(
+            mlp_block_reference, eps=eps, gelu_approximate=gelu_approximate
+        ),
+        x, ls, lb, w1, b1, w2, b2,
+    )
+    return pullback(g)
+
+
+_mlp_block_vjp.defvjp(_mlp_block_vjp_fwd, _mlp_block_vjp_bwd)
+
+
+def fused_mlp_block_trainable(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    *,
+    eps: float = 1e-6,
+    gelu_approximate: bool = False,
+) -> jax.Array:
+    """`fused_mlp_block` with a custom VJP: Pallas forward, exact-XLA
+    backward.
+
+    The forward runs the fused kernel; the backward linearizes
+    `mlp_block_reference` at the saved inputs, so gradients are
+    bit-identical to the unfused tower's. This exists for differentiating
+    THROUGH an inference forward (GradCAM on a --fused-mlp model) —
+    pallas_call itself has no VJP. Wiring it into the training step was
+    measured a net LOSS (ViT pretrain B=128 seq200: 296.9 → 281.3 img/s;
+    the backward's block recompute outweighs the forward win), so the
+    ViT gate keeps training on the XLA path (models/vit.py)."""
+    return _mlp_block_vjp(
+        eps, gelu_approximate, x, ln_scale, ln_bias, w1, b1, w2, b2
+    )
 
 
 def mlp_block_reference(

@@ -75,17 +75,73 @@ def fused_similarity(
     Tiled over the batch dimension; the (small) text matrix is normalized
     redundantly per tile — C·D floats, negligible versus streaming the image
     tile from HBM once instead of three times (load, store normalized, load).
+
+    GSPMD-partitionable along the image batch (custom_partitioning — an
+    opaque pallas_call would otherwise be replicated, all-gathering a
+    dp-sharded feature batch); text features ride replicated.
     """
+    op = _partitioned_similarity_op(float(temperature), block_b, interpret)
+    return op(image_features, text_features)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_similarity_op(
+    temperature: float, block_b: int, interpret: bool
+):
+    def impl(image_features, text_features):
+        return _fused_similarity_impl(
+            image_features, text_features,
+            temperature=temperature, block_b=block_b, interpret=interpret,
+        )
+
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    op = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        b_spec = arg_shapes[0].sharding.spec
+        row = P(b_spec[0] if len(b_spec) else None, None)
+        arg_shardings = (
+            NamedSharding(mesh, row),
+            NamedSharding(mesh, P()),
+        )
+        return mesh, impl, NamedSharding(mesh, row), arg_shardings
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        b_spec = arg_shapes[0].sharding.spec
+        return NamedSharding(
+            mesh, P(b_spec[0] if len(b_spec) else None, None)
+        )
+
+    op.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule="b d, c d -> b c",
+    )
+    return op
+
+
+def _fused_similarity_impl(
+    image_features: jax.Array,
+    text_features: jax.Array,
+    *,
+    temperature: float,
+    block_b: int,
+    interpret: bool,
+) -> jax.Array:
     B, D = image_features.shape
     C, D2 = text_features.shape
     assert D == D2, (image_features.shape, text_features.shape)
 
     # Pad to hardware tiles (last dim 128, second-to-last 8 for fp32).
+    # jnp.pad, not .at[].set: the scatter lowering of .at[].set carries
+    # empty index-array jaxpr consts, which custom_partitioning rejects.
     Bp = _round_up(B, 8)
     Cp = _round_up(C, 8)
     Dp = _round_up(D, 128)
-    img = jnp.zeros((Bp, Dp), image_features.dtype).at[:B, :D].set(image_features)
-    txt = jnp.zeros((Cp, Dp), text_features.dtype).at[:C, :D].set(text_features)
+    img = jnp.pad(image_features, ((0, Bp - B), (0, Dp - D)))
+    txt = jnp.pad(text_features, ((0, Cp - C), (0, Dp - D)))
 
     bb = min(block_b, Bp)
     # Make the block evenly divide the padded batch.

@@ -71,6 +71,28 @@ class TestKernelEquivalence:
             fused_mlp_block(*args)
 
 
+def test_dp_sharding_partitions_through_kernel(rng):
+    """Under a dp mesh the custom_partitioning rule keeps the batch dim
+    sharded through the opaque Pallas call — no all-gather, output stays
+    row-sharded (without the rule GSPMD replicates the whole op)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+    args = _inputs(rng, m=8, d=128, h=256, batch_shape=(len(jax.devices()),))
+    want = mlp_block_reference(*args)
+    xs = jax.device_put(
+        args[0], NamedSharding(mesh, P("data", None, None))
+    )
+    f = jax.jit(lambda *a: fused_mlp_block(*a, block_rows=8))
+    out = f(xs, *args[1:])
+    assert out.sharding.spec[0] == "data"
+    hlo = f.lower(xs, *args[1:]).compile().as_text()
+    assert "all-gather" not in hlo and "all_gather" not in hlo
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), atol=2e-5, rtol=2e-5
+    )
+
+
 def test_cli_fused_mlp_model_parallel_guard():
     """--fused-mlp is data-parallel-only: the opaque custom call can't be
     partitioned by tp/pp/ep model sharding — clear error, not XLA
@@ -158,8 +180,8 @@ class TestViTWiring:
         )
 
     def test_training_path_differentiable(self, rng):
-        """deterministic=False keeps the XLA path, so grads flow even with
-        fused_mlp=True (the kernel has no VJP)."""
+        """fp32 training trace keeps the XLA path (dtype gate), so grads
+        flow even with fused_mlp=True."""
         x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
         fused = self._vit(fused_mlp=True)
         variables = fused.init(jax.random.key(3), x)
@@ -175,6 +197,150 @@ class TestViTWiring:
         assert jax.tree.all(
             jax.tree.map(lambda a: bool(jnp.all(jnp.isfinite(a))), g)
         )
+
+    def test_training_trace_falls_back_bitwise(self, rng):
+        """deterministic=False must NOT engage the kernel even in bf16 —
+        wiring it into the training trace measured SLOWER (296.9 → 281.3
+        img/s, ViT pretrain B=128 seq200: the custom-VJP block recompute
+        outweighs the forward win) — output is bitwise the unfused
+        tower's."""
+        x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+        base = self._vit(dtype=jnp.bfloat16)
+        fused = self._vit(fused_mlp=True, dtype=jnp.bfloat16)
+        variables = base.init(jax.random.key(5), x)
+        kw = dict(deterministic=False, rngs={"dropout": jax.random.key(7)})
+        np.testing.assert_array_equal(
+            np.asarray(base.apply(variables, x, **kw), np.float32),
+            np.asarray(fused.apply(variables, x, **kw), np.float32),
+        )
+
+    def test_grad_through_inference_forward(self, rng):
+        """The GradCAM case: differentiating THROUGH the deterministic
+        (kernel-engaged) forward works via the custom VJP — parameter
+        gradients match the unfused tower's to bf16 rounding (raw-pixel
+        grads of a random-init tiny tower are cancellation noise, so the
+        assertion is on params). Before the VJP this raised (pallas_call
+        has no AD rule)."""
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+        base = self._vit(dtype=jnp.bfloat16)
+        fused = self._vit(fused_mlp=True, dtype=jnp.bfloat16)
+        variables = base.init(jax.random.key(4), x)
+
+        def loss(model):
+            def f(params):
+                out = model.apply({"params": params}, x)
+                return jnp.sum(out.astype(jnp.float32) ** 2)
+            return f
+
+        g_base = jax.grad(loss(base))(variables["params"])
+        g_fused = jax.grad(loss(fused))(variables["params"])
+        flat = lambda t: np.concatenate(
+            [np.asarray(a, np.float32).ravel() for a in jax.tree.leaves(t)]
+        )
+        fb, ff = flat(g_base), flat(g_fused)
+        assert np.abs(ff - fb).max() <= 0.05 * np.abs(fb).max()
+        cos = fb @ ff / (np.linalg.norm(fb) * np.linalg.norm(ff))
+        assert cos > 0.99
+
+
+class TestTrainableVJP:
+    def test_grads_bit_identical_to_reference(self, rng):
+        """The custom backward IS jax.vjp(mlp_block_reference) at the saved
+        inputs — gradients are bit-identical to differentiating the
+        reference composition directly."""
+        from clip_for_dl_tpu.ops.mlp_block import fused_mlp_block_trainable
+
+        args = _inputs(rng, m=37, d=256, h=512)
+
+        def loss_of(fn):
+            def f(*a):
+                return jnp.sum(fn(*a).astype(jnp.float32) ** 2)
+            return f
+
+        # cotangent entering the block differs only by the (rounding-level)
+        # forward output difference — compare pullbacks under the SAME
+        # cotangent instead of end-to-end loss grads
+        _, vjp_ref = jax.vjp(mlp_block_reference, *args)
+        _, vjp_fused = jax.vjp(fused_mlp_block_trainable, *args)
+        g = jnp.asarray(
+            rng.standard_normal(args[0].shape).astype(np.float32)
+        )
+        for a, b in zip(vjp_ref(g), vjp_fused(g)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_value_is_fused_kernel(self, rng):
+        from clip_for_dl_tpu.ops.mlp_block import fused_mlp_block_trainable
+
+        args = _inputs(rng, m=19, d=128, h=256)
+        np.testing.assert_array_equal(
+            np.asarray(fused_mlp_block_trainable(*args)),
+            np.asarray(fused_mlp_block(*args)),
+        )
+
+    def test_pretrain_step_runs_with_flag_on(self, rng):
+        """The real jitted pretrain step (donated state, mutable
+        collections) runs with an MXU-aligned bf16 ViT and fused_mlp=True —
+        the train trace takes the XLA fallback (measured faster), and the
+        flag must not break training: loss finite, params move."""
+        import dataclasses
+
+        from clip_for_dl_tpu.core.config import ModelConfig
+        from clip_for_dl_tpu.models import CXRClip
+        from clip_for_dl_tpu.train import (
+            TrainState,
+            base_transform,
+            make_clip_pretrain_step,
+            make_label_fn,
+        )
+
+        cfg = ModelConfig(
+            image_size=32, max_text_length=8, vocab_size=64,
+            text_embedding_dim=32, text_layers=1, text_heads=2,
+            text_intermediate_dim=64, shared_embedding_dim=32,
+            image_tower="vit_b16", vit_patch=16, vit_layers=1, vit_heads=2,
+            vit_hidden=128, vit_mlp_dim=256, image_embedding_dim=128,
+            vit_fused_mlp=True, dropout=0.0,
+        )
+        model = CXRClip(cfg, dtype=jnp.bfloat16)
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+            jnp.zeros((1, 8), jnp.int32),
+        )
+        tx = base_transform(max_grad_norm=1.0, weight_decay=1e-3)
+        step = jax.jit(
+            make_clip_pretrain_step(
+                model, tx,
+                make_label_fn(["image_tower", "text_tower",
+                               "image_projector", "text_projector"]),
+                "clip_self_distill", temperature=2.0, image_size=32,
+                compute_dtype=jnp.bfloat16,
+            ),
+            donate_argnums=(0,),
+        )
+        state = TrainState.create(variables, tx)
+        before = np.asarray(
+            state.params["image_tower"]["layer_0"]["mlp_1"]["kernel"],
+            np.float32,
+        ).copy()
+        batch = {
+            "images": jnp.asarray(
+                rng.integers(0, 255, (4, 32, 32, 3)), jnp.uint8
+            ),
+            "input_ids": jnp.asarray(
+                rng.integers(0, 64, (4, 8)), jnp.int32
+            ),
+            "attention_mask": jnp.ones((4, 8), jnp.int32),
+        }
+        lrs = {"image_tower": 1e-3, "text_tower": 1e-3,
+               "image_projector": 1e-3, "text_projector": 1e-3,
+               "default": 1e-3}
+        state, metrics = step(state, batch, lrs, jax.random.key(1))
+        assert np.isfinite(float(np.asarray(metrics["loss"])))
+        after = np.asarray(
+            state.params["image_tower"]["layer_0"]["mlp_1"]["kernel"],
+            np.float32,
+        )
+        assert np.abs(after - before).max() > 0
 
     def test_cxrclip_config_plumbs_flag(self, rng):
         from clip_for_dl_tpu.core.config import ModelConfig

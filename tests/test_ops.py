@@ -53,6 +53,34 @@ class TestSimilarity:
         )
         np.testing.assert_allclose(fused, ref, atol=1e-4, rtol=1e-4)
 
+    def test_dp_sharding_partitions_through_kernel(self, rng):
+        """A dp-sharded image-feature batch stays sharded through the
+        Pallas kernel (custom_partitioning) — no all-gather, row-sharded
+        output (an opaque custom call would be replicated by GSPMD)."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        n = len(jax.devices())
+        mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+        img = rng.standard_normal((8 * n, 512)).astype(np.float32)
+        txt = rng.standard_normal((16, 512)).astype(np.float32)
+        want = np.asarray(
+            similarity_reference(jnp.asarray(img), jnp.asarray(txt), 0.07)
+        )
+        xs = jax.device_put(
+            jnp.asarray(img), NamedSharding(mesh, P("data", None))
+        )
+        f = jax.jit(
+            lambda a, b: fused_similarity(a, b, 0.07, interpret=True)
+        )
+        out = f(xs, jnp.asarray(txt))
+        assert out.sharding.spec[0] == "data"
+        hlo = f.lower(xs, jnp.asarray(txt)).compile().as_text()
+        assert "all-gather" not in hlo and "all_gather" not in hlo
+        np.testing.assert_allclose(
+            np.asarray(out), want, atol=1e-4, rtol=1e-4
+        )
+
 
 class TestResize:
     @pytest.mark.parametrize("in_hw,out_hw", [((448, 512), (224, 224)),

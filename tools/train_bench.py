@@ -54,6 +54,10 @@ def main(argv=None) -> int:
     p.add_argument("--bf16-attention-probs", action="store_true",
                    help="bf16 attention probabilities (halves the saved "
                         "softmax residual + its bwd layout copies)")
+    p.add_argument("--fused-mlp", action="store_true",
+                   help="Pallas fused MLP block in the ViT layers — engages "
+                        "in the training forward too (custom VJP, exact-XLA "
+                        "backward)")
     p.add_argument("--compiler-options", default=None, metavar="JSON",
                    help="JSON dict of XLA backend compiler options passed "
                         "to .compile() (TPU flags can't ride XLA_FLAGS "
@@ -123,6 +127,8 @@ def main(argv=None) -> int:
             )
         if args.bf16_attention_probs:
             cfg = dataclasses.replace(cfg, bf16_attention_probs=True)
+        if args.fused_mlp:
+            cfg = dataclasses.replace(cfg, vit_fused_mlp=True)
         model = CXRClip(cfg, dtype=jnp.bfloat16)
         variables = model.init(
             jax.random.key(0),
@@ -194,6 +200,7 @@ def main(argv=None) -> int:
             "remat_policy": args.remat_policy if args.remat else None,
             "bf16_moments": args.bf16_moments,
             "bf16_attention_probs": args.bf16_attention_probs,
+            "fused_mlp": args.fused_mlp,
             "vs_baseline": round(img_s / baseline, 2),
             **mfu_fields(compiled, b, args.iters / dt),
             **hbm,
