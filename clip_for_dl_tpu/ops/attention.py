@@ -92,6 +92,55 @@ def _fused_mha_fwd(q, k, v, interpret=None):
         # Mosaic compiles only for TPU; elsewhere run the interpreter so the
         # op keeps identical semantics on any backend.
         interpret = jax.default_backend() != "tpu"
+    return _partitioned_mha_op(interpret)(q, k, v)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_mha_op(interpret: bool):
+    """GSPMD-partitionable wrapper: batch rows (and heads) are independent,
+    so batch/head sharding is legal through the kernel — an opaque
+    pallas_call would otherwise be REPLICATED by the partitioner,
+    all-gathering a dp-sharded activation (same bug class as
+    ops/mlp_block.py; see its custom_partitioning note). The sequence and
+    feature dims must stay whole (softmax reduces over keys)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def impl(q, k, v):
+        return _pallas_mha(q, k, v, interpret=interpret)
+
+    op = custom_partitioning(impl)
+
+    def _bh_sharding(mesh, arg_shapes):
+        s = arg_shapes[0].sharding.spec
+        return NamedSharding(
+            mesh,
+            P(
+                s[0] if len(s) else None,
+                s[1] if len(s) > 1 else None,
+                None,
+                None,
+            ),
+        )
+
+    def partition(mesh, arg_shapes, result_shape):
+        sh = _bh_sharding(mesh, arg_shapes)
+        return mesh, impl, sh, (sh, sh, sh)
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        return _bh_sharding(mesh, arg_shapes)
+
+    op.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        # distinct q-length/kv-length factors: sequence sharding must NOT
+        # propagate through (the kernel needs every key column per row)
+        sharding_rule="b h n d, b h m d, b h m d -> b h n d",
+    )
+    return op
+
+
+def _pallas_mha(q, k, v, *, interpret: bool):
     B, H, N, D = q.shape
     NP = _round_up(N, 128)  # lane-align the [NP, NP] logits block
     if NP != N:

@@ -81,6 +81,27 @@ class TestFusedMHA:
                 np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
             )
 
+    def test_dp_sharding_partitions_through_kernel(self, rng):
+        """A batch-sharded q/k/v stays sharded through the Pallas kernel
+        (custom_partitioning) — no all-gather, batch-sharded output (an
+        opaque custom call would be replicated by GSPMD)."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        n_dev = len(jax.devices())
+        mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+        q, k, v = _qkv(rng, b=2 * n_dev, n=64)
+        want = np.asarray(mha_reference(q, k, v))
+        sh = NamedSharding(mesh, P("data", None, None, None))
+        qs, ks, vs = (jax.device_put(t, sh) for t in (q, k, v))
+        f = jax.jit(lambda *a: _fused_mha_fwd(*a, interpret=True))
+        out = f(qs, ks, vs)
+        assert out.sharding.spec[0] == "data"
+        hlo = f.lower(qs, ks, vs).compile().as_text()
+        assert "all-gather" not in hlo and "all_gather" not in hlo
+        np.testing.assert_allclose(
+            np.asarray(out), want, atol=1e-5, rtol=1e-5
+        )
+
     def test_dispatcher_reference_on_cpu(self, rng):
         q, k, v = _qkv(rng, n=50)
         out = multihead_attention(q, k, v)  # cpu backend → reference
