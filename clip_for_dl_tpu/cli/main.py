@@ -1605,6 +1605,20 @@ def cmd_convert(args) -> int:
         allow_partial=getattr(args, "allow_partial_restore", False),
         use_ema=getattr(args, "use_ema", False),
     )
+    epoch = args.epoch
+    if epoch is None:
+        # default to the epoch the source checkpoint carries (ADVICE r2:
+        # stamping 0 over a trained checkpoint's epoch loses provenance)
+        if args.checkpoint.endswith((".pth", ".pt", ".safetensors")):
+            from ..train.checkpoint import import_reference_checkpoint
+
+            epoch = import_reference_checkpoint(args.checkpoint)["epoch"]
+        else:
+            from ..train.checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(args.checkpoint)
+            epoch = mgr.best_epoch() or 0
+            mgr.close()
     text_layers = cfg.model.text_layers
     if args.out.endswith(".safetensors"):
         from ..models.safetensors_io import (
@@ -1612,13 +1626,13 @@ def cmd_convert(args) -> int:
         )
 
         save_reference_checkpoint_safetensors(
-            variables, args.out, epoch=args.epoch, text_layers=text_layers
+            variables, args.out, epoch=epoch, text_layers=text_layers
         )
     elif args.out.endswith((".pth", ".pt")):
         from ..models.torch_export import save_reference_checkpoint
 
         save_reference_checkpoint(
-            variables, args.out, epoch=args.epoch, text_layers=text_layers
+            variables, args.out, epoch=epoch, text_layers=text_layers
         )
     else:
         print("error: --out must end in .safetensors, .pth or .pt",
@@ -1924,8 +1938,10 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--out", required=True,
                     help="output file (.safetensors, .pth or .pt)")
-    sp.add_argument("--epoch", type=int, default=0,
-                    help="epoch stamp for the artifact header")
+    sp.add_argument("--epoch", type=int, default=None,
+                    help="epoch stamp for the artifact header (default: "
+                         "the epoch carried by the source checkpoint, "
+                         "0 for fresh-init sources)")
     sp.set_defaults(fn=cmd_convert)
     return p
 

@@ -55,6 +55,21 @@ def check_tree_matches(name: str, got: Any, want: Any, path: str = "") -> None:
         )
 
 
+def cast_tree_like(got: Any, want: Any) -> Any:
+    """Cast every imported leaf to the dtype of the matching initialized
+    leaf. Hub re-uploads commonly ship float16/bfloat16 tensors; overlaying
+    those raw onto an fp32 param tree would silently change training
+    numerics — the module contract is 'clear error instead of silently
+    training on garbage', and a silent precision downgrade is the same
+    failure dressed as success. Shapes were already validated by
+    check_tree_matches."""
+    if isinstance(want, Mapping):
+        return {k: cast_tree_like(got[k], want[k]) for k in want}
+    want_dtype = np.asarray(want).dtype
+    got_arr = np.asarray(got)
+    return got_arr if got_arr.dtype == want_dtype else got_arr.astype(want_dtype)
+
+
 def load_image_tower_weights(
     path: str, cfg
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
@@ -120,14 +135,18 @@ def init_tower_weights(
             f"--init-image-tower {image_path}",
             tower_params, params["image_tower"],
         )
-        params["image_tower"] = tower_params
+        params["image_tower"] = cast_tree_like(
+            tower_params, params["image_tower"]
+        )
         if tower_stats:
             stats = dict(variables.get("batch_stats", {}))
             check_tree_matches(
                 f"--init-image-tower {image_path} (batch_stats)",
                 tower_stats, stats.get("image_tower", {}),
             )
-            stats["image_tower"] = tower_stats
+            stats["image_tower"] = cast_tree_like(
+                tower_stats, stats.get("image_tower", {})
+            )
             variables["batch_stats"] = stats
     if text_path:
         tower_params = load_text_tower_weights(text_path)
@@ -135,6 +154,8 @@ def init_tower_weights(
             f"--init-text-tower {text_path}",
             tower_params, params["text_tower"],
         )
-        params["text_tower"] = tower_params
+        params["text_tower"] = cast_tree_like(
+            tower_params, params["text_tower"]
+        )
     variables["params"] = params
     return variables

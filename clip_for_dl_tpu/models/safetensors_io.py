@@ -90,15 +90,30 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
         return tensors
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    if hasattr(sd, "state_dict"):  # a whole nn.Module was pickled
-        sd = sd.state_dict()
-    return {
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:  # torch refuses arbitrary pickles (nn.Module etc.)
+        raise ValueError(
+            f"{path} is not a plain tensor state_dict (torch weights_only "
+            f"load failed: {e}) — if a whole nn.Module was pickled, save "
+            "its .state_dict() instead and retry"
+        ) from e
+    out = {
         k: (v.detach().cpu().float().numpy()
             if v.dtype == torch.bfloat16 else v.detach().cpu().numpy())
         for k, v in sd.items()
         if hasattr(v, "detach")
     }
+    skipped = sorted(set(sd) - set(out))
+    if skipped:
+        import warnings
+
+        warnings.warn(
+            f"{path}: skipped {len(skipped)} non-tensor entries "
+            f"({skipped[:5]}{'...' if len(skipped) > 5 else ''})",
+            stacklevel=2,
+        )
+    return out
 
 
 def save_safetensors(

@@ -39,11 +39,28 @@ def _build() -> bool:
     # concurrent builders (pytest workers, multi-host shared FS) publish
     # interleaved output. os.replace is atomic per publisher.
     tmp = f"{_LIB_PATH}.build.{os.getpid()}"
-    subprocess.run(
-        ["g++", "-O3", "-std=c++17", "-fPIC", "-pthread",
-         "-shared", src, "-o", tmp, "-lpng16", "-lz"],
-        check=True, capture_output=True,
-    )
+    # distros that ship only libpng.so (no png16 alias) need -lpng; try
+    # both so the native path doesn't silently degrade to the cv2 fallback
+    last_err: Optional[subprocess.CalledProcessError] = None
+    for png_lib in ("-lpng16", "-lpng"):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-fPIC", "-pthread",
+                 "-shared", src, "-o", tmp, png_lib, "-lz"],
+                check=True, capture_output=True,
+            )
+            break
+        except subprocess.CalledProcessError as e:
+            last_err = e
+    else:
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "native build failed (falling back to numpy/cv2 paths): %s",
+            (last_err.stderr or b"").decode(errors="replace")[-2000:]
+            if last_err else "unknown",
+        )
+        raise last_err  # caller's except keeps the fallback contract
     os.replace(tmp, _LIB_PATH)
     return True
 

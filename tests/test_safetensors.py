@@ -308,3 +308,61 @@ def test_cli_pretrain_init_towers_smoke(tmp_path):
             "--synthetic-samples", "8", "--epochs", "1",
             "--log-dir", str(tmp_path), "--init-text-tower", bad_path,
         ])
+
+
+def test_fp16_hub_weights_are_cast_to_init_dtype(tmp_path):
+    """ADVICE r2: a float16 hub re-upload must land as the initialized
+    tree's dtype (fp32), not silently overlay fp16 leaves."""
+    model, variables = _variables()
+    src = variables["params"]["text_tower"]
+    sd = export_bert(src, layers=CFG.text_layers)
+    half_sd = {k: np.asarray(v).astype(np.float16) for k, v in sd.items()}
+    path = str(tmp_path / "bert_fp16.safetensors")
+    save_safetensors(half_sd, path)
+
+    out = init_tower_weights(
+        jax.tree.map(np.asarray, variables), CFG, text_path=path
+    )
+    leaves = jax.tree.leaves(out["params"]["text_tower"])
+    assert all(np.asarray(l).dtype == np.float32 for l in leaves), sorted(
+        {str(np.asarray(l).dtype) for l in leaves}
+    )
+    # values round-trip through fp16 (lossy) but stay close
+    _tree_allclose(out["params"]["text_tower"], src, atol=2e-3)
+
+
+def test_cli_convert_defaults_epoch_from_source(tmp_path):
+    """ADVICE r2: convert without --epoch must carry the source
+    checkpoint's epoch instead of stamping 0."""
+    from clip_for_dl_tpu.cli import main
+
+    ck = str(tmp_path / "ck")
+    assert main([
+        "pretrain", "--synthetic", "--tiny", "--fp32",
+        "--synthetic-samples", "8", "--epochs", "2",
+        "--log-dir", str(tmp_path), "--checkpoint-dir", ck,
+    ]) == 0
+    from clip_for_dl_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(ck)
+    want_epoch = mgr.best_epoch()
+    mgr.close()
+    st = str(tmp_path / "auto_epoch.safetensors")
+    assert main([
+        "convert", "--tiny", "--fp32", "--checkpoint", ck, "--out", st,
+    ]) == 0
+    _, epoch = load_reference_checkpoint_safetensors(st)
+    assert epoch == want_epoch
+    # the epoch survives a chained conversion even when the source stamp
+    # is nonzero (.safetensors → .safetensors)
+    st3 = str(tmp_path / "stamped.safetensors")
+    assert main([
+        "convert", "--tiny", "--fp32", "--checkpoint", ck, "--out", st3,
+        "--epoch", "7",
+    ]) == 0
+    st2 = str(tmp_path / "chained.safetensors")
+    assert main([
+        "convert", "--tiny", "--fp32", "--checkpoint", st3, "--out", st2,
+    ]) == 0
+    _, epoch2 = load_reference_checkpoint_safetensors(st2)
+    assert epoch2 == 7
