@@ -94,6 +94,8 @@ def _apply_tiny(cfg, args, vocab_size: int):
         model = dataclasses.replace(model, vit_fused_mlp=True)
     if getattr(args, "bf16_attention_probs", False):
         model = dataclasses.replace(model, bf16_attention_probs=True)
+    if getattr(args, "flash_attention", False):
+        model = dataclasses.replace(model, flash_attention=True)
     if getattr(args, "moe_experts", 0):
         model = dataclasses.replace(
             model, text_moe_experts=args.moe_experts
@@ -1714,6 +1716,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "(exact-GELU to bf16 rounding; measured "
                              "3.5x the XLA composition on v5e — "
                              "inference-only, training falls back)")
+        sp.add_argument("--flash-attention", action="store_true",
+                        help="fused Pallas flash attention in both "
+                             "towers: fwd AND bwd kernels, in-kernel "
+                             "prob dropout, no [B,H,L,L] residual — the "
+                             "training memory/bandwidth kernel "
+                             "(ops/flash_attention.py; r3 trace: BERT "
+                             "attention was 44% of the pretrain step)")
         sp.add_argument("--bf16-attention-probs", action="store_true",
                         help="store attention probabilities in bf16 "
                              "(halves the backward-saved [B,H,L,L] "

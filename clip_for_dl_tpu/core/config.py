@@ -96,6 +96,15 @@ class ModelConfig:
     # pretrain step — tools/trace_report.py). Opt-in, like bf16 Adam
     # moments; gradient closeness is test-guarded.
     bf16_attention_probs: bool = False
+    # Flash attention in both transformer towers (ops/flash_attention.py):
+    # fused Pallas forward AND backward — logits/probabilities never reach
+    # HBM in either direction and the backward recomputes them from q/k,
+    # so no fp32 [B, H, L, L] residual is saved per layer (4.8 GB at
+    # B=128 L=256 over the 12 BERT layers; 9.7 GB at B=256, which
+    # previously forced full text-tower remat). Attention-prob dropout
+    # runs in-kernel (deterministic counter-hash RNG, per-batch-row
+    # seeds). Attention-viz paths (sow_weights) fall back in-layer.
+    flash_attention: bool = False
     # Learnable contrastive temperature (real-CLIP/SigLIP training
     # semantics; the reference fixes T — 0425/train.py:126-175). When on,
     # CXRClip declares scalar params logit_scale (stored as log s, used

@@ -67,6 +67,14 @@ class BertSelfAttention(nn.Module):
     # the B=128 seq200 pretrain step). Off by default for bitwise
     # default-path stability; opt in via ModelConfig.bf16_attention_probs.
     bf16_probs: bool = False
+    # Fused flash attention (ops/flash_attention.py): Pallas forward AND
+    # backward, logits/probs never reach HBM and no [B, H, L, L] residual
+    # is saved — the training memory/bandwidth fix for the text tower
+    # (the fp32 logits residual is 4.8 GB at B=128 L=256 across 12
+    # layers). Attention-prob dropout runs in-kernel (counter-hash RNG,
+    # regenerated in the backward). Falls back when the probabilities
+    # must be materialized (sow_weights).
+    flash: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -82,6 +90,26 @@ class BertSelfAttention(nn.Module):
             return t.reshape(*t.shape[:-1], h, hd).transpose(0, 2, 1, 3)
 
         qh, kh, vh = split(q), split(k), split(v)
+        if self.flash and not sow_weights:
+            from ..ops.flash_attention import (
+                dropout_seeds_from_rng,
+                flash_attention,
+            )
+
+            rate = 0.0 if deterministic else self.dropout
+            seeds = None
+            if rate > 0.0:
+                seeds = dropout_seeds_from_rng(
+                    self.make_rng("dropout"), x.shape[0]
+                )
+            out = flash_attention(
+                qh, kh, vh,
+                None if bias is None else bias[:, 0, 0, :],
+                dropout_rate=rate, dropout_seeds=seeds,
+            )
+            return out.transpose(0, 2, 1, 3).reshape(
+                *x.shape[:-1], self.hidden
+            )
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
         ) / jnp.sqrt(jnp.float32(hd))
@@ -110,6 +138,7 @@ class BertLayer(nn.Module):
     moe_experts: int = 0
     moe_capacity_factor: float = 1.25
     bf16_probs: bool = False  # see BertSelfAttention.bf16_probs
+    flash: bool = False  # see BertSelfAttention.flash
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -122,7 +151,8 @@ class BertLayer(nn.Module):
         )
         attn = BertSelfAttention(
             self.hidden, self.heads, self.dropout,
-            bf16_probs=self.bf16_probs, name="attention", **kw
+            bf16_probs=self.bf16_probs, flash=self.flash,
+            name="attention", **kw
         )(x, bias, deterministic=deterministic, sow_weights=sow_weights)
         attn = nn.Dense(self.hidden, name="attention_output", **kw)(attn)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
@@ -170,6 +200,7 @@ class BertEncoder(nn.Module):
     moe_every: int = 2
     moe_capacity_factor: float = 1.25
     bf16_probs: bool = False  # see BertSelfAttention.bf16_probs
+    flash: bool = False  # see BertSelfAttention.flash
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -214,7 +245,7 @@ class BertEncoder(nn.Module):
                 self.hidden, self.heads, self.intermediate, self.dropout,
                 moe_experts=moe,
                 moe_capacity_factor=self.moe_capacity_factor,
-                bf16_probs=self.bf16_probs,
+                bf16_probs=self.bf16_probs, flash=self.flash,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",
             )(x, bias, deterministic, sow_weights)

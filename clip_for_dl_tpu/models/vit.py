@@ -92,6 +92,13 @@ class ViTEncoderLayer(nn.Module):
     # saved [B, H, N, N] softmax residual + its backward layout copies —
     # see models/bert.py BertSelfAttention.bf16_probs for the trace data).
     bf16_probs: bool = False
+    # Fused flash attention (ops/flash_attention.py): Pallas forward AND
+    # backward with in-kernel dropout — the TRAINING-path kernel (no
+    # [B, H, N, N] residual saved; recompute-from-qk backward). Distinct
+    # from `fused_attention` (forward kernel, XLA backward, inference
+    # economics — see that flag's note). Falls back when the
+    # probabilities must be materialized (sow_weights).
+    flash: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -110,12 +117,30 @@ class ViTEncoderLayer(nn.Module):
         def split(t):
             return t.reshape(*t.shape[:-1], h, hd).transpose(0, 2, 1, 3)
 
+        use_flash = self.flash and not sow_weights
         use_fused = (
-            self.fused_attention
+            not use_flash
+            and self.fused_attention
             and not sow_weights  # kernel never materializes the probs
             and (self.dropout == 0.0 or deterministic)
         )
-        if use_fused:
+        if use_flash:
+            from ..ops.flash_attention import (
+                dropout_seeds_from_rng,
+                flash_attention,
+            )
+
+            rate = 0.0 if deterministic else self.dropout
+            seeds = None
+            if rate > 0.0:
+                seeds = dropout_seeds_from_rng(
+                    self.make_rng("dropout"), x.shape[0]
+                )
+            attn = flash_attention(
+                split(q), split(k), split(v),
+                dropout_rate=rate, dropout_seeds=seeds,
+            )
+        elif use_fused:
             from ..ops.attention import multihead_attention
 
             attn = multihead_attention(split(q), split(k), split(v))
@@ -202,6 +227,7 @@ class ViT(nn.Module):
     fused_attention: bool = False  # see ViTEncoderLayer.fused_attention
     fused_mlp: bool = False  # see ViTEncoderLayer.fused_mlp
     bf16_probs: bool = False  # see ViTEncoderLayer.bf16_probs
+    flash: bool = False  # see ViTEncoderLayer.flash
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -247,7 +273,7 @@ class ViT(nn.Module):
                 self.hidden, self.heads, self.mlp_dim, self.dropout,
                 self.gelu_approximate, self.fused_attention,
                 fused_mlp=self.fused_mlp,
-                bf16_probs=self.bf16_probs,
+                bf16_probs=self.bf16_probs, flash=self.flash,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",
             )(x, deterministic, sow_weights)

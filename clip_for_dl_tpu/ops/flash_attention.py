@@ -1,0 +1,422 @@
+"""Flash-style fused attention with a fused Pallas BACKWARD for training.
+
+The training hot spot this attacks (trace: benchmarks/trace_resnet_pretrain_
+b128.md): each transformer layer of the text tower saves a fp32
+``[B, H, L, L]`` logits residual for the backward pass — 403 MB/layer at
+B=128 L(pad)=256, 4.8 GB across Bio_ClinicalBERT's 12 layers, 9.7 GB at
+B=256 (which is why B=256 previously needed full text-tower remat,
+NOTES.md "PRETRAIN experiment set") — plus the fp32 layout copies XLA
+emits around the softmax backward (~12% of the step).
+
+This op never materializes logits or probabilities in HBM in either
+direction:
+
+- forward: one Pallas program per (batch row, head) computes
+  ``softmax(q·kᵀ/√d + bias)·v`` with logits/probabilities living only in
+  VMEM (the single-block degenerate case of flash attention — N ≤ 512
+  for this workload, so no KV blocking is needed);
+- backward: a second Pallas kernel RECOMPUTES s and p from q/k (the
+  flash "recompute-from-qk" economy) and produces dq/dk/dv in one
+  program — the only residuals saved are the kernel *inputs*.
+
+Attention-probability dropout (the reference trains HF BERT with
+``attention_probs_dropout_prob=0.1``) runs INSIDE the kernel: a
+counter-based hash RNG (murmur3 finalizer over the (row, col) iota grid,
+seeded per batch row and head) generates the keep mask on the fly, and
+the backward regenerates the identical mask from the same seeds instead
+of storing a [B, H, L, L] mask. Plain integer jnp ops — no
+``pltpu.prng_*`` — so the bits are bit-identical on TPU Mosaic and the
+CPU interpreter (the in-container test backend; ``pltpu.prng_random_bits``
+is a zero-stub under interpret mode), and identical under any GSPMD
+sharding because seeds ride per-row.
+
+Semantics mirror models/bert.py BertSelfAttention / models/vit.py
+ViTEncoderLayer exactly: fp32 logits (+ additive key bias), fp32 softmax,
+dropout on the fp32 probabilities, compute-dtype probabilities into an
+fp32-accumulated PV matmul. The additive bias is the key-padding form
+``[B, L]`` (broadcast over heads and query rows — the only form the
+towers build, bert.py:197-201); padded tail columns are masked with a
+large-NEGATIVE-finite (not -inf: a fully-masked padded query row would
+otherwise softmax to NaN and poison dk/dv in the backward).
+
+GSPMD: batch and head dims are independent → custom_partitioning lets
+dp (and head-sharded tp) batches stay sharded through both kernels
+(sharding rule "b h n d, ..."); sequence/feature sharding does not
+propagate (softmax needs every key column).
+
+Wire via ModelConfig.flash_attention / CLI ``--flash-attention``.
+Reference behavior being replaced: torch ``nn.MultiheadAttention`` /
+HF BertSelfAttention under autograd (0425/train.py:775-776; vit notebook
+cell 24) — single-GPU eager ops with materialized attention matrices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+# Finite stand-in for -inf on padded key columns: large enough that
+# exp(s - m) underflows to 0 for any real logit, small enough that a
+# fully-padded row's softmax stays finite (see module docstring).
+_NEG_BIG = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _i32(v: int) -> jnp.ndarray:
+    """uint32 constant as its two's-complement int32 bit pattern."""
+    return jnp.int32(np.uint32(v).astype(np.int32))
+
+
+def _uniform01(seed, head, shape):
+    """Counter-based uniform [0, 1) grid — murmur3 fmix32 over iota.
+
+    Pure integer jnp ops (wrap-around int32 multiply, logical shifts):
+    identical bits under TPU Mosaic, the Pallas CPU interpreter, and as a
+    plain jnp call (the test oracle / reference path use this very
+    function). `seed` is an int32 scalar (per batch row), `head` an int32
+    scalar or python int; the (row, col) counter grid decorrelates
+    positions.
+    """
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    x = (
+        r * _i32(0x9E3779B1)
+        ^ c * _i32(0x85EBCA77)
+        ^ (seed + jnp.int32(head) * _i32(0xC2B2AE3D))
+    )
+    # murmur3 finalizer: full avalanche, every output bit depends on
+    # every input bit
+    sh = lambda a, n: jax.lax.shift_right_logical(a, jnp.int32(n))
+    x = x ^ sh(x, 16)
+    x = x * _i32(0x85EBCA6B)
+    x = x ^ sh(x, 13)
+    x = x * _i32(0xC2B2AE35)
+    x = x ^ sh(x, 16)
+    # top 24 bits → [0, 1) in fp32 (24-bit mantissa: exact)
+    return sh(x, 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def _softmax_rows(s):
+    """Row softmax in fp32; finite for fully-masked (padded) rows."""
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, out_ref,
+                *, scale: float, rate: float):
+    q = q_ref[0, 0]  # [NP, D] compute dtype
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale + bias_ref[0]  # [NP, NP] fp32, VMEM only
+    p = _softmax_rows(s)
+    if rate > 0.0:
+        u = _uniform01(
+            seed_ref[pl.program_id(0), 0], pl.program_id(1), p.shape
+        )
+        p = jnp.where(u >= rate, p * (1.0 / (1.0 - rate)), 0.0)
+    out_ref[0, 0] = jax.lax.dot_general(
+        p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, scale: float, rate: float):
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    # recompute-from-qk: the forward saved no [NP, NP] tensor
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale + bias_ref[0]
+    p = _softmax_rows(s)
+    if rate > 0.0:
+        u = _uniform01(
+            seed_ref[pl.program_id(0), 0], pl.program_id(1), p.shape
+        )
+        keep = u >= rate
+        inv = 1.0 / (1.0 - rate)
+        pd = jnp.where(keep, p * inv, 0.0)
+    else:
+        pd = p
+    pdc = pd.astype(q.dtype)
+    # dv = pdᵀ · do (contract query rows)
+    dv_ref[0, 0] = jax.lax.dot_general(
+        pdc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    # d(dropped probs) = do · vᵀ
+    dpd = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jnp.where(keep, dpd * inv, 0.0) if rate > 0.0 else dpd
+    # softmax backward: ds = p ⊙ (dp − rowsum(p ⊙ dp))
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = (p * (dp - delta)).astype(q.dtype)
+    dq_ref[0, 0] = (jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale).astype(dq_ref.dtype)
+    dk_ref[0, 0] = (jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale).astype(dk_ref.dtype)
+
+
+def _pad_inputs(q, k, v, bias):
+    B, H, N, D = q.shape
+    NP = _round_up(N, 128)
+    if NP != N:
+        pad = [(0, 0), (0, 0), (0, NP - N), (0, 0)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        bias = jnp.pad(bias, ((0, 0), (0, NP - N)), constant_values=_NEG_BIG)
+    return q, k, v, bias, NP
+
+
+def _pallas_fwd(q, k, v, bias, seeds, *, rate: float, interpret: bool):
+    B, H, N, D = q.shape
+    q, k, v, bias, NP = _pad_inputs(q, k, v, bias)
+    scale = 1.0 / float(D) ** 0.5
+    qkv_spec = pl.BlockSpec((1, 1, NP, D), lambda b, h: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, rate=rate),
+        grid=(B, H),
+        in_specs=[
+            # whole-array SMEM (Mosaic blocks constrain only the last two
+            # dims; a (1, 1) block of [B, 1] is rejected) — indexed by
+            # program_id in-kernel
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, NP), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            qkv_spec, qkv_spec, qkv_spec,
+        ],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, NP, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * NP * NP * D,
+            bytes_accessed=4 * B * H * NP * D * q.dtype.itemsize,
+            transcendentals=B * H * NP * NP,
+        ),
+        interpret=interpret,
+    )(seeds, bias[:, None, :], q, k, v)
+    return out[:, :, :N, :]
+
+
+def _pallas_bwd(q, k, v, bias, seeds, do, *, rate: float, interpret: bool):
+    B, H, N, D = q.shape
+    do = jnp.pad(do, [(0, 0), (0, 0), (0, _round_up(N, 128) - N), (0, 0)])
+    q, k, v, bias, NP = _pad_inputs(q, k, v, bias)
+    scale = 1.0 / float(D) ** 0.5
+    spec = pl.BlockSpec((1, 1, NP, D), lambda b, h: (b, h, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((B, H, NP, D), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, rate=rate),
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # see fwd spec note
+            pl.BlockSpec((1, 1, NP), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec, spec, spec, spec,
+        ],
+        out_specs=(spec, spec, spec),
+        out_shape=(shape, shape, shape),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * H * NP * NP * D,
+            bytes_accessed=7 * B * H * NP * D * q.dtype.itemsize,
+            transcendentals=B * H * NP * NP,
+        ),
+        interpret=interpret,
+    )(seeds, bias[:, None, :], q, k, v, do)
+    trim = lambda t: t[:, :, :N, :]
+    return trim(dq), trim(dk), trim(dv)
+
+
+def _bh_sharding(mesh, arg_shapes):
+    """Keep batch (and head) sharding of q; seq/feature stay whole."""
+    s = arg_shapes[0].sharding.spec
+    return NamedSharding(
+        mesh,
+        P(s[0] if len(s) else None, s[1] if len(s) > 1 else None, None, None),
+    )
+
+
+def _row_sharding(mesh, arg_shapes):
+    s = arg_shapes[0].sharding.spec
+    return NamedSharding(mesh, P(s[0] if len(s) else None, None))
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_op(rate: float, interpret: bool):
+    """GSPMD-partitionable forward — an opaque pallas_call would be
+    REPLICATED by the partitioner (all-gathering dp-sharded activations;
+    same bug class ops/mlp_block.py documents)."""
+
+    def impl(q, k, v, bias, seeds):
+        return _pallas_fwd(q, k, v, bias, seeds,
+                           rate=rate, interpret=interpret)
+
+    op = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        bh = _bh_sharding(mesh, arg_shapes)
+        row = _row_sharding(mesh, arg_shapes)
+        return mesh, impl, bh, (bh, bh, bh, row, row)
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        return _bh_sharding(mesh, arg_shapes)
+
+    op.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        # distinct n (query) / m (key) factors: sequence sharding must not
+        # propagate through — every program needs all key columns
+        sharding_rule="b h n d, b h m d, b h m d, b m, b u -> b h n d",
+    )
+    return op
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_op(rate: float, interpret: bool):
+    def impl(q, k, v, bias, seeds, do):
+        return _pallas_bwd(q, k, v, bias, seeds, do,
+                           rate=rate, interpret=interpret)
+
+    op = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        bh = _bh_sharding(mesh, arg_shapes)
+        row = _row_sharding(mesh, arg_shapes)
+        return mesh, impl, (bh, bh, bh), (bh, bh, bh, row, row, bh)
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        bh = _bh_sharding(mesh, arg_shapes)
+        return (bh, bh, bh)
+
+    op.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule=(
+            "b h n d, b h m d, b h m d, b m, b u, b h n d "
+            "-> b h n d, b h m d, b h m d"
+        ),
+    )
+    return op
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _flash(rate, interpret, q, k, v, bias, seeds):
+    return _fwd_op(rate, interpret)(q, k, v, bias, seeds)
+
+
+def _flash_fwd(rate, interpret, q, k, v, bias, seeds):
+    out = _fwd_op(rate, interpret)(q, k, v, bias, seeds)
+    # residuals are the INPUTS only — no [B, H, L, L] tensor survives
+    return out, (q, k, v, bias, seeds)
+
+
+def _flash_bwd(rate, interpret, res, g):
+    q, k, v, bias, seeds = res
+    dq, dk, dv = _bwd_op(rate, interpret)(
+        q, k, v, bias, seeds, g.astype(q.dtype)
+    )
+    # bias derives from the integer attention mask (non-trainable) and
+    # seeds are integers: zero / float0 cotangents, DCE'd by XLA.
+    return (dq, dk, dv, jnp.zeros_like(bias),
+            np.zeros(seeds.shape, dtype=jax.dtypes.float0))
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_bias: jax.Array | None = None,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_seeds: jax.Array | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """[B, H, N, D] q/k/v → attention output, fused fwd AND bwd.
+
+    key_bias: optional [B, N] fp32 additive logit bias (broadcast over
+    heads and query rows — the key-padding-mask form). dropout_rate > 0
+    applies in-kernel attention-probability dropout and requires
+    dropout_seeds [B] (or [B, 1]) int32, one stream per batch row (so
+    masks are identical under any dp sharding of the batch).
+    """
+    if interpret is None:
+        # Mosaic compiles only for TPU; elsewhere run the interpreter so
+        # the op keeps identical semantics on any backend (CPU test mesh).
+        interpret = jax.default_backend() != "tpu"
+    B, H, N, D = q.shape
+    if key_bias is None:
+        bias = jnp.zeros((B, N), jnp.float32)
+    else:
+        if key_bias.shape != (B, N):
+            raise ValueError(
+                f"key_bias must be [B, N]={B, N}, got {key_bias.shape}"
+            )
+        bias = key_bias.astype(jnp.float32)
+    rate = float(dropout_rate)
+    if not 0.0 <= rate < 1.0:
+        raise ValueError(f"dropout_rate must be in [0, 1), got {rate}")
+    if rate > 0.0:
+        if dropout_seeds is None:
+            raise ValueError("dropout_rate > 0 requires dropout_seeds")
+        seeds = dropout_seeds.reshape(B, 1).astype(jnp.int32)
+    else:
+        seeds = jnp.zeros((B, 1), jnp.int32)
+    return _flash(rate, bool(interpret), q, k, v, bias, seeds)
+
+
+def dropout_seeds_from_rng(rng: jax.Array, batch: int) -> jax.Array:
+    """Per-batch-row int32 seeds for the in-kernel dropout RNG."""
+    return jax.random.bits(rng, (batch, 1), jnp.uint32).astype(jnp.int32)
+
+
+def flash_attention_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_bias: jax.Array | None = None,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_seeds: jax.Array | None = None,
+) -> jax.Array:
+    """Pure-jnp oracle with the towers' exact dtype discipline AND the
+    kernel's exact dropout bits (shared `_uniform01`) — the equivalence
+    target for tests on any backend."""
+    B, H, N, D = q.shape
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(D))
+    if key_bias is not None:
+        s = s + key_bias.astype(jnp.float32)[:, None, None, :]
+    p = _softmax_rows(s)
+    if dropout_rate > 0.0:
+        seeds = dropout_seeds.reshape(B).astype(jnp.int32)
+        u = jax.vmap(  # over batch rows
+            lambda sd: jnp.stack(
+                [_uniform01(sd, h, (N, N)) for h in range(H)]
+            )
+        )(seeds)
+        p = jnp.where(u >= dropout_rate, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(q.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)

@@ -54,6 +54,10 @@ def main(argv=None) -> int:
     p.add_argument("--bf16-attention-probs", action="store_true",
                    help="bf16 attention probabilities (halves the saved "
                         "softmax residual + its bwd layout copies)")
+    p.add_argument("--flash-attention", action="store_true",
+                   help="fused Pallas flash attention (fwd+bwd, in-kernel "
+                        "dropout) in both transformer towers — no "
+                        "[B, H, L, L] residual (ops/flash_attention.py)")
     p.add_argument("--fused-mlp", action="store_true",
                    help="Pallas fused MLP block in the ViT layers — engages "
                         "in the training forward too (custom VJP, exact-XLA "
@@ -129,6 +133,8 @@ def main(argv=None) -> int:
             cfg = dataclasses.replace(cfg, bf16_attention_probs=True)
         if args.fused_mlp:
             cfg = dataclasses.replace(cfg, vit_fused_mlp=True)
+        if args.flash_attention:
+            cfg = dataclasses.replace(cfg, flash_attention=True)
         model = CXRClip(cfg, dtype=jnp.bfloat16)
         variables = model.init(
             jax.random.key(0),
@@ -201,6 +207,7 @@ def main(argv=None) -> int:
             "bf16_moments": args.bf16_moments,
             "bf16_attention_probs": args.bf16_attention_probs,
             "fused_mlp": args.fused_mlp,
+            "flash_attention": args.flash_attention,
             "vs_baseline": round(img_s / baseline, 2),
             **mfu_fields(compiled, b, args.iters / dt),
             **hbm,
