@@ -1,18 +1,35 @@
 """Benchmark: zero-shot chest X-ray prediction throughput (images/sec/chip).
 
 Baseline: the reference's zero-shot eval runs at ~25 img/s on an RTX A5000
-(BASELINE.md: 902 imgs / 36 s, bs 16, fp32, per-batch python loops). Here the
-identical workload — ResNet-50 image tower → 512-d projection → L2-normalize
-→ similarity against 16 disease prompt features → sigmoid probabilities —
-runs as one jitted bf16 XLA program on HBM-resident uint8 batches (the
-north-star input-fusion design), including the on-device resize+normalize.
+(BASELINE.md: 902 imgs / 36 s, bs 16, fp32, per-batch python loops) — and
+that number is END-TO-END (decode→prediction, 02 nb cell 42). Here the
+identical workload — ResNet-50 image tower → 512-d projection →
+L2-normalize → similarity against 16 disease prompt features → sigmoid
+probabilities — runs as one jitted bf16 XLA program, and the default run
+reports THREE tiers in one JSON line:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+- the headline compute-only rate (HBM-resident uint8 batch, cached text
+  features — the chip's ceiling for the program);
+- ``e2e``: a SUSTAINED loop through the real serving data path — uint8
+  memmap image cache (data/cache.py, built once from synthetic PNGs) →
+  double-buffered ``prefetch_to_device`` H2D → device compute → per-batch
+  D2H fetch of the probabilities (serving semantics: predictions land on
+  the host) — with a device-busy fraction measured from a profiler trace
+  and per-stage attribution (host cache read rate, H2D bandwidth) when
+  the gap to compute-only is environment-bound (in THIS container: 1 CPU
+  core + ~30-80 MB/s axon-tunnel H2D; on a TPU VM the same loop is
+  compute-bound);
+- ``vit_fused_fast``: the ViT-B/16 serving ceiling with the Pallas fused
+  MLP block and tanh GELU composed (VERDICT r2 item 8).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 import time
 
 import jax
@@ -25,55 +42,22 @@ WARMUP = 3
 ITERS = 30
 
 
-def main(argv=None) -> None:
-    import argparse
-
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--tower", choices=["resnet", "vit"], default="resnet",
-                   help="image tower (default: the flagship ResNet-50)")
-    p.add_argument("--fast-gelu", action="store_true",
-                   help="tanh-GELU in the ViT tower (serving knob)")
-    p.add_argument("--fused-attention", action="store_true",
-                   help="Pallas fused-MHA in the ViT layers")
-    p.add_argument("--fused-mlp", action="store_true",
-                   help="Pallas fused MLP block in the ViT layers "
-                        "(exact-GELU, 3.5x the XLA composition)")
-    p.add_argument("--batch", type=int, default=BATCH)
-    p.add_argument("--compiler-options", default=None, metavar="JSON",
-                   help="JSON dict of XLA backend compiler options passed "
-                        "to .compile() (the TPU-flag path that works "
-                        "through the axon tunnel — XLA_FLAGS TPU flags "
-                        "are rejected by the local client parse)")
-    args = p.parse_args(argv)
-    compiler_options = (
-        json.loads(args.compiler_options) if args.compiler_options else None
-    )
-    batch_n = args.batch
-
-    import os
-
-    from clip_for_dl_tpu.core.compile_cache import ENV_VAR, enable_from_env
+def build_zero_shot(tower: str, batch_n: int, *, fast_gelu=False,
+                    fused_attention=False, fused_mlp=False,
+                    compiler_options=None):
+    """Compile the zero-shot program; returns (compiled, args, mfu_fn)."""
     from clip_for_dl_tpu.core.config import CLIP_MEAN, CLIP_STD, ModelConfig
-
-    # default the persistent compile cache ON for the benchmark (repeat
-    # runs rehit the compiled executable from disk instead of paying the
-    # remote compile); opt out with CLIP_FOR_DL_TPU_COMPILE_CACHE=""
-    os.environ.setdefault(
-        ENV_VAR,
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache"),
-    )
-    enable_from_env()
     from clip_for_dl_tpu.models import CXRClip
     from clip_for_dl_tpu.ops.image_prep import preprocess_images
     from clip_for_dl_tpu.ops.similarity import similarity
 
     cfg = ModelConfig(
         max_text_length=64,
-        vit_gelu_approximate=args.fast_gelu,
-        vit_fused_attention=args.fused_attention,
-        vit_fused_mlp=args.fused_mlp,
+        vit_gelu_approximate=fast_gelu,
+        vit_fused_attention=fused_attention,
+        vit_fused_mlp=fused_mlp,
     )
-    if args.tower == "vit":
+    if tower == "vit":
         cfg = cfg.with_vit()
     model = CXRClip(cfg, dtype=jnp.bfloat16)
     variables = jax.jit(model.init)(
@@ -105,44 +89,249 @@ def main(argv=None) -> None:
         )
         return jax.nn.sigmoid(logits)
 
-    # NOTE (honest-benchmark caveat, stated wherever this number is
-    # quoted): compute-only on a synthetic HBM-resident uint8 batch with
-    # precached text features — the host decode/H2D side is benchmarked
-    # separately (tools/host_pipeline_bench.py) because in THIS container
-    # it measures the 1-core/axon-tunnel environment, not the framework.
     images = jax.device_put(
         np.random.default_rng(0).integers(
             0, 255, (batch_n, 224, 224, 3), dtype=np.uint8
         )
     )
-
     compiled = zero_shot_fn.lower(variables, images, text_features).compile(
         compiler_options=compiler_options
     )
-    zero_shot = lambda *a: compiled(*a)  # noqa: E731
+    return compiled, (variables, images, text_features)
 
+
+def measure_compute(compiled, args, batch_n: int):
+    """Compute-only rate on the HBM-resident batch."""
     for _ in range(WARMUP):
-        np.asarray(zero_shot(variables, images, text_features))
+        np.asarray(compiled(*args))
     t0 = time.perf_counter()
+    probs = None
     for _ in range(ITERS):
-        probs = zero_shot(variables, images, text_features)
+        probs = compiled(*args)
     # fetch the result to fence the timing (block_until_ready does not
     # reliably block through the axon tunnel)
     np.asarray(probs)
     dt = time.perf_counter() - t0
+    return batch_n * ITERS / dt
 
-    img_per_sec = batch_n * ITERS / dt
+
+def _make_cache(n_images: int, image_size: int = 224):
+    """Synthetic PNGs at drill geometry → the real uint8 memmap cache."""
+    import cv2
+
+    from clip_for_dl_tpu.data.cache import build_image_cache
+
+    root = tempfile.mkdtemp(prefix="bench_e2e_")
+    img_dir = os.path.join(root, "img")
+    os.makedirs(img_dir)
+    rng = np.random.default_rng(42)
+    paths = []
+    for i in range(n_images):
+        p = os.path.join(img_dir, f"CXR{i}_IM.dcm.png")
+        cv2.imwrite(p, rng.integers(20, 235, (256, 208, 3), dtype=np.uint8))
+        paths.append(p)
+    t0 = time.perf_counter()
+    cache = build_image_cache(
+        paths, image_size, os.path.join(root, "cache"), workers=4
+    )
+    return cache, time.perf_counter() - t0
+
+
+def measure_e2e(compiled, variables, text_features, batch_n: int,
+                seconds: float = 30.0, n_images: int = 512):
+    """Sustained cache→H2D→device→D2H loop + per-stage attribution."""
+    from clip_for_dl_tpu.data.cache import DATA_NAME
+    from clip_for_dl_tpu.data.loader import prefetch_to_device
+    from clip_for_dl_tpu.utils.profiling import trace
+    from clip_for_dl_tpu.utils.trace_report import device_op_table
+
+    cache, build_s = _make_cache(n_images)
+    arr = np.memmap(
+        os.path.join(cache.directory, DATA_NAME), dtype=np.uint8,
+        mode="r", shape=(len(cache), cache.image_size, cache.image_size, 3),
+    )
+
+    def host_iter(limit=None):
+        i, n = 0, len(arr)
+        while limit is None or i < limit:
+            lo = (i * batch_n) % n
+            idx = (np.arange(batch_n) + lo) % n
+            yield {"images": np.ascontiguousarray(arr[idx])}
+            i += 1
+
+    # stage: host cache-read rate alone (memmap gather + copy)
+    t0 = time.perf_counter()
+    for _ in host_iter(limit=8):
+        pass
+    host_rate = 8 * batch_n / (time.perf_counter() - t0)
+
+    # stage: H2D bandwidth (device_put + on-device touch + tiny fetch)
+    touch = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+    batch0 = next(host_iter(limit=1))["images"]
+    np.asarray(touch(jax.device_put(batch0)))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(4):
+        np.asarray(touch(jax.device_put(batch0)))
+    h2d_s = (time.perf_counter() - t0) / 4
+    h2d_mb_s = batch0.nbytes / 2**20 / h2d_s
+
+    # sustained loop: double-buffered H2D, per-batch probability fetch
+    it = prefetch_to_device(host_iter())
+    for _ in range(2):  # warm the pipeline
+        np.asarray(compiled(variables, next(it)["images"], text_features))
+    t0 = time.perf_counter()
+    n_done = 0
+    for batch in it:
+        np.asarray(compiled(variables, batch["images"], text_features))
+        n_done += batch_n
+        if time.perf_counter() - t0 >= seconds:
+            break
+    wall = time.perf_counter() - t0
+    e2e_rate = n_done / wall
+
+    # device-busy fraction: profiler trace over a slice of the same loop
+    log_dir = tempfile.mkdtemp(prefix="bench_e2e_trace_")
+    it2 = prefetch_to_device(host_iter())
+    t0 = time.perf_counter()
+    with trace(log_dir):
+        for _ in range(6):
+            np.asarray(
+                compiled(variables, next(it2)["images"], text_features)
+            )
+    slice_wall_ms = (time.perf_counter() - t0) * 1e3
+    try:
+        device_ms = device_op_table(log_dir)["device_total_ms"]
+        busy = min(1.0, device_ms / slice_wall_ms)
+    except Exception:
+        busy = None
+
+    return {
+        "img_per_sec": round(e2e_rate, 1),
+        "seconds": round(wall, 1),
+        "n_images": n_done,
+        "cache_images": n_images,
+        "cache_build_s": round(build_s, 1),
+        "device_busy_frac": None if busy is None else round(busy, 3),
+        "host_cache_read_img_s": round(host_rate, 1),
+        "h2d_mb_per_s": round(h2d_mb_s, 1),
+        "batch_mb": round(batch0.nbytes / 2**20, 1),
+    }
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--tower", choices=["resnet", "vit"], default=None,
+                   help="single-tower mode (skips the default multi-row "
+                        "report); default: resnet headline + e2e + "
+                        "vit-fused-fast rows in one line")
+    p.add_argument("--fast-gelu", action="store_true",
+                   help="tanh-GELU in the ViT tower (serving knob)")
+    p.add_argument("--fused-attention", action="store_true",
+                   help="Pallas fused-MHA in the ViT layers")
+    p.add_argument("--fused-mlp", action="store_true",
+                   help="Pallas fused MLP block in the ViT layers "
+                        "(exact-GELU, 3.5x the XLA composition)")
+    p.add_argument("--e2e", action="store_true",
+                   help="with --tower: also run the sustained "
+                        "cache→H2D→device loop for that tower")
+    p.add_argument("--no-e2e", action="store_true",
+                   help="default mode: skip the sustained e2e loop")
+    p.add_argument("--no-vit", action="store_true",
+                   help="default mode: skip the ViT fused+fast-gelu row")
+    p.add_argument("--e2e-seconds", type=float, default=30.0)
+    p.add_argument("--batch", type=int, default=BATCH)
+    p.add_argument("--compiler-options", default=None, metavar="JSON",
+                   help="JSON dict of XLA backend compiler options passed "
+                        "to .compile() (the TPU-flag path that works "
+                        "through the axon tunnel — XLA_FLAGS TPU flags "
+                        "are rejected by the local client parse)")
+    args = p.parse_args(argv)
+    compiler_options = (
+        json.loads(args.compiler_options) if args.compiler_options else None
+    )
+    batch_n = args.batch
+
+    from clip_for_dl_tpu.core.compile_cache import ENV_VAR, enable_from_env
+
+    # default the persistent compile cache ON for the benchmark (repeat
+    # runs rehit the compiled executable from disk instead of paying the
+    # remote compile); opt out with CLIP_FOR_DL_TPU_COMPILE_CACHE=""
+    os.environ.setdefault(
+        ENV_VAR,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache"),
+    )
+    enable_from_env()
     from clip_for_dl_tpu.utils.mfu import mfu_fields
 
-    print(json.dumps({
+    if args.tower is not None:
+        # single-tower mode (previous CLI contract)
+        compiled, fn_args = build_zero_shot(
+            args.tower, batch_n, fast_gelu=args.fast_gelu,
+            fused_attention=args.fused_attention, fused_mlp=args.fused_mlp,
+            compiler_options=compiler_options,
+        )
+        rate = measure_compute(compiled, fn_args, batch_n)
+        row = {
+            "metric": "zero-shot images/sec/chip (Indiana CXR pipeline, "
+                      "compute-only: HBM-resident batch, cached text "
+                      "features)",
+            "tower": args.tower,
+            "value": round(rate, 1),
+            "unit": "images/sec",
+            "vs_baseline": round(rate / BASELINE_IMG_PER_SEC, 2),
+            **mfu_fields(compiled, batch_n, rate / batch_n),
+        }
+        if args.e2e:
+            row["e2e"] = measure_e2e(
+                compiled, fn_args[0], fn_args[2], batch_n,
+                seconds=args.e2e_seconds,
+            )
+            row["e2e"]["frac_of_compute"] = round(
+                row["e2e"]["img_per_sec"] / rate, 3
+            )
+        print(json.dumps(row))
+        return
+
+    # default: full report in one line
+    compiled, fn_args = build_zero_shot(
+        "resnet", batch_n, compiler_options=compiler_options
+    )
+    rate = measure_compute(compiled, fn_args, batch_n)
+    row = {
         "metric": "zero-shot images/sec/chip (Indiana CXR pipeline, "
                   "compute-only: HBM-resident batch, cached text features)",
-        "tower": args.tower,
-        "value": round(img_per_sec, 1),
+        "tower": "resnet",
+        "value": round(rate, 1),
         "unit": "images/sec",
-        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 2),
-        **mfu_fields(compiled, batch_n, ITERS / dt),
-    }))
+        "vs_baseline": round(rate / BASELINE_IMG_PER_SEC, 2),
+        **mfu_fields(compiled, batch_n, rate / batch_n),
+    }
+    if not args.no_e2e:
+        # reference's 25 img/s is end-to-end; this is our end-to-end
+        row["e2e"] = measure_e2e(
+            compiled, fn_args[0], fn_args[2], batch_n,
+            seconds=args.e2e_seconds,
+        )
+        row["e2e"]["frac_of_compute"] = round(
+            row["e2e"]["img_per_sec"] / rate, 3
+        )
+        row["e2e"]["vs_baseline_e2e"] = round(
+            row["e2e"]["img_per_sec"] / BASELINE_IMG_PER_SEC, 2
+        )
+    if not args.no_vit:
+        vt_compiled, vt_args = build_zero_shot(
+            "vit", batch_n, fast_gelu=True, fused_mlp=True,
+            compiler_options=compiler_options,
+        )
+        vrate = measure_compute(vt_compiled, vt_args, batch_n)
+        row["vit_fused_fast"] = {
+            "value": round(vrate, 1),
+            "vs_baseline": round(vrate / 15.2, 2),  # vit nb cell 25 anchor
+            **mfu_fields(vt_compiled, batch_n, vrate / batch_n),
+        }
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -175,8 +175,13 @@ def _bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
 
 
 def _pad_inputs(q, k, v, bias):
+    """Pad the sequence dim to a SUBLANE multiple only (8): Mosaic block
+    shapes constrain the last two ref dims to (×8, ×128-or-whole-dim), and
+    in-VMEM values (the [NP, NP] logits) are lane-padded internally by the
+    compiler — so L=200 needs NO padding at all (the first cut padded to
+    128 lanes and paid 6 pad + 2 slice HBM copies per layer-direction)."""
     B, H, N, D = q.shape
-    NP = _round_up(N, 128)
+    NP = _round_up(N, 8)
     if NP != N:
         pad = [(0, 0), (0, 0), (0, NP - N), (0, 0)]
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
@@ -216,7 +221,7 @@ def _pallas_fwd(q, k, v, bias, seeds, *, rate: float, interpret: bool):
 
 def _pallas_bwd(q, k, v, bias, seeds, do, *, rate: float, interpret: bool):
     B, H, N, D = q.shape
-    do = jnp.pad(do, [(0, 0), (0, 0), (0, _round_up(N, 128) - N), (0, 0)])
+    do = jnp.pad(do, [(0, 0), (0, 0), (0, _round_up(N, 8) - N), (0, 0)])
     q, k, v, bias, NP = _pad_inputs(q, k, v, bias)
     scale = 1.0 / float(D) ** 0.5
     spec = pl.BlockSpec((1, 1, NP, D), lambda b, h: (b, h, 0, 0),

@@ -38,6 +38,9 @@ def main(argv=None) -> int:
                    help="traced executions (after one warmup)")
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--flash-attention", action="store_true",
+                   help="trace with the fused Pallas flash attention "
+                        "(ops/flash_attention.py) in both towers")
     p.add_argument("--out", default=None, help="also write the JSON report")
     p.add_argument("--parse-only", default=None, metavar="LOG_DIR",
                    help="skip capture; parse an existing trace dir")
@@ -82,6 +85,8 @@ def main(argv=None) -> int:
     else:
         size, seq = 224, args.seq_len
         cfg = ModelConfig(max_text_length=seq)
+    if args.flash_attention:
+        cfg = dataclasses.replace(cfg, flash_attention=True)
     if args.tower == "vit":
         # tiny traces a tiny ViT tower — never a ResNet labeled 'vit'
         cfg = (
