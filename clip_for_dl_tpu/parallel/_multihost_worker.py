@@ -69,6 +69,11 @@ def run(args) -> list:
         initialize,
         local_batch_to_global,
     )
+    from clip_for_dl_tpu.parallel.tp import (
+        create_dp_tp_mesh,
+        shard_state_tp,
+        tensor_parallel_step,
+    )
     from clip_for_dl_tpu.train import (
         TrainState,
         base_transform,
@@ -98,16 +103,31 @@ def run(args) -> list:
     tx = base_transform()
     state = TrainState.create(variables, tx)
 
-    mesh = global_mesh(n_global)
-    state = replicate_state(state, mesh)
-    step_fn = data_parallel_step(
-        make_clip_pretrain_step(
-            model, tx, make_label_fn([]), temperature=2.0, image_size=16,
-            compute_dtype=jnp.float32,
-        ),
-        mesh,
-        donate_state=False,
+    # regime: dp = 1-D data mesh; dp_tp = 2-D (data, model) mesh with the
+    # text tower Megatron-sharded (parallel/tp.py) across BOTH processes —
+    # the multi-process tp leg VERDICT r2 item 7 asked for.
+    if args.regime == "dp_tp":
+        mesh = create_dp_tp_mesh(2, n_global)
+    else:
+        mesh = global_mesh(n_global)
+    # loss form: clip = dense global; local = open-CLIP local-loss blocks;
+    # siglip_ring = the constant-memory ppermute ring — both shard_map over
+    # the data axis, here spanning the process boundary.
+    step_kwargs = dict(temperature=2.0, image_size=16,
+                       compute_dtype=jnp.float32)
+    if args.loss == "local":
+        step_kwargs.update(local_loss_mesh=mesh)
+    elif args.loss == "siglip_ring":
+        step_kwargs.update(loss_name="siglip", local_loss_mesh=mesh)
+    base_step = make_clip_pretrain_step(
+        model, tx, make_label_fn([]), **step_kwargs
     )
+    if args.regime == "dp_tp":
+        state = shard_state_tp(state, mesh)
+        step_fn = tensor_parallel_step(base_step, mesh, donate_state=False)
+    else:
+        state = replicate_state(state, mesh)
+        step_fn = data_parallel_step(base_step, mesh, donate_state=False)
 
     mgr = None
     if args.ckpt_dir:  # --ckpt-at 0 is valid (save before the first step)
@@ -119,9 +139,25 @@ def run(args) -> list:
         # fence the commit)
         mgr = CheckpointManager(args.ckpt_dir, max_to_keep=1)
 
+    if args.restore_from:
+        # elastic restore: a checkpoint saved under a DIFFERENT process
+        # count / mesh topology restores onto THIS run's mesh (orbax
+        # restore_args are built from the template's shardings —
+        # train/checkpoint.py cross-topology restore)
+        from clip_for_dl_tpu.train.checkpoint import CheckpointManager
+
+        rmgr = CheckpointManager(args.restore_from, max_to_keep=1)
+        state, _ = rmgr.restore(state)
+        rmgr.close()
+        assert state is not None, f"nothing to restore in {args.restore_from}"
+        restored_step = int(jax.device_get(state.step))
+        assert restored_step == args.start_step, (
+            f"restored step {restored_step} != --start-step {args.start_step}"
+        )
+
     per_proc = args.batch_size // pc
     losses = []
-    for s in range(args.steps):
+    for s in range(args.start_step, args.steps):
         if mgr is not None and s == args.ckpt_at:
             mgr.save(0, state, metrics={"val_loss": 1.0})
             mgr.wait()
@@ -176,6 +212,14 @@ def main(argv=None) -> int:
     # --ckpt-at, rebuild from a different init seed, restore, continue
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--ckpt-at", type=int, default=0)
+    # widened legs (VERDICT r2 item 7)
+    p.add_argument("--regime", choices=("dp", "dp_tp"), default="dp")
+    p.add_argument("--loss", choices=("clip", "local", "siglip_ring"),
+                   default="clip")
+    # elastic restore: start from a checkpoint saved under a possibly
+    # different process count, beginning at --start-step
+    p.add_argument("--restore-from", default=None)
+    p.add_argument("--start-step", type=int, default=0)
     run(p.parse_args(argv))
     return 0
 

@@ -106,6 +106,59 @@ def test_two_process_dp_matches_single_process(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("extra, name", [
+    (["--regime", "dp_tp"], "dp_tp"),
+    (["--loss", "local"], "local_loss"),
+    (["--loss", "siglip_ring"], "siglip_ring"),
+])
+def test_two_process_regimes_match_single_process(tmp_path, extra, name):
+    """The r2 proof ran dp only — these legs run the tensor-parallel mesh
+    and the local-loss / SigLIP-ring loss forms ACROSS the process
+    boundary (the shard_map data axis and the TP model axis both span the
+    2-process device set) and must match the 1-process 8-device run."""
+    steps, batch = 3, 8
+    (tmp_path / "sp").mkdir()
+    (tmp_path / "mp").mkdir()
+    [ref] = _launch(1, 8, steps, batch, tmp_path / "sp", extra_args=extra)
+    mp = _launch(2, 4, steps, batch, tmp_path / "mp", extra_args=extra)
+    np.testing.assert_array_equal(mp[0]["losses"], mp[1]["losses"])
+    np.testing.assert_allclose(
+        mp[0]["losses"], ref["losses"], rtol=5e-4, atol=0.0,
+    )
+    assert len(set(ref["losses"])) == steps
+
+
+@pytest.mark.slow
+def test_elastic_restore_across_process_counts(tmp_path):
+    """A real pod restores checkpoints across DIFFERENT process counts:
+    save under 2 processes at step 2, then resume that checkpoint under
+    1 process (8 devices) and 4 processes (2 devices each) — the
+    continued loss trajectories must match the uninterrupted 2-process
+    run (rtol covers the all-reduce-topology difference, see the dp
+    equivalence test)."""
+    steps, batch = 4, 8
+    for d in ("ref", "one", "four"):
+        (tmp_path / d).mkdir()
+    ckpt = tmp_path / "ckpt"
+    ref = _launch(
+        2, 4, steps, batch, tmp_path / "ref",
+        extra_args=["--ckpt-dir", str(ckpt), "--ckpt-at", "2"],
+    )
+    tail = ref[0]["losses"][2:]
+    [one] = _launch(
+        1, 8, steps, batch, tmp_path / "one",
+        extra_args=["--restore-from", str(ckpt), "--start-step", "2"],
+    )
+    np.testing.assert_allclose(one["losses"], tail, rtol=5e-4, atol=0.0)
+    four = _launch(
+        4, 2, steps, batch, tmp_path / "four",
+        extra_args=["--restore-from", str(ckpt), "--start-step", "2"],
+    )
+    np.testing.assert_array_equal(four[0]["losses"], four[3]["losses"])
+    np.testing.assert_allclose(four[0]["losses"], tail, rtol=5e-4, atol=0.0)
+
+
+@pytest.mark.slow
 def test_two_process_checkpoint_save_restore_resumes_exactly(tmp_path):
     """Multihost-safe orbax round trip: 2 processes save the distributed
     TrainState mid-run (every process participates; orbax coordinates

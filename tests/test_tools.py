@@ -142,3 +142,22 @@ def test_parity_harness_tiny(capsys):
     report = json.loads(capsys.readouterr().out)
     assert report["prob_max_abs_err"] < 1e-3
     assert report["decision_agreement"] == 1.0
+
+
+def test_parity_harness_from_png_tiny(capsys):
+    """PNG-bytes→AUROC oracle (VERDICT r2 item 6): both chains start from
+    the same files on disk (incl. a corrupt one); host chains must be
+    byte-identical and tower math fp32-tight."""
+    from tools.parity_harness import main
+
+    rc = main(["--from-png", "--random-weights", "--tiny",
+               "--n-images", "6"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["mode"] == "from_png_bytes"
+    assert report["host_chain_max_abs_delta_u8"] == 0
+    assert report["zero_fallbacks"] == 1
+    assert report["prob_max_abs_err"] < 2e-3
+    # rank-flip tolerance: near-tied random-weight probs step AUROC by
+    # ~1/(n_pos·n_neg) — see the gate comment in run_from_png
+    assert report["auroc_max_abs_delta"] < 1e-2
