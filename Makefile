@@ -1,10 +1,13 @@
-.PHONY: test test-fast bench native smoke parity latency pipeline scaling trainbench tracereport clean
+.PHONY: test test-fast check-fast-budget bench native smoke parity latency pipeline scaling trainbench tracereport clean
 
 test:
 	python -m pytest tests/ -q
 
 test-fast:  ## commit gate (<5 min on 1 core): every module, slow parity/subprocess tests excluded
 	python -m pytest tests/ -q -m "not slow"
+
+check-fast-budget:  ## fail when the slow manifest is stale (too many unmanifested tests)
+	python tools/check_fast_budget.py
 
 bench:
 	python bench.py

@@ -44,7 +44,7 @@ ITERS = 30
 
 def build_zero_shot(tower: str, batch_n: int, *, fast_gelu=False,
                     fused_attention=False, fused_mlp=False,
-                    compiler_options=None):
+                    flash_attention=False, compiler_options=None):
     """Compile the zero-shot program; returns (compiled, args, mfu_fn)."""
     from clip_for_dl_tpu.core.config import CLIP_MEAN, CLIP_STD, ModelConfig
     from clip_for_dl_tpu.models import CXRClip
@@ -56,6 +56,7 @@ def build_zero_shot(tower: str, batch_n: int, *, fast_gelu=False,
         vit_gelu_approximate=fast_gelu,
         vit_fused_attention=fused_attention,
         vit_fused_mlp=fused_mlp,
+        flash_attention=flash_attention,
     )
     if tower == "vit":
         cfg = cfg.with_vit()
@@ -233,6 +234,10 @@ def main(argv=None) -> None:
     p.add_argument("--fused-mlp", action="store_true",
                    help="Pallas fused MLP block in the ViT layers "
                         "(exact-GELU, 3.5x the XLA composition)")
+    p.add_argument("--flash-attention", action="store_true",
+                   help="fused Pallas flash attention in the towers "
+                        "(the TRAINING kernel; measurable here for the "
+                        "inference tradeoff)")
     p.add_argument("--e2e", action="store_true",
                    help="with --tower: also run the sustained "
                         "cache→H2D→device loop for that tower")
@@ -270,6 +275,7 @@ def main(argv=None) -> None:
         compiled, fn_args = build_zero_shot(
             args.tower, batch_n, fast_gelu=args.fast_gelu,
             fused_attention=args.fused_attention, fused_mlp=args.fused_mlp,
+            flash_attention=args.flash_attention,
             compiler_options=compiler_options,
         )
         rate = measure_compute(compiled, fn_args, batch_n)

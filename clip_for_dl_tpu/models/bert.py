@@ -89,7 +89,6 @@ class BertSelfAttention(nn.Module):
         def split(t):
             return t.reshape(*t.shape[:-1], h, hd).transpose(0, 2, 1, 3)
 
-        qh, kh, vh = split(q), split(k), split(v)
         if self.flash and not sow_weights:
             from ..ops.flash_attention import (
                 dropout_seeds_from_rng,
@@ -102,14 +101,17 @@ class BertSelfAttention(nn.Module):
                 seeds = dropout_seeds_from_rng(
                     self.make_rng("dropout"), x.shape[0]
                 )
+            # layout-native [B, N, H, D]: a reshape (bitcast) of the Dense
+            # outputs — no head-major transpose copies around the kernel
             out = flash_attention(
-                qh, kh, vh,
+                q.reshape(*q.shape[:-1], h, hd),
+                k.reshape(*k.shape[:-1], h, hd),
+                v.reshape(*v.shape[:-1], h, hd),
                 None if bias is None else bias[:, 0, 0, :],
-                dropout_rate=rate, dropout_seeds=seeds,
+                dropout_rate=rate, dropout_seeds=seeds, layout="bnhd",
             )
-            return out.transpose(0, 2, 1, 3).reshape(
-                *x.shape[:-1], self.hidden
-            )
+            return out.reshape(*x.shape[:-1], self.hidden)
+        qh, kh, vh = split(q), split(k), split(v)
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
         ) / jnp.sqrt(jnp.float32(hd))

@@ -136,10 +136,14 @@ class ViTEncoderLayer(nn.Module):
                 seeds = dropout_seeds_from_rng(
                     self.make_rng("dropout"), x.shape[0]
                 )
+            # layout-native [B, N, H, D] (reshape, not transpose) — see
+            # models/bert.py flash note
             attn = flash_attention(
-                split(q), split(k), split(v),
-                dropout_rate=rate, dropout_seeds=seeds,
-            )
+                q.reshape(*q.shape[:-1], h, hd),
+                k.reshape(*k.shape[:-1], h, hd),
+                v.reshape(*v.shape[:-1], h, hd),
+                dropout_rate=rate, dropout_seeds=seeds, layout="bnhd",
+            ).reshape(*x.shape)
         elif use_fused:
             from ..ops.attention import multihead_attention
 
@@ -160,7 +164,8 @@ class ViTEncoderLayer(nn.Module):
                 preferred_element_type=jnp.float32,
             ).astype(self.dtype)
         attn = attn.astype(self.dtype)
-        attn = attn.transpose(0, 2, 1, 3).reshape(*x.shape)
+        if not use_flash:  # flash returns [B, N, hidden] already
+            attn = attn.transpose(0, 2, 1, 3).reshape(*x.shape)
         attn = nn.Dense(self.hidden, name="out_proj", **kw)(attn)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         x = x + attn

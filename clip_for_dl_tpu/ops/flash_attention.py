@@ -11,10 +11,16 @@ emits around the softmax backward (~12% of the step).
 This op never materializes logits or probabilities in HBM in either
 direction:
 
-- forward: one Pallas program per (batch row, head) computes
+- forward: one Pallas program per batch row computes, for every head,
   ``softmax(q·kᵀ/√d + bias)·v`` with logits/probabilities living only in
   VMEM (the single-block degenerate case of flash attention — N ≤ 512
-  for this workload, so no KV blocking is needed);
+  for this workload, so no KV blocking is needed). q/k/v ride in the
+  towers' NATIVE ``[B, N, H·D]`` layout (heads are lane slices inside
+  the kernel), so the op is a pure bitcast away from the Dense outputs —
+  the head-major ``[B, H, N, D]`` form cost a physical HBM transpose per
+  tensor per direction (trace-measured ~50 ms/step at B=128×12 layers,
+  505 → 628.5 img/s when removed; Mosaic rejects 4D per-head block
+  windows, which is why heads fold into lanes instead);
 - backward: a second Pallas kernel RECOMPUTES s and p from q/k (the
   flash "recompute-from-qk" economy) and produces dq/dk/dv in one
   program — the only residuals saved are the kernel *inputs*.
@@ -114,64 +120,79 @@ def _softmax_rows(s):
 
 
 def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, out_ref,
-                *, scale: float, rate: float):
-    q = q_ref[0, 0]  # [NP, D] compute dtype
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale + bias_ref[0]  # [NP, NP] fp32, VMEM only
-    p = _softmax_rows(s)
-    if rate > 0.0:
-        u = _uniform01(
-            seed_ref[pl.program_id(0), 0], pl.program_id(1), p.shape
-        )
-        p = jnp.where(u >= rate, p * (1.0 / (1.0 - rate)), 0.0)
-    out_ref[0, 0] = jax.lax.dot_general(
-        p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(out_ref.dtype)
+                *, heads: int, dim: int, scale: float, rate: float):
+    # refs: [1, NP, H·D] — the LAYOUT-NATIVE form (identical bytes to the
+    # towers' [B, N, H·D] Dense outputs; heads are lane slices). The first
+    # cut took head-major [B, H, N, D] blocks and the trace showed XLA
+    # paying 1.84 ms/layer of physical transpose copies around the opaque
+    # call (22 ms/step at B=128×12 layers); Mosaic rejects 4D
+    # (1, NP, 1, D) head windows and in-kernel 4D reshapes, but lane
+    # slicing of a folded 2D value compiles cleanly (probed).
+    bias = bias_ref[0]  # [1, NP]
+    seed = seed_ref[pl.program_id(0), 0]
+    qf, kf, vf = q_ref[0], k_ref[0], v_ref[0]  # [NP, H·D]
+    for h in range(heads):
+        sl = slice(h * dim, (h + 1) * dim)
+        q, k, v = qf[:, sl], kf[:, sl], vf[:, sl]  # [NP, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias  # [NP, NP] fp32, VMEM only
+        p = _softmax_rows(s)
+        if rate > 0.0:
+            u = _uniform01(seed, h, p.shape)
+            p = jnp.where(u >= rate, p * (1.0 / (1.0 - rate)), 0.0)
+        out_ref[0, :, sl] = jax.lax.dot_general(
+            p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, scale: float, rate: float):
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
-    # recompute-from-qk: the forward saved no [NP, NP] tensor
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale + bias_ref[0]
-    p = _softmax_rows(s)
-    if rate > 0.0:
-        u = _uniform01(
-            seed_ref[pl.program_id(0), 0], pl.program_id(1), p.shape
+                dq_ref, dk_ref, dv_ref,
+                *, heads: int, dim: int, scale: float, rate: float):
+    bias = bias_ref[0]
+    seed = seed_ref[pl.program_id(0), 0]
+    qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    for h in range(heads):
+        sl = slice(h * dim, (h + 1) * dim)
+        q, k, v, do = qf[:, sl], kf[:, sl], vf[:, sl], dof[:, sl]
+        # recompute-from-qk: the forward saved no [NP, NP] tensor
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias
+        p = _softmax_rows(s)
+        if rate > 0.0:
+            u = _uniform01(seed, h, p.shape)
+            keep = u >= rate
+            inv = 1.0 / (1.0 - rate)
+            pd = jnp.where(keep, p * inv, 0.0)
+        else:
+            pd = p
+        pdc = pd.astype(q.dtype)
+        # dv = pdᵀ · do (contract query rows)
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            pdc, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        # d(dropped probs) = do · vᵀ
+        dpd = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        keep = u >= rate
-        inv = 1.0 / (1.0 - rate)
-        pd = jnp.where(keep, p * inv, 0.0)
-    else:
-        pd = p
-    pdc = pd.astype(q.dtype)
-    # dv = pdᵀ · do (contract query rows)
-    dv_ref[0, 0] = jax.lax.dot_general(
-        pdc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dv_ref.dtype)
-    # d(dropped probs) = do · vᵀ
-    dpd = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dp = jnp.where(keep, dpd * inv, 0.0) if rate > 0.0 else dpd
-    # softmax backward: ds = p ⊙ (dp − rowsum(p ⊙ dp))
-    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-    ds = (p * (dp - delta)).astype(q.dtype)
-    dq_ref[0, 0] = (jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale).astype(dq_ref.dtype)
-    dk_ref[0, 0] = (jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale).astype(dk_ref.dtype)
+        dp = jnp.where(keep, dpd * inv, 0.0) if rate > 0.0 else dpd
+        # softmax backward: ds = p ⊙ (dp − rowsum(p ⊙ dp))
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = (p * (dp - delta)).astype(q.dtype)
+        dq_ref[0, :, sl] = (jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = (jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dk_ref.dtype)
 
 
 def _pad_inputs(q, k, v, bias):
@@ -179,36 +200,40 @@ def _pad_inputs(q, k, v, bias):
     shapes constrain the last two ref dims to (×8, ×128-or-whole-dim), and
     in-VMEM values (the [NP, NP] logits) are lane-padded internally by the
     compiler — so L=200 needs NO padding at all (the first cut padded to
-    128 lanes and paid 6 pad + 2 slice HBM copies per layer-direction)."""
-    B, H, N, D = q.shape
+    128 lanes and paid 6 pad + 2 slice HBM copies per layer-direction).
+    Layout is [B, N, H, D]; only dim 1 pads."""
+    B, N, H, D = q.shape
     NP = _round_up(N, 8)
     if NP != N:
-        pad = [(0, 0), (0, 0), (0, NP - N), (0, 0)]
+        pad = [(0, 0), (0, NP - N), (0, 0), (0, 0)]
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
         bias = jnp.pad(bias, ((0, 0), (0, NP - N)), constant_values=_NEG_BIG)
     return q, k, v, bias, NP
 
 
 def _pallas_fwd(q, k, v, bias, seeds, *, rate: float, interpret: bool):
-    B, H, N, D = q.shape
+    B, N, H, D = q.shape
     q, k, v, bias, NP = _pad_inputs(q, k, v, bias)
     scale = 1.0 / float(D) ** 0.5
-    qkv_spec = pl.BlockSpec((1, 1, NP, D), lambda b, h: (b, h, 0, 0),
+    # fold heads into lanes: [B, NP, H·D] — identical bytes, no copy
+    q, k, v = (t.reshape(B, NP, H * D) for t in (q, k, v))
+    qkv_spec = pl.BlockSpec((1, NP, H * D), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, rate=rate),
-        grid=(B, H),
+        functools.partial(_fwd_kernel, heads=H, dim=D, scale=scale,
+                          rate=rate),
+        grid=(B,),
         in_specs=[
             # whole-array SMEM (Mosaic blocks constrain only the last two
             # dims; a (1, 1) block of [B, 1] is rejected) — indexed by
             # program_id in-kernel
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, NP), lambda b, h: (b, 0, 0),
+            pl.BlockSpec((1, 1, NP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             qkv_spec, qkv_spec, qkv_spec,
         ],
         out_specs=qkv_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, NP, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, NP, H * D), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * NP * NP * D,
             bytes_accessed=4 * B * H * NP * D * q.dtype.itemsize,
@@ -216,23 +241,26 @@ def _pallas_fwd(q, k, v, bias, seeds, *, rate: float, interpret: bool):
         ),
         interpret=interpret,
     )(seeds, bias[:, None, :], q, k, v)
-    return out[:, :, :N, :]
+    out = out.reshape(B, NP, H, D)
+    return out[:, :N] if NP != N else out
 
 
 def _pallas_bwd(q, k, v, bias, seeds, do, *, rate: float, interpret: bool):
-    B, H, N, D = q.shape
-    do = jnp.pad(do, [(0, 0), (0, 0), (0, _round_up(N, 8) - N), (0, 0)])
+    B, N, H, D = q.shape
+    do = jnp.pad(do, [(0, 0), (0, _round_up(N, 8) - N), (0, 0), (0, 0)])
     q, k, v, bias, NP = _pad_inputs(q, k, v, bias)
     scale = 1.0 / float(D) ** 0.5
-    spec = pl.BlockSpec((1, 1, NP, D), lambda b, h: (b, h, 0, 0),
+    q, k, v, do = (t.reshape(B, NP, H * D) for t in (q, k, v, do))
+    spec = pl.BlockSpec((1, NP, H * D), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
-    shape = jax.ShapeDtypeStruct((B, H, NP, D), q.dtype)
+    shape = jax.ShapeDtypeStruct((B, NP, H * D), q.dtype)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, rate=rate),
-        grid=(B, H),
+        functools.partial(_bwd_kernel, heads=H, dim=D, scale=scale,
+                          rate=rate),
+        grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # see fwd spec note
-            pl.BlockSpec((1, 1, NP), lambda b, h: (b, 0, 0),
+            pl.BlockSpec((1, 1, NP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             spec, spec, spec, spec,
         ],
@@ -245,16 +273,19 @@ def _pallas_bwd(q, k, v, bias, seeds, do, *, rate: float, interpret: bool):
         ),
         interpret=interpret,
     )(seeds, bias[:, None, :], q, k, v, do)
-    trim = lambda t: t[:, :, :N, :]
-    return trim(dq), trim(dk), trim(dv)
+    dq, dk, dv = (t.reshape(B, NP, H, D) for t in (dq, dk, dv))
+    if NP != N:
+        dq, dk, dv = dq[:, :N], dk[:, :N], dv[:, :N]
+    return dq, dk, dv
 
 
 def _bh_sharding(mesh, arg_shapes):
-    """Keep batch (and head) sharding of q; seq/feature stay whole."""
+    """Keep batch (and head) sharding of q; seq/feature stay whole.
+    Layout [B, N, H, D]: head dim is index 2."""
     s = arg_shapes[0].sharding.spec
     return NamedSharding(
         mesh,
-        P(s[0] if len(s) else None, s[1] if len(s) > 1 else None, None, None),
+        P(s[0] if len(s) else None, None, s[2] if len(s) > 2 else None, None),
     )
 
 
@@ -288,7 +319,7 @@ def _fwd_op(rate: float, interpret: bool):
         infer_sharding_from_operands=infer_sharding,
         # distinct n (query) / m (key) factors: sequence sharding must not
         # propagate through — every program needs all key columns
-        sharding_rule="b h n d, b h m d, b h m d, b m, b u -> b h n d",
+        sharding_rule="b n h d, b m h d, b m h d, b m, b u -> b n h d",
     )
     return op
 
@@ -314,8 +345,8 @@ def _bwd_op(rate: float, interpret: bool):
         partition=partition,
         infer_sharding_from_operands=infer_sharding,
         sharding_rule=(
-            "b h n d, b h m d, b h m d, b m, b u, b h n d "
-            "-> b h n d, b h m d, b h m d"
+            "b n h d, b m h d, b m h d, b m, b u, b n h d "
+            "-> b n h d, b m h d, b m h d"
         ),
     )
     return op
@@ -354,9 +385,18 @@ def flash_attention(
     *,
     dropout_rate: float = 0.0,
     dropout_seeds: jax.Array | None = None,
+    layout: str = "bhnd",
     interpret: bool | None = None,
 ) -> jax.Array:
-    """[B, H, N, D] q/k/v → attention output, fused fwd AND bwd.
+    """Fused fwd AND bwd attention over all heads of each batch row.
+
+    layout: "bnhd" is the NATIVE form — q/k/v as [B, N, H, D], i.e. a
+    free bitcast of the towers' [B, N, H·D] Dense outputs, heads sliced
+    inside VMEM (the head-major form costs a physical [B,N,H,D]→
+    [B,H,N,D] HBM transpose per tensor per direction — trace-measured
+    1.84 ms/layer at B=128; the towers call this with "bnhd").
+    "bhnd" accepts head-major [B, H, N, D] and transposes at the
+    boundary (kept for oracle/test convenience).
 
     key_bias: optional [B, N] fp32 additive logit bias (broadcast over
     heads and query rows — the key-padding-mask form). dropout_rate > 0
@@ -368,7 +408,11 @@ def flash_attention(
         # Mosaic compiles only for TPU; elsewhere run the interpreter so
         # the op keeps identical semantics on any backend (CPU test mesh).
         interpret = jax.default_backend() != "tpu"
-    B, H, N, D = q.shape
+    if layout == "bhnd":
+        q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+    elif layout != "bnhd":
+        raise ValueError(f"layout must be 'bnhd' or 'bhnd', got {layout!r}")
+    B, N, H, D = q.shape
     if key_bias is None:
         bias = jnp.zeros((B, N), jnp.float32)
     else:
@@ -386,7 +430,10 @@ def flash_attention(
         seeds = dropout_seeds.reshape(B, 1).astype(jnp.int32)
     else:
         seeds = jnp.zeros((B, 1), jnp.int32)
-    return _flash(rate, bool(interpret), q, k, v, bias, seeds)
+    out = _flash(rate, bool(interpret), q, k, v, bias, seeds)
+    if layout == "bhnd":
+        out = out.transpose(0, 2, 1, 3)
+    return out
 
 
 def dropout_seeds_from_rng(rng: jax.Array, batch: int) -> jax.Array:

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 
 def test_export_inference_writes_weights_and_manifest(tmp_path):
@@ -161,3 +162,37 @@ def test_parity_harness_from_png_tiny(capsys):
     # rank-flip tolerance: near-tied random-weight probs step AUROC by
     # ~1/(n_pos·n_neg) — see the gate comment in run_from_png
     assert report["auroc_max_abs_delta"] < 1e-2
+
+
+def test_gen_slow_manifest_selection_and_budget_guard(tmp_path, monkeypatch):
+    """gen_slow_manifest picks slowest-first within budget (every module
+    keeps a fast test) and stamps the counts check_fast_budget reads."""
+    import importlib
+
+    gen = importlib.import_module("gen_slow_manifest")
+    chk = importlib.import_module("check_fast_budget")
+
+    log = (
+        "10.00s call tests/test_a.py::test_slow1\n"
+        "8.00s call tests/test_a.py::test_slow2\n"
+        "0.50s call tests/test_a.py::test_fast\n"
+        "6.00s call tests/test_b.py::test_only\n"  # sole test in module
+        "1.00s setup tests/test_b.py::test_only\n"
+    )
+    per_test = gen.parse_durations(log)
+    assert per_test["tests/test_b.py::test_only"] == 7.0
+    slow, projected = gen.select_slow(per_test, budget_s=5.0)
+    slow_ids = {tid for tid, _ in slow}
+    # the two slowest test_a entries go slow; test_b's only test must stay
+    assert slow_ids == {
+        "tests/test_a.py::test_slow1", "tests/test_a.py::test_slow2"
+    }
+    assert projected == pytest.approx(7.5)
+
+    manifest = tmp_path / "slow_tests.txt"
+    manifest.write_text(
+        "# header\n# timed-tests: 4\n# projected-fast-seconds: 8\n"
+        "tests/test_a.py::test_slow1\n"
+    )
+    monkeypatch.setattr(chk, "MANIFEST", str(manifest))
+    assert chk.manifest_counts() == (4, 8)
