@@ -43,7 +43,7 @@ ITERS = 30
 
 
 def build_zero_shot(tower: str, batch_n: int, *, fast_gelu=False,
-                    fused_attention=False, fused_mlp=False,
+                    fused_mlp=False,
                     flash_attention=False, compiler_options=None):
     """Compile the zero-shot program; returns (compiled, args, mfu_fn)."""
     from clip_for_dl_tpu.core.config import CLIP_MEAN, CLIP_STD, ModelConfig
@@ -54,7 +54,6 @@ def build_zero_shot(tower: str, batch_n: int, *, fast_gelu=False,
     cfg = ModelConfig(
         max_text_length=64,
         vit_gelu_approximate=fast_gelu,
-        vit_fused_attention=fused_attention,
         vit_fused_mlp=fused_mlp,
         flash_attention=flash_attention,
     )
@@ -229,8 +228,6 @@ def main(argv=None) -> None:
                         "vit-fused-fast rows in one line")
     p.add_argument("--fast-gelu", action="store_true",
                    help="tanh-GELU in the ViT tower (serving knob)")
-    p.add_argument("--fused-attention", action="store_true",
-                   help="Pallas fused-MHA in the ViT layers")
     p.add_argument("--fused-mlp", action="store_true",
                    help="Pallas fused MLP block in the ViT layers "
                         "(exact-GELU, 3.5x the XLA composition)")
@@ -274,7 +271,7 @@ def main(argv=None) -> None:
         # single-tower mode (previous CLI contract)
         compiled, fn_args = build_zero_shot(
             args.tower, batch_n, fast_gelu=args.fast_gelu,
-            fused_attention=args.fused_attention, fused_mlp=args.fused_mlp,
+            fused_mlp=args.fused_mlp,
             flash_attention=args.flash_attention,
             compiler_options=compiler_options,
         )

@@ -74,8 +74,6 @@ def _apply_tiny(cfg, args, vocab_size: int):
     model = dataclasses.replace(cfg.model, vocab_size=vocab_size)
     if getattr(args, "fast_gelu", False):
         model = dataclasses.replace(model, vit_gelu_approximate=True)
-    if getattr(args, "fused_attention", False):
-        model = dataclasses.replace(model, vit_fused_attention=True)
     if getattr(args, "fused_mlp", False):
         if (
             (getattr(args, "tp", 1) or 1) > 1
@@ -1706,11 +1704,6 @@ def build_parser() -> argparse.ArgumentParser:
                         help="tanh-approximate GELU in the ViT tower "
                              "(1.19x on v5e, ~1e-3 departure from the "
                              "torchvision-exact erf — not for parity runs)")
-        sp.add_argument("--fused-attention", action="store_true",
-                        help="Pallas fused-MHA kernel in the ViT layers "
-                             "(bf16-exact; measured SLOWER in-model on "
-                             "v5e r1 — flag kept so the tradeoff stays "
-                             "re-measurable per XLA revision)")
         sp.add_argument("--fused-mlp", action="store_true",
                         help="Pallas fused MLP block in the ViT layers "
                              "(exact-GELU to bf16 rounding; measured "

@@ -76,11 +76,6 @@ class ModelConfig:
     # tanh-GELU serving knob: 1.19× ViT inference on v5e, ~1e-3 relative
     # departure from torchvision's exact erf — keep False for parity runs.
     vit_gelu_approximate: bool = False
-    # Pallas fused-MHA in the ViT layers (ops/attention.py). Measured r1:
-    # SLOWER in-model on v5e (relayout + fusion barrier, 139.8 vs
-    # 111.6 ms @ B=256) despite winning standalone — kept as a flag so the
-    # result is re-measurable per hardware/XLA revision (VERDICT r1 #2).
-    vit_fused_attention: bool = False
     # Pallas fused MLP block in the ViT layers (ops/mlp_block.py):
     # LN2→mlp_1→GELU→mlp_2→residual as one VMEM-resident kernel. Measured
     # r2 standalone: 4.66 ms vs XLA's 16.38 ms per layer-equivalent at

@@ -81,7 +81,6 @@ class CXRClip(nn.Module):
                 heads=cfg.vit_heads, mlp_dim=cfg.vit_mlp_dim,
                 remat=cfg.remat, remat_policy=cfg.remat_policy,
                 gelu_approximate=cfg.vit_gelu_approximate,
-                fused_attention=getattr(cfg, "vit_fused_attention", False),
                 fused_mlp=getattr(cfg, "vit_fused_mlp", False),
                 bf16_probs=getattr(cfg, "bf16_attention_probs", False),
                 flash=getattr(cfg, "flash_attention", False),

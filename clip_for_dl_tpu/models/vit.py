@@ -71,13 +71,6 @@ class ViTEncoderLayer(nn.Module):
     mlp_dim: int
     dropout: float = 0.0
     gelu_approximate: bool = False  # see ViT.gelu_approximate
-    # Route q/k/v through the Pallas fused-MHA kernel (ops/attention.py).
-    # Measured r1 (B=256, v5e): standalone the kernel wins (6.97 vs
-    # 7.76 ms) but IN this model the [B,N,H,D]->[B,H,N,D] relayout +
-    # fusion barrier made the full forward SLOWER (139.8 vs 111.6 ms) —
-    # the flag exists so that result stays reproducible on every
-    # hardware/XLA revision rather than folklore. Off by default.
-    fused_attention: bool = False
     # Route LN2→mlp_1→GELU→mlp_2→residual through the Pallas fused MLP
     # block (ops/mlp_block.py) — the measured ViT inference win: the
     # trace-identified 29%-efficiency GEMM+LayerNorm epilogue fusions
@@ -94,9 +87,13 @@ class ViTEncoderLayer(nn.Module):
     bf16_probs: bool = False
     # Fused flash attention (ops/flash_attention.py): Pallas forward AND
     # backward with in-kernel dropout — the TRAINING-path kernel (no
-    # [B, H, N, N] residual saved; recompute-from-qk backward). Distinct
-    # from `fused_attention` (forward kernel, XLA backward, inference
-    # economics — see that flag's note). Falls back when the
+    # [B, H, N, N] residual saved; recompute-from-qk backward). At
+    # inference it is NEUTRAL (2,305 vs 2,324 img/s zero-shot B=256 —
+    # the D=64-narrow attention matmuls cap the kernel where XLA's big
+    # batched GEMMs don't suffer), so serving keeps the XLA path; the
+    # r1 forward-only fused-MHA kernel this superseded measured an
+    # outright in-model LOSS (1,862 img/s) and was deleted (NOTES.md
+    # "fused attention kernel history"). Falls back when the
     # probabilities must be materialized (sow_weights).
     flash: bool = False
     dtype: Dtype = jnp.float32
@@ -118,12 +115,6 @@ class ViTEncoderLayer(nn.Module):
             return t.reshape(*t.shape[:-1], h, hd).transpose(0, 2, 1, 3)
 
         use_flash = self.flash and not sow_weights
-        use_fused = (
-            not use_flash
-            and self.fused_attention
-            and not sow_weights  # kernel never materializes the probs
-            and (self.dropout == 0.0 or deterministic)
-        )
         if use_flash:
             from ..ops.flash_attention import (
                 dropout_seeds_from_rng,
@@ -144,10 +135,6 @@ class ViTEncoderLayer(nn.Module):
                 v.reshape(*v.shape[:-1], h, hd),
                 dropout_rate=rate, dropout_seeds=seeds, layout="bnhd",
             ).reshape(*x.shape)
-        elif use_fused:
-            from ..ops.attention import multihead_attention
-
-            attn = multihead_attention(split(q), split(k), split(v))
         else:
             logits = jnp.einsum(
                 "bhqd,bhkd->bhqk", split(q), split(k),
@@ -229,7 +216,6 @@ class ViT(nn.Module):
     # (111.6 → 93.8 ms at B=256, measured) but departs from torchvision's
     # exact-erf GELU by ~1e-3 relative — parity runs must keep it False.
     gelu_approximate: bool = False
-    fused_attention: bool = False  # see ViTEncoderLayer.fused_attention
     fused_mlp: bool = False  # see ViTEncoderLayer.fused_mlp
     bf16_probs: bool = False  # see ViTEncoderLayer.bf16_probs
     flash: bool = False  # see ViTEncoderLayer.flash
@@ -276,7 +262,7 @@ class ViT(nn.Module):
         for i in range(self.layers):
             x = layer_cls(
                 self.hidden, self.heads, self.mlp_dim, self.dropout,
-                self.gelu_approximate, self.fused_attention,
+                self.gelu_approximate,
                 fused_mlp=self.fused_mlp,
                 bf16_probs=self.bf16_probs, flash=self.flash,
                 dtype=self.dtype, param_dtype=self.param_dtype,

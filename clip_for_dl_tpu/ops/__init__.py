@@ -1,4 +1,3 @@
-from .attention import fused_mha, mha_reference, multihead_attention
 from .image_prep import (
     fused_resize_normalize,
     preprocess_images,
@@ -12,9 +11,6 @@ from .similarity import (
 )
 
 __all__ = [
-    "fused_mha",
-    "mha_reference",
-    "multihead_attention",
     "fused_resize_normalize",
     "preprocess_images",
     "resize_bilinear",

@@ -28,7 +28,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 @functools.lru_cache(maxsize=64)
@@ -97,9 +99,21 @@ def resize_bilinear(
     return x
 
 
+def _fused_prep_viable(in_h: int, in_w: int, c: int, out_w: int) -> bool:
+    """True when one image + both weight matrices fit VMEM comfortably
+    (the Pallas kernel holds the fp32 image, the H-weights and the
+    Ww⊗I_C kron in VMEM at once; ~16 MB/core on v5e)."""
+    img_f32 = in_h * in_w * c * 4
+    kron = out_w * c * in_w * c * 4
+    wh = 224 * in_h * 4
+    return img_f32 + kron + wh <= 9 * 1024 * 1024
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("out_h", "out_w", "mean", "std", "out_dtype", "precision"),
+    static_argnames=(
+        "out_h", "out_w", "mean", "std", "out_dtype", "precision", "fused"
+    ),
 )
 def preprocess_images(
     images: jax.Array,
@@ -109,12 +123,35 @@ def preprocess_images(
     std: Tuple[float, ...] = (1.0, 1.0, 1.0),
     out_dtype: jnp.dtype = jnp.bfloat16,
     precision: str = "highest",
+    fused: str = "auto",
 ) -> jax.Array:
     """uint8/float NHWC batch → resized, normalized `out_dtype` batch.
 
-    One XLA program: resize matmuls with the (x/255 - mean)/std epilogue
-    fused into the last contraction's output.
+    fused="auto" (default): on a TPU backend, real-resize batches whose
+    per-image working set fits VMEM dispatch to the Pallas single-pass
+    kernel (`fused_resize_normalize`) — measured +18% over the XLA
+    composition at the 512→224 serving shape with byte-identical output
+    (`tools/image_prep_bench.py`, benchmarks/image_prep_bench.md); the
+    kernel is GSPMD-partitioned along the batch so dp-sharded training
+    batches stay sharded through it. Identity-resize (224 cache) batches
+    keep the XLA path — pure elementwise normalize, measured FASTER than
+    the kernel's identity matmuls. fused="never"/"always" force a path
+    ("always" still requires a real resize).
     """
+    _, in_h, in_w, c = images.shape
+    needs_resize = (in_h, in_w) != (out_h, out_w)
+    use_fused = needs_resize and (
+        fused == "always"
+        or (
+            fused == "auto"
+            and jax.default_backend() == "tpu"
+            and _fused_prep_viable(in_h, in_w, c, out_w)
+        )
+    )
+    if use_fused:
+        return fused_resize_normalize(
+            images, out_h, out_w, tuple(mean), tuple(std), out_dtype
+        )
     input_scale = 1.0 / 255.0 if images.dtype == jnp.uint8 else 1.0
     scale, bias = _norm_scale_bias(mean, std, input_scale)
     x = resize_bilinear(images, out_h, out_w, precision)
@@ -147,6 +184,74 @@ def _kron_weights(in_w: int, out_w: int, channels: int) -> np.ndarray:
     return np.kron(_resize_weights(in_w, out_w), np.eye(channels, dtype=np.float32))
 
 
+def _pallas_prep(folded, wh, ww, scale, bias, *, out_h, out_dtype, interpret):
+    b, in_h, in_wc = folded.shape
+    out_wc = ww.shape[0]
+    return pl.pallas_call(
+        _fused_prep_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, out_h, out_wc), out_dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, in_h, in_wc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((out_h, in_h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (out_wc, in_wc), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, out_wc), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_wc), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, out_h, out_wc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (out_h * in_h * in_wc + out_h * out_wc * in_wc),
+            bytes_accessed=b * (in_h * in_wc + out_h * out_wc * 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(folded, wh, ww, scale, bias)
+
+
+def _batch_sharding(mesh, arg_shapes):
+    """Images are independent: keep the batch sharding of the folded
+    input; spatial/weight dims stay whole (the resize mixes rows)."""
+    s = arg_shapes[0].sharding.spec
+    return NamedSharding(mesh, P(s[0] if len(s) else None, None, None))
+
+
+@functools.lru_cache(maxsize=None)
+def _prep_op(out_h: int, out_dtype_name: str, interpret: bool):
+    """GSPMD-partitionable fused prep — an opaque pallas_call would be
+    replicated by the partitioner (all-gathering dp-sharded batches;
+    the bug class ops/flash_attention.py documents)."""
+    out_dtype = jnp.dtype(out_dtype_name)
+
+    def impl(folded, wh, ww, scale, bias):
+        return _pallas_prep(folded, wh, ww, scale, bias, out_h=out_h,
+                            out_dtype=out_dtype, interpret=interpret)
+
+    op = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        bsh = _batch_sharding(mesh, arg_shapes)
+        rep2 = NamedSharding(mesh, P(None, None))
+        return mesh, impl, bsh, (bsh, rep2, rep2, rep2, rep2)
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        return _batch_sharding(mesh, arg_shapes)
+
+    op.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        # only the batch factor is shared between operands and result —
+        # spatial sharding must not propagate through the resize
+        sharding_rule="b c d, e f, g h, i j, k l -> b m n",
+    )
+    return op
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("out_h", "out_w", "mean", "std", "out_dtype", "interpret"),
@@ -158,10 +263,15 @@ def fused_resize_normalize(
     mean: Tuple[float, ...] = (0.0, 0.0, 0.0),
     std: Tuple[float, ...] = (1.0, 1.0, 1.0),
     out_dtype: jnp.dtype = jnp.bfloat16,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """Single-pass Pallas kernel: resize + normalize + cast, one image per
-    grid step, everything resident in VMEM."""
+    grid step, everything resident in VMEM. Measured +18% over the XLA
+    composition at the 512→224 serving shape, byte-identical output
+    (benchmarks/image_prep_bench.md); `preprocess_images(fused="auto")`
+    dispatches here automatically. Batch-partitionable under GSPMD."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, in_h, in_w, c = images.shape
     folded = images.reshape(b, in_h, in_w * c)
     input_scale = 1.0 / 255.0 if images.dtype == jnp.uint8 else 1.0
@@ -170,30 +280,7 @@ def fused_resize_normalize(
     bias = jnp.asarray(np.tile(bias_c, out_w))[None, :]
     wh = jnp.asarray(_resize_weights(in_h, out_h))
     ww = jnp.asarray(_kron_weights(in_w, out_w, c))
-
-    out = pl.pallas_call(
-        _fused_prep_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, out_h, out_w * c), out_dtype),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, in_h, in_w * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((out_h, in_h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (out_w * c, in_w * c), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, out_w * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, out_w * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, out_h, out_w * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * (out_h * in_h * in_w * c + out_h * out_w * c * in_w * c),
-            bytes_accessed=b * (in_h * in_w * c + out_h * out_w * c * 2),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(folded, wh, ww, scale, bias)
+    out = _prep_op(out_h, jnp.dtype(out_dtype).name, bool(interpret))(
+        folded, wh, ww, scale, bias
+    )
     return out.reshape(b, out_h, out_w, c)

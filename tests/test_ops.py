@@ -127,3 +127,58 @@ class TestPreprocess:
             )
         )
         np.testing.assert_allclose(pallas, xla, atol=1e-4, rtol=1e-4)
+
+
+class TestPrepDispatchAndSharding:
+    def test_preprocess_fused_always_matches_xla(self, rng):
+        """preprocess_images(fused="always") routes through the Pallas
+        kernel (interpret on CPU) and matches the XLA composition."""
+        from clip_for_dl_tpu.ops.image_prep import preprocess_images
+
+        mean, std = (0.48, 0.45, 0.40), (0.26, 0.26, 0.27)
+        img = jnp.asarray(rng.integers(0, 256, (2, 64, 48, 3), dtype=np.uint8))
+        xla = np.asarray(
+            preprocess_images(img, 32, 32, mean, std, jnp.float32,
+                              fused="never")
+        )
+        fused = np.asarray(
+            preprocess_images(img, 32, 32, mean, std, jnp.float32,
+                              fused="always")
+        )
+        np.testing.assert_allclose(fused, xla, atol=1e-4, rtol=1e-4)
+
+    def test_fused_prep_dp_sharding_no_allgather(self, rng):
+        """A dp-sharded uint8 batch stays batch-sharded through the fused
+        prep kernel (custom_partitioning) — no all-gather in the HLO."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from clip_for_dl_tpu.ops.image_prep import fused_resize_normalize
+
+        n = len(jax.devices())
+        mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+        img = rng.integers(0, 256, (2 * n, 64, 48, 3), dtype=np.uint8)
+        want = np.asarray(fused_resize_normalize(
+            jnp.asarray(img), 32, 32, (0.5, 0.5, 0.5), (0.25, 0.25, 0.25),
+            jnp.float32, interpret=True,
+        ))
+        xs = jax.device_put(
+            jnp.asarray(img), NamedSharding(mesh, P("data", None, None, None))
+        )
+        f = jax.jit(lambda a: fused_resize_normalize(
+            a, 32, 32, (0.5, 0.5, 0.5), (0.25, 0.25, 0.25), jnp.float32,
+            interpret=True,
+        ))
+        out = f(xs)
+        assert out.sharding.spec[0] == "data"
+        hlo = f.lower(xs).compile().as_text()
+        assert "all-gather" not in hlo and "all_gather" not in hlo
+        np.testing.assert_allclose(np.asarray(out), want, atol=1e-4)
+
+    def test_fused_prep_vmem_gate(self):
+        """The auto dispatch's VMEM viability gate admits the 512-source
+        serving shape and rejects native-resolution (2048) sources."""
+        from clip_for_dl_tpu.ops.image_prep import _fused_prep_viable
+
+        assert _fused_prep_viable(512, 512, 3, 224)
+        assert not _fused_prep_viable(2048, 2048, 3, 224)

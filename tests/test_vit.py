@@ -116,10 +116,10 @@ def test_gelu_approximate_knob_close_and_distinct(rng):
     assert np.abs(a - b).mean() < 2e-3
 
 
-def test_fused_attention_flag_matches_plain():
-    """--fused-attention wiring: the kernel-routed layer must reproduce the
-    einsum formulation (on CPU the dispatcher uses the jnp reference —
-    bitwise; on TPU the Pallas kernel is bf16-exact, tests/test_attention)."""
+def test_flash_flag_matches_plain_and_sows_fallback():
+    """ViT(flash=True) reproduces the einsum formulation (CPU interpret
+    kernel; deterministic, dropout off) and the sow_weights path falls
+    back to the einsum form so rollout keeps working."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -129,19 +129,19 @@ def test_fused_attention_flag_matches_plain():
     kw = dict(image_size=32, patch=8, hidden=32, layers=2, heads=2,
               mlp_dim=64, dropout=0.0, dtype=jnp.float32)
     plain = ViT(**kw)
-    fused = ViT(fused_attention=True, **kw)
+    flash = ViT(flash=True, **kw)
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal((2, 32, 32, 3)), jnp.float32
     )
     variables = plain.init(jax.random.key(0), x)
     out_plain = plain.apply(variables, x)
-    out_fused = fused.apply(variables, x)  # same params, same math
+    out_flash = flash.apply(variables, x)  # same params, same math
     np.testing.assert_allclose(
-        np.asarray(out_fused), np.asarray(out_plain), atol=1e-5
+        np.asarray(out_flash), np.asarray(out_plain), atol=1e-5
     )
     # sow_weights path falls back to the einsum formulation (the kernel
     # never materializes probabilities) — rollout keeps working
-    _, inter = fused.apply(
+    _, inter = flash.apply(
         variables, x, sow_weights=True, mutable=["intermediates"]
     )
     assert jax.tree.leaves(inter)  # attention weights sown (fallback path)
