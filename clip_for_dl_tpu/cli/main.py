@@ -94,6 +94,8 @@ def _apply_tiny(cfg, args, vocab_size: int):
         model = dataclasses.replace(model, bf16_attention_probs=True)
     if getattr(args, "flash_attention", False):
         model = dataclasses.replace(model, flash_attention=True)
+    if getattr(args, "bert_fused_mlp", False):
+        model = dataclasses.replace(model, bert_fused_mlp=True)
     if getattr(args, "moe_experts", 0):
         model = dataclasses.replace(
             model, text_moe_experts=args.moe_experts
@@ -1716,6 +1718,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "training memory/bandwidth kernel "
                              "(ops/flash_attention.py; r3 trace: BERT "
                              "attention was 44% of the pretrain step)")
+        sp.add_argument("--bert-fused-mlp", action="store_true",
+                        help="fused Dense-GELU-Dense Pallas TRAINING "
+                             "kernel in the BERT MLPs: fwd AND bwd, the "
+                             "[B,L,3072] intermediate never reaches HBM "
+                             "and XLA's self-remat recompute disappears "
+                             "(ops/mlp_train.py)")
         sp.add_argument("--bf16-attention-probs", action="store_true",
                         help="store attention probabilities in bf16 "
                              "(halves the backward-saved [B,H,L,L] "

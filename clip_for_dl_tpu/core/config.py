@@ -100,6 +100,14 @@ class ModelConfig:
     # runs in-kernel (deterministic counter-hash RNG, per-batch-row
     # seeds). Attention-viz paths (sow_weights) fall back in-layer.
     flash_attention: bool = False
+    # Fused Dense→GELU→Dense Pallas kernel in the BERT MLPs
+    # (ops/mlp_train.py) — fwd AND bwd fused: the [B, L, 3072]
+    # intermediate never reaches HBM, dW1/dW2 are two clean XLA GEMMs
+    # from kernel-streamed bf16 g/dh, and XLA's self-remat recompute of
+    # the first MLP GEMM disappears (post-flash trace: the MLP was ~93 ms
+    # of the 203 ms B=128 pretrain step). bf16 + 128-aligned dims only
+    # (falls back in-layer); checkpoint tree unchanged.
+    bert_fused_mlp: bool = False
     # Learnable contrastive temperature (real-CLIP/SigLIP training
     # semantics; the reference fixes T — 0425/train.py:126-175). When on,
     # CXRClip declares scalar params logit_scale (stored as log s, used

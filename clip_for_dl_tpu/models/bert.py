@@ -141,6 +141,13 @@ class BertLayer(nn.Module):
     moe_capacity_factor: float = 1.25
     bf16_probs: bool = False  # see BertSelfAttention.bf16_probs
     flash: bool = False  # see BertSelfAttention.flash
+    # Fused Dense→GELU→Dense Pallas TRAINING kernel (ops/mlp_train.py):
+    # both MLP GEMMs run back-to-back in VMEM in BOTH directions — no
+    # [B, L, 3072] intermediate in HBM, no XLA self-remat recompute
+    # (the post-flash trace's top remaining item, ~93 ms/step at B=128).
+    # bf16 + MXU-aligned dims only; checkpoint tree unchanged
+    # (intermediate/output kernel+bias).
+    fused_mlp: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -174,6 +181,29 @@ class BertLayer(nn.Module):
                 self.moe_experts, self.intermediate,
                 self.moe_capacity_factor, name="moe_mlp", **kw,
             )(x, mask)
+        elif (
+            self.fused_mlp
+            and self.hidden % 128 == 0
+            and self.intermediate % 128 == 0
+            # bf16 only: the fp32 weight set (2·768·3072·4 B = 18.9 MB)
+            # exceeds VMEM; fp32 is the parity mode and keeps XLA anyway
+            and jnp.dtype(self.dtype) == jnp.bfloat16
+        ):
+            from ..ops.mlp_train import dense_gelu_dense
+            from .vit import _DenseParams
+
+            w1, b1 = _DenseParams(
+                self.hidden, self.intermediate, self.param_dtype,
+                name="intermediate",
+            )()
+            w2, b2 = _DenseParams(
+                self.intermediate, self.hidden, self.param_dtype,
+                name="output",
+            )()
+            cast = lambda t: t.astype(self.dtype)
+            h = dense_gelu_dense(
+                x, cast(w1), cast(b1), cast(w2), cast(b2)
+            )
         else:
             h = nn.Dense(self.intermediate, name="intermediate", **kw)(x)
             h = nn.gelu(h, approximate=False)
@@ -203,6 +233,7 @@ class BertEncoder(nn.Module):
     moe_capacity_factor: float = 1.25
     bf16_probs: bool = False  # see BertSelfAttention.bf16_probs
     flash: bool = False  # see BertSelfAttention.flash
+    fused_mlp: bool = False  # see BertLayer.fused_mlp
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -248,6 +279,7 @@ class BertEncoder(nn.Module):
                 moe_experts=moe,
                 moe_capacity_factor=self.moe_capacity_factor,
                 bf16_probs=self.bf16_probs, flash=self.flash,
+                fused_mlp=self.fused_mlp,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",
             )(x, bias, deterministic, sow_weights)

@@ -98,7 +98,8 @@ class CXRClip(nn.Module):
             moe_experts=cfg.text_moe_experts, moe_every=cfg.text_moe_every,
             moe_capacity_factor=cfg.moe_capacity_factor,
             bf16_probs=getattr(cfg, "bf16_attention_probs", False),
-            flash=getattr(cfg, "flash_attention", False), **kw,
+            flash=getattr(cfg, "flash_attention", False),
+            fused_mlp=getattr(cfg, "bert_fused_mlp", False), **kw,
         )
         self.image_projector = ImageProjection(
             out_dim=cfg.shared_embedding_dim, dropout=cfg.dropout, **kw

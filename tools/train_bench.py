@@ -58,6 +58,9 @@ def main(argv=None) -> int:
                    help="fused Pallas flash attention (fwd+bwd, in-kernel "
                         "dropout) in both transformer towers — no "
                         "[B, H, L, L] residual (ops/flash_attention.py)")
+    p.add_argument("--bert-fused-mlp", action="store_true",
+                   help="fused Dense-GELU-Dense Pallas TRAINING kernel in "
+                        "the BERT MLPs (fwd+bwd, ops/mlp_train.py)")
     p.add_argument("--fused-mlp", action="store_true",
                    help="Pallas fused MLP block in the ViT layers — engages "
                         "in the training forward too (custom VJP, exact-XLA "
@@ -135,6 +138,8 @@ def main(argv=None) -> int:
             cfg = dataclasses.replace(cfg, vit_fused_mlp=True)
         if args.flash_attention:
             cfg = dataclasses.replace(cfg, flash_attention=True)
+        if args.bert_fused_mlp:
+            cfg = dataclasses.replace(cfg, bert_fused_mlp=True)
         model = CXRClip(cfg, dtype=jnp.bfloat16)
         variables = model.init(
             jax.random.key(0),
@@ -208,6 +213,7 @@ def main(argv=None) -> int:
             "bf16_attention_probs": args.bf16_attention_probs,
             "fused_mlp": args.fused_mlp,
             "flash_attention": args.flash_attention,
+            "bert_fused_mlp": args.bert_fused_mlp,
             "vs_baseline": round(img_s / baseline, 2),
             **mfu_fields(compiled, b, args.iters / dt),
             **hbm,
