@@ -82,18 +82,32 @@ class BertSelfAttention(nn.Module):
     def __call__(self, x, bias, *, deterministic=True, sow_weights=False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         h, hd = self.heads, self.hidden // self.heads
-        q = nn.Dense(self.hidden, name="query", **kw)(x)
-        k = nn.Dense(self.hidden, name="key", **kw)(x)
-        v = nn.Dense(self.hidden, name="value", **kw)(x)
-
-        def split(t):
-            return t.reshape(*t.shape[:-1], h, hd).transpose(0, 2, 1, 3)
 
         if self.flash and not sow_weights:
             from ..ops.flash_attention import (
                 dropout_seeds_from_rng,
-                flash_attention,
+                flash_attention_packed,
             )
+            from .vit import _DenseParams
+
+            # PACKED projection: the three q/k/v Dense params (checkpoint
+            # tree unchanged) concatenated column-wise into ONE
+            # [H, 3H] GEMM, whose output feeds the kernel directly —
+            # one wide MXU pass + one HBM stream instead of three narrow
+            # ones (the r2 "fused QKV 2.5x slower" negative was the
+            # head-major transposes, gone in the layout-native kernel)
+            wq, bq = _DenseParams(
+                self.hidden, self.hidden, self.param_dtype, name="query"
+            )()
+            wk, bk = _DenseParams(
+                self.hidden, self.hidden, self.param_dtype, name="key"
+            )()
+            wv, bv = _DenseParams(
+                self.hidden, self.hidden, self.param_dtype, name="value"
+            )()
+            w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+            bqkv = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
+            qkv = jnp.dot(x.astype(self.dtype), w) + bqkv
 
             rate = 0.0 if deterministic else self.dropout
             seeds = None
@@ -101,16 +115,19 @@ class BertSelfAttention(nn.Module):
                 seeds = dropout_seeds_from_rng(
                     self.make_rng("dropout"), x.shape[0]
                 )
-            # layout-native [B, N, H, D]: a reshape (bitcast) of the Dense
-            # outputs — no head-major transpose copies around the kernel
-            out = flash_attention(
-                q.reshape(*q.shape[:-1], h, hd),
-                k.reshape(*k.shape[:-1], h, hd),
-                v.reshape(*v.shape[:-1], h, hd),
+            out = flash_attention_packed(
+                qkv, h,
                 None if bias is None else bias[:, 0, 0, :],
-                dropout_rate=rate, dropout_seeds=seeds, layout="bnhd",
+                dropout_rate=rate, dropout_seeds=seeds,
             )
             return out.reshape(*x.shape[:-1], self.hidden)
+        q = nn.Dense(self.hidden, name="query", **kw)(x)
+        k = nn.Dense(self.hidden, name="key", **kw)(x)
+        v = nn.Dense(self.hidden, name="value", **kw)(x)
+
+        def split(t):
+            return t.reshape(*t.shape[:-1], h, hd).transpose(0, 2, 1, 3)
+
         qh, kh, vh = split(q), split(k), split(v)
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32

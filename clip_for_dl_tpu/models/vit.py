@@ -107,19 +107,29 @@ class ViTEncoderLayer(nn.Module):
         h, hd = self.heads, self.hidden // self.heads
 
         y = nn.LayerNorm(name="ln_1", **ln)(x.astype(jnp.float32)).astype(self.dtype)
-        q = nn.Dense(self.hidden, name="q_proj", **kw)(y)
-        k = nn.Dense(self.hidden, name="k_proj", **kw)(y)
-        v = nn.Dense(self.hidden, name="v_proj", **kw)(y)
-
-        def split(t):
-            return t.reshape(*t.shape[:-1], h, hd).transpose(0, 2, 1, 3)
 
         use_flash = self.flash and not sow_weights
         if use_flash:
             from ..ops.flash_attention import (
                 dropout_seeds_from_rng,
-                flash_attention,
+                flash_attention_packed,
             )
+
+            # packed q|k|v projection into one wide GEMM feeding the
+            # kernel's native layout — see models/bert.py flash note;
+            # checkpoint tree (q_proj/k_proj/v_proj) unchanged
+            wq, bq = _DenseParams(
+                self.hidden, self.hidden, self.param_dtype, name="q_proj"
+            )()
+            wk, bk = _DenseParams(
+                self.hidden, self.hidden, self.param_dtype, name="k_proj"
+            )()
+            wv, bv = _DenseParams(
+                self.hidden, self.hidden, self.param_dtype, name="v_proj"
+            )()
+            w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+            bqkv = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
+            qkv = jnp.dot(y, w) + bqkv
 
             rate = 0.0 if deterministic else self.dropout
             seeds = None
@@ -127,15 +137,17 @@ class ViTEncoderLayer(nn.Module):
                 seeds = dropout_seeds_from_rng(
                     self.make_rng("dropout"), x.shape[0]
                 )
-            # layout-native [B, N, H, D] (reshape, not transpose) — see
-            # models/bert.py flash note
-            attn = flash_attention(
-                q.reshape(*q.shape[:-1], h, hd),
-                k.reshape(*k.shape[:-1], h, hd),
-                v.reshape(*v.shape[:-1], h, hd),
-                dropout_rate=rate, dropout_seeds=seeds, layout="bnhd",
+            attn = flash_attention_packed(
+                qkv, h, dropout_rate=rate, dropout_seeds=seeds,
             ).reshape(*x.shape)
         else:
+            q = nn.Dense(self.hidden, name="q_proj", **kw)(y)
+            k = nn.Dense(self.hidden, name="k_proj", **kw)(y)
+            v = nn.Dense(self.hidden, name="v_proj", **kw)(y)
+
+            def split(t):
+                return t.reshape(*t.shape[:-1], h, hd).transpose(0, 2, 1, 3)
+
             logits = jnp.einsum(
                 "bhqd,bhkd->bhqk", split(q), split(k),
                 preferred_element_type=jnp.float32,

@@ -119,6 +119,61 @@ def _softmax_rows(s):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+def _head_fwd(q, k, v, bias, seed, h, scale, rate):
+    """One head's attention output from [NP, D] lane slices (fp32
+    logits/softmax in VMEM, optional in-kernel prob dropout)."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale + bias  # [NP, NP] fp32, VMEM only
+    p = _softmax_rows(s)
+    if rate > 0.0:
+        u = _uniform01(seed, h, p.shape)
+        p = jnp.where(u >= rate, p * (1.0 / (1.0 - rate)), 0.0)
+    return jax.lax.dot_general(
+        p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _head_bwd(q, k, v, do, bias, seed, h, scale, rate):
+    """One head's (dq, dk, dv) — recompute-from-qk: the forward saved no
+    [NP, NP] tensor; the dropout mask regenerates from the same
+    counter-hash stream."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale + bias
+    p = _softmax_rows(s)
+    if rate > 0.0:
+        u = _uniform01(seed, h, p.shape)
+        keep = u >= rate
+        inv = 1.0 / (1.0 - rate)
+        pd = jnp.where(keep, p * inv, 0.0)
+    else:
+        pd = p
+    pdc = pd.astype(q.dtype)
+    # dv = pdᵀ · do (contract query rows)
+    dv = jax.lax.dot_general(
+        pdc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # d(dropped probs) = do · vᵀ
+    dpd = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jnp.where(keep, dpd * inv, 0.0) if rate > 0.0 else dpd
+    # softmax backward: ds = p ⊙ (dp − rowsum(p ⊙ dp))
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = (p * (dp - delta)).astype(q.dtype)
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    return dq, dk, dv
+
+
 def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, out_ref,
                 *, heads: int, dim: int, scale: float, rate: float):
     # refs: [1, NP, H·D] — the LAYOUT-NATIVE form (identical bytes to the
@@ -133,18 +188,27 @@ def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, out_ref,
     qf, kf, vf = q_ref[0], k_ref[0], v_ref[0]  # [NP, H·D]
     for h in range(heads):
         sl = slice(h * dim, (h + 1) * dim)
-        q, k, v = qf[:, sl], kf[:, sl], vf[:, sl]  # [NP, D]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale + bias  # [NP, NP] fp32, VMEM only
-        p = _softmax_rows(s)
-        if rate > 0.0:
-            u = _uniform01(seed, h, p.shape)
-            p = jnp.where(u >= rate, p * (1.0 / (1.0 - rate)), 0.0)
-        out_ref[0, :, sl] = jax.lax.dot_general(
-            p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        out_ref[0, :, sl] = _head_fwd(
+            qf[:, sl], kf[:, sl], vf[:, sl], bias, seed, h, scale, rate
+        ).astype(out_ref.dtype)
+
+
+def _fwd_kernel_packed(seed_ref, bias_ref, qkv_ref, out_ref,
+                       *, heads: int, dim: int, scale: float, rate: float):
+    # qkv_ref: [1, NP, 3·H·D] — the PACKED form: identical bytes to one
+    # Dense(3·hidden) projection output whose columns are ordered
+    # q-heads, k-heads, v-heads. One HBM stream instead of three, and the
+    # projection upstream is a single wide GEMM.
+    bias = bias_ref[0]
+    seed = seed_ref[pl.program_id(0), 0]
+    f = qkv_ref[0]  # [NP, 3·H·D]
+    hd = heads * dim
+    for h in range(heads):
+        q = f[:, h * dim:(h + 1) * dim]
+        k = f[:, hd + h * dim:hd + (h + 1) * dim]
+        v = f[:, 2 * hd + h * dim:2 * hd + (h + 1) * dim]
+        out_ref[0, :, h * dim:(h + 1) * dim] = _head_fwd(
+            q, k, v, bias, seed, h, scale, rate
         ).astype(out_ref.dtype)
 
 
@@ -156,43 +220,37 @@ def _bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
     qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
     for h in range(heads):
         sl = slice(h * dim, (h + 1) * dim)
-        q, k, v, do = qf[:, sl], kf[:, sl], vf[:, sl], dof[:, sl]
-        # recompute-from-qk: the forward saved no [NP, NP] tensor
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale + bias
-        p = _softmax_rows(s)
-        if rate > 0.0:
-            u = _uniform01(seed, h, p.shape)
-            keep = u >= rate
-            inv = 1.0 / (1.0 - rate)
-            pd = jnp.where(keep, p * inv, 0.0)
-        else:
-            pd = p
-        pdc = pd.astype(q.dtype)
-        # dv = pdᵀ · do (contract query rows)
-        dv_ref[0, :, sl] = jax.lax.dot_general(
-            pdc, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dv_ref.dtype)
-        # d(dropped probs) = do · vᵀ
-        dpd = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        dq, dk, dv = _head_bwd(
+            qf[:, sl], kf[:, sl], vf[:, sl], dof[:, sl],
+            bias, seed, h, scale, rate,
         )
-        dp = jnp.where(keep, dpd * inv, 0.0) if rate > 0.0 else dpd
-        # softmax backward: ds = p ⊙ (dp − rowsum(p ⊙ dp))
-        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-        ds = (p * (dp - delta)).astype(q.dtype)
-        dq_ref[0, :, sl] = (jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale).astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = (jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale).astype(dk_ref.dtype)
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_kernel_packed(seed_ref, bias_ref, qkv_ref, do_ref, dqkv_ref,
+                       *, heads: int, dim: int, scale: float, rate: float):
+    bias = bias_ref[0]
+    seed = seed_ref[pl.program_id(0), 0]
+    f = qkv_ref[0]
+    do = do_ref[0]
+    hd = heads * dim
+    for h in range(heads):
+        q = f[:, h * dim:(h + 1) * dim]
+        k = f[:, hd + h * dim:hd + (h + 1) * dim]
+        v = f[:, 2 * hd + h * dim:2 * hd + (h + 1) * dim]
+        dq, dk, dv = _head_bwd(
+            q, k, v, do[:, h * dim:(h + 1) * dim],
+            bias, seed, h, scale, rate,
+        )
+        dqkv_ref[0, :, h * dim:(h + 1) * dim] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, hd + h * dim:hd + (h + 1) * dim] = dk.astype(
+            dqkv_ref.dtype
+        )
+        dqkv_ref[0, :, 2 * hd + h * dim:2 * hd + (h + 1) * dim] = dv.astype(
+            dqkv_ref.dtype
+        )
 
 
 def _pad_inputs(q, k, v, bias):
@@ -375,6 +433,208 @@ def _flash_bwd(rate, interpret, res, g):
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Packed-QKV form: one [B, N, 3·H·D] tensor straight from a fused
+# Dense(3·hidden) projection (one wide GEMM instead of three narrow ones;
+# one HBM stream through the kernel instead of three)
+# ---------------------------------------------------------------------------
+
+
+def _pad_packed(qkv, bias):
+    B, N, _ = qkv.shape
+    NP = _round_up(N, 8)
+    if NP != N:
+        qkv = jnp.pad(qkv, ((0, 0), (0, NP - N), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, NP - N)), constant_values=_NEG_BIG)
+    return qkv, bias, NP
+
+
+def _pallas_fwd_packed(qkv, bias, seeds, *, heads: int, rate: float,
+                       interpret: bool):
+    B, N, HD3 = qkv.shape
+    D = HD3 // (3 * heads)
+    qkv, bias, NP = _pad_packed(qkv, bias)
+    scale = 1.0 / float(D) ** 0.5
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_packed, heads=heads, dim=D,
+                          scale=scale, rate=rate),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # see split-form note
+            pl.BlockSpec((1, 1, NP), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NP, HD3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, NP, HD3 // 3), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, NP, HD3 // 3), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * heads * NP * NP * D,
+            bytes_accessed=2 * B * NP * HD3 * qkv.dtype.itemsize,
+            transcendentals=B * heads * NP * NP,
+        ),
+        interpret=interpret,
+    )(seeds, bias[:, None, :], qkv)
+    return out[:, :N] if NP != N else out
+
+
+def _pallas_bwd_packed(qkv, bias, seeds, do, *, heads: int, rate: float,
+                       interpret: bool):
+    B, N, HD3 = qkv.shape
+    D = HD3 // (3 * heads)
+    do = jnp.pad(do, ((0, 0), (0, _round_up(N, 8) - N), (0, 0)))
+    qkv, bias, NP = _pad_packed(qkv, bias)
+    scale = 1.0 / float(D) ** 0.5
+    dqkv = pl.pallas_call(
+        functools.partial(_bwd_kernel_packed, heads=heads, dim=D,
+                          scale=scale, rate=rate),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, NP), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NP, HD3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NP, HD3 // 3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, NP, HD3), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, NP, HD3), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * B * heads * NP * NP * D,
+            bytes_accessed=3 * B * NP * HD3 * qkv.dtype.itemsize,
+            transcendentals=2 * B * heads * NP * NP,
+        ),
+        interpret=interpret,
+    )(seeds, bias[:, None, :], qkv, do)
+    return dqkv[:, :N] if NP != N else dqkv
+
+
+def _row3_sharding(mesh, arg_shapes, operand=0):
+    s = arg_shapes[operand].sharding.spec
+    return NamedSharding(mesh, P(s[0] if len(s) else None, None, None))
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_op_packed(heads: int, rate: float, interpret: bool):
+    def impl(qkv, bias, seeds):
+        return _pallas_fwd_packed(qkv, bias, seeds, heads=heads,
+                                  rate=rate, interpret=interpret)
+
+    op = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        bsh = _row3_sharding(mesh, arg_shapes)
+        row = _row_sharding(mesh, arg_shapes)
+        return mesh, impl, bsh, (bsh, row, row)
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        return _row3_sharding(mesh, arg_shapes)
+
+    op.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        # batch only: sequence sharding must not propagate (softmax needs
+        # every key column) and the packed feature dim stays whole
+        sharding_rule="b n x, b m, b u -> b n y",
+    )
+    return op
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_op_packed(heads: int, rate: float, interpret: bool):
+    def impl(qkv, bias, seeds, do):
+        return _pallas_bwd_packed(qkv, bias, seeds, do, heads=heads,
+                                  rate=rate, interpret=interpret)
+
+    op = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        bsh = _row3_sharding(mesh, arg_shapes)
+        row = _row_sharding(mesh, arg_shapes)
+        return mesh, impl, bsh, (bsh, row, row, bsh)
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        return _row3_sharding(mesh, arg_shapes)
+
+    op.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule="b n x, b m, b u, b n y -> b n x",
+    )
+    return op
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _flash_packed(heads, rate, interpret, qkv, bias, seeds):
+    return _fwd_op_packed(heads, rate, interpret)(qkv, bias, seeds)
+
+
+def _flash_packed_fwd(heads, rate, interpret, qkv, bias, seeds):
+    out = _fwd_op_packed(heads, rate, interpret)(qkv, bias, seeds)
+    return out, (qkv, bias, seeds)
+
+
+def _flash_packed_bwd(heads, rate, interpret, res, g):
+    qkv, bias, seeds = res
+    dqkv = _bwd_op_packed(heads, rate, interpret)(
+        qkv, bias, seeds, g.astype(qkv.dtype)
+    )
+    return (dqkv, jnp.zeros_like(bias),
+            np.zeros(seeds.shape, dtype=jax.dtypes.float0))
+
+
+_flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
+def flash_attention_packed(
+    qkv: jax.Array,
+    heads: int,
+    key_bias: jax.Array | None = None,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_seeds: jax.Array | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Packed-QKV flash attention: qkv is [B, N, 3·H·D] with columns
+    ordered q-heads | k-heads | v-heads — exactly one fused
+    Dense(3·hidden) projection output (concatenate the three Dense
+    kernels column-wise upstream; the checkpoint tree is untouched).
+    Returns [B, N, H·D]. Dropout bits are IDENTICAL to the split-form
+    `flash_attention` (same per-(row, head) counter-hash streams).
+
+    Why packed: the r2 negative "fused QKV 2.5× slower" was measured on
+    the head-major path whose [B,N,H,D]→[B,H,N,D] transposes are gone in
+    the layout-native kernel; with layouts native, one [H, 3H] GEMM beats
+    three [H, H] GEMMs and the kernel reads one HBM stream, not three.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N, HD3 = qkv.shape
+    if HD3 % (3 * heads):
+        raise ValueError(f"last dim {HD3} not divisible by 3*heads")
+    if key_bias is None:
+        bias = jnp.zeros((B, N), jnp.float32)
+    else:
+        if key_bias.shape != (B, N):
+            raise ValueError(
+                f"key_bias must be [B, N]={B, N}, got {key_bias.shape}"
+            )
+        bias = key_bias.astype(jnp.float32)
+    rate = float(dropout_rate)
+    if not 0.0 <= rate < 1.0:
+        raise ValueError(f"dropout_rate must be in [0, 1), got {rate}")
+    if rate > 0.0:
+        if dropout_seeds is None:
+            raise ValueError("dropout_rate > 0 requires dropout_seeds")
+        seeds = dropout_seeds.reshape(B, 1).astype(jnp.int32)
+    else:
+        seeds = jnp.zeros((B, 1), jnp.int32)
+    return _flash_packed(heads, rate, bool(interpret), qkv, bias, seeds)
 
 
 def flash_attention(
