@@ -302,7 +302,10 @@ class TestHTTPAPI:
             for d in first:
                 assert abs(first[d] - data["probs"][d]) < 1e-5
         status, stats = _request(live_server, "GET", "/stats")
-        assert status == 200 and stats["requests"] >= 9
+        # >= 8: only THIS test's requests — counting siblings' traffic
+        # through the shared live_server made the assertion order-dependent
+        # (failed when the manifest excluded a sibling from the fast tier)
+        assert status == 200 and stats["requests"] >= 8
 
 
 class TestPipelinedBatcher:

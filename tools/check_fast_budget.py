@@ -49,15 +49,17 @@ def collected_count() -> int:
         cwd=REPO, capture_output=True, text=True, timeout=600,
     )
     m = re.search(r"(\d+) tests? collected", out.stdout)
-    if not m:
-        # pytest>=8 prints "N tests collected in Xs" on the tail line;
-        # fall back to counting node-id lines.
-        ids = [ln for ln in out.stdout.splitlines() if "::" in ln]
-        if not ids:
-            print(out.stdout[-2000:], file=sys.stderr)
-            raise SystemExit("could not parse pytest --collect-only output")
-        return len(ids)
-    return int(m.group(1))
+    if m:
+        return int(m.group(1))
+    # this pytest's -q --collect-only prints per-module "path: N" lines
+    per_module = re.findall(r"^tests/\S+:\s+(\d+)\s*$", out.stdout, re.M)
+    if per_module:
+        return sum(int(n) for n in per_module)
+    ids = [ln for ln in out.stdout.splitlines() if "::" in ln]
+    if not ids:
+        print(out.stdout[-2000:], file=sys.stderr)
+        raise SystemExit("could not parse pytest --collect-only output")
+    return len(ids)
 
 
 def main(argv=None) -> int:
