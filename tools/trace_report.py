@@ -41,6 +41,9 @@ def main(argv=None) -> int:
     p.add_argument("--flash-attention", action="store_true",
                    help="trace with the fused Pallas flash attention "
                         "(ops/flash_attention.py) in both towers")
+    p.add_argument("--bert-fused-mlp", action="store_true",
+                   help="trace with the fused Dense-GELU-Dense training "
+                        "kernel in the BERT MLPs (ops/mlp_train.py)")
     p.add_argument("--out", default=None, help="also write the JSON report")
     p.add_argument("--parse-only", default=None, metavar="LOG_DIR",
                    help="skip capture; parse an existing trace dir")
@@ -87,6 +90,8 @@ def main(argv=None) -> int:
         cfg = ModelConfig(max_text_length=seq)
     if args.flash_attention:
         cfg = dataclasses.replace(cfg, flash_attention=True)
+    if args.bert_fused_mlp:
+        cfg = dataclasses.replace(cfg, bert_fused_mlp=True)
     if args.tower == "vit":
         # tiny traces a tiny ViT tower — never a ResNet labeled 'vit'
         cfg = (
