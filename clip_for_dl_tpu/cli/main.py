@@ -96,6 +96,8 @@ def _apply_tiny(cfg, args, vocab_size: int):
         model = dataclasses.replace(model, flash_attention=True)
     if getattr(args, "bert_fused_mlp", False):
         model = dataclasses.replace(model, bert_fused_mlp=True)
+    if getattr(args, "vit_fused_mlp_train", False):
+        model = dataclasses.replace(model, vit_fused_mlp_train=True)
     if getattr(args, "moe_experts", 0):
         model = dataclasses.replace(
             model, text_moe_experts=args.moe_experts
@@ -1724,6 +1726,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "[B,L,3072] intermediate never reaches HBM "
                              "and XLA's self-remat recompute disappears "
                              "(ops/mlp_train.py)")
+        sp.add_argument("--vit-fused-mlp-train", action="store_true",
+                        help="the same fused training MLP kernel in the "
+                             "ViT tower (dropout-free MLPs only; the "
+                             "inference --fused-mlp kernel still wins "
+                             "at serving)")
         sp.add_argument("--bf16-attention-probs", action="store_true",
                         help="store attention probabilities in bf16 "
                              "(halves the backward-saved [B,H,L,L] "

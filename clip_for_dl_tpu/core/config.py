@@ -108,6 +108,12 @@ class ModelConfig:
     # of the 203 ms B=128 pretrain step). bf16 + 128-aligned dims only
     # (falls back in-layer); checkpoint tree unchanged.
     bert_fused_mlp: bool = False
+    # Same training kernel in the ViT tower's MLPs (models/vit.py
+    # ViTEncoderLayer.fused_mlp_train). Distinct from vit_fused_mlp (the
+    # inference-only LN-fusing kernel, which takes precedence at
+    # inference); engages only while the MLP's internal dropout is
+    # inactive — the CLIP ViT tower runs dropout=0.0.
+    vit_fused_mlp_train: bool = False
     # Learnable contrastive temperature (real-CLIP/SigLIP training
     # semantics; the reference fixes T — 0425/train.py:126-175). When on,
     # CXRClip declares scalar params logit_scale (stored as log s, used

@@ -82,6 +82,7 @@ class CXRClip(nn.Module):
                 remat=cfg.remat, remat_policy=cfg.remat_policy,
                 gelu_approximate=cfg.vit_gelu_approximate,
                 fused_mlp=getattr(cfg, "vit_fused_mlp", False),
+                fused_mlp_train=getattr(cfg, "vit_fused_mlp_train", False),
                 bf16_probs=getattr(cfg, "bf16_attention_probs", False),
                 flash=getattr(cfg, "flash_attention", False),
                 **kw,

@@ -81,6 +81,21 @@ class ViTEncoderLayer(nn.Module):
     # custom VJP (GradCAM). Training traces, MXU-unaligned tiny configs
     # and fp32 fall back to the XLA path bitwise.
     fused_mlp: bool = False
+    # Route the MLP's Dense→GELU→Dense segment through the Pallas
+    # TRAINING kernel (ops/mlp_train.py — fused fwd AND bwd, the
+    # [B, N, mlp_dim] intermediate never reaches HBM in either
+    # direction; LN2/residual stay in XLA). This is NOT the r2 negative:
+    # that wired the INFERENCE kernel's custom VJP, whose backward
+    # recomputes the whole block in XLA (ViT pretrain 296.9 → 281.3
+    # img/s); the training kernel's Pallas backward is what made
+    # models/bert.py's MLPs faster (+7.4% at B=256, temp HBM
+    # 11.19 → 8.04 GB at B=128 — benchmarks/flash_attention_train.md).
+    # Engages only while the MLP's internal dropout is inactive (the
+    # CLIP ViT tower runs dropout=0.0, matching torchvision's
+    # vit_b_16 default); bf16 + MXU-aligned dims, checkpoint tree
+    # unchanged. The inference fused_mlp (which also fuses LN2) wins
+    # at inference and takes precedence when both flags are on.
+    fused_mlp_train: bool = False
     # Store attention probabilities in bf16 (training knob; halves the
     # saved [B, H, N, N] softmax residual + its backward layout copies —
     # see models/bert.py BertSelfAttention.bf16_probs for the trace data).
@@ -203,6 +218,32 @@ class ViTEncoderLayer(nn.Module):
                 x, ls, lbias, w1, b1, w2, b2,
                 eps=1e-6, gelu_approximate=self.gelu_approximate,
             )
+        mlp_rate = 0.0 if deterministic else self.dropout
+        use_fused_mlp_train = (
+            self.fused_mlp_train
+            and mlp_rate == 0.0  # kernel has no internal dropout point
+            and self.hidden % 128 == 0
+            and self.mlp_dim % 128 == 0
+            # bf16 only — same VMEM budget argument as fused_mlp above
+            and jnp.dtype(self.dtype) == jnp.bfloat16
+        )
+        if use_fused_mlp_train:
+            from ..ops.mlp_train import dense_gelu_dense
+
+            y = nn.LayerNorm(name="ln_2", **ln)(
+                x.astype(jnp.float32)
+            ).astype(self.dtype)
+            w1, b1 = _DenseParams(
+                self.hidden, self.mlp_dim, self.param_dtype, name="mlp_1"
+            )()
+            w2, b2 = _DenseParams(
+                self.mlp_dim, self.hidden, self.param_dtype, name="mlp_2"
+            )()
+            cast = lambda t: t.astype(self.dtype)
+            return x + dense_gelu_dense(
+                y, cast(w1), cast(b1), cast(w2), cast(b2),
+                approximate=self.gelu_approximate,
+            )
         y = nn.LayerNorm(name="ln_2", **ln)(x.astype(jnp.float32)).astype(self.dtype)
         y = nn.Dense(self.mlp_dim, name="mlp_1", **kw)(y)
         y = nn.gelu(y, approximate=self.gelu_approximate)
@@ -229,6 +270,7 @@ class ViT(nn.Module):
     # exact-erf GELU by ~1e-3 relative — parity runs must keep it False.
     gelu_approximate: bool = False
     fused_mlp: bool = False  # see ViTEncoderLayer.fused_mlp
+    fused_mlp_train: bool = False  # see ViTEncoderLayer.fused_mlp_train
     bf16_probs: bool = False  # see ViTEncoderLayer.bf16_probs
     flash: bool = False  # see ViTEncoderLayer.flash
     dtype: Dtype = jnp.float32
@@ -276,6 +318,7 @@ class ViT(nn.Module):
                 self.hidden, self.heads, self.mlp_dim, self.dropout,
                 self.gelu_approximate,
                 fused_mlp=self.fused_mlp,
+                fused_mlp_train=self.fused_mlp_train,
                 bf16_probs=self.bf16_probs, flash=self.flash,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",

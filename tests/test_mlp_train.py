@@ -134,6 +134,9 @@ class TestBertWiring:
         }
 
     def test_full_train_step_finite(self, rng):
+        self._run_full_train_step(rng, "resnet")
+
+    def _run_full_train_step(self, rng, tower):
         """A CLIP pretrain step with bert_fused_mlp on runs and yields a
         finite loss close to the XLA-path step (bf16 towers)."""
         import dataclasses
@@ -153,6 +156,15 @@ class TestBertWiring:
             text_intermediate_dim=256, shared_embedding_dim=32,
             resnet_stages=(1, 1, 1, 1), resnet_width=8,
         )
+        if tower == "vit":
+            cfg = dataclasses.replace(
+                cfg, image_tower="vit_b16", image_embedding_dim=128,
+                vit_patch=16, vit_layers=1, vit_heads=2, vit_hidden=128,
+                vit_mlp_dim=256,
+            )
+            fused_cfg = dataclasses.replace(cfg, vit_fused_mlp_train=True)
+        else:
+            fused_cfg = dataclasses.replace(cfg, bert_fused_mlp=True)
         batch = {
             "images": rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
             "input_ids": rng.integers(0, 64, (4, 16)).astype(np.int32),
@@ -160,10 +172,7 @@ class TestBertWiring:
         }
         lrs = {"default": 1e-4}
         losses = {}
-        for name, c in (
-            ("xla", cfg),
-            ("fused", dataclasses.replace(cfg, bert_fused_mlp=True)),
-        ):
+        for name, c in (("xla", cfg), ("fused", fused_cfg)):
             model = CXRClip(c, dtype=jnp.bfloat16)
             variables = model.init(
                 jax.random.key(0),
@@ -182,3 +191,120 @@ class TestBertWiring:
             losses[name] = float(metrics["loss"])
             assert np.isfinite(losses[name])
         assert abs(losses["xla"] - losses["fused"]) < 5e-2, losses
+
+    def test_full_vit_train_step_finite(self, rng):
+        """Same drill with the ViT image tower + vit_fused_mlp_train."""
+        self._run_full_train_step(rng, "vit")
+
+
+class TestViTWiring:
+    """fused_mlp_train in ViTEncoderLayer (models/vit.py) — the TRAINING
+    kernel, distinct from the inference-only fused_mlp block."""
+
+    def _layer_pair(self, dtype, dropout=0.0, fused_dropout=None):
+        from clip_for_dl_tpu.models.vit import ViTEncoderLayer
+
+        kw = dict(hidden=128, heads=2, mlp_dim=256)
+        plain = ViTEncoderLayer(**kw, dropout=dropout, dtype=dtype)
+        fused = ViTEncoderLayer(
+            **kw, dropout=dropout if fused_dropout is None else fused_dropout,
+            fused_mlp_train=True, dtype=dtype,
+        )
+        return plain, fused
+
+    def test_vit_layer_fused_matches_plain_bf16(self, rng):
+        plain, fused = self._layer_pair(jnp.bfloat16)
+        x = jnp.asarray(rng.standard_normal((2, 9, 128)), jnp.bfloat16)
+        variables = plain.init(jax.random.key(0), x, False, False)
+        a = np.asarray(plain.apply(variables, x, False, False), np.float32)
+        b = np.asarray(fused.apply(variables, x, False, False), np.float32)
+        np.testing.assert_allclose(a, b, atol=5e-2, rtol=5e-2)
+
+    def test_grads_match_plain_bf16(self, rng):
+        """d(loss)/d(params) through the fused training layer tracks the
+        XLA layer's grads (bf16 rounding tolerance)."""
+        plain, fused = self._layer_pair(jnp.bfloat16)
+        x = jnp.asarray(rng.standard_normal((2, 9, 128)), jnp.bfloat16)
+        variables = plain.init(jax.random.key(0), x, False, False)
+
+        def loss(mod):
+            def f(v):
+                return (mod.apply(v, x, False, False)
+                        .astype(jnp.float32) ** 2).mean()
+            return f
+
+        ga = jax.grad(loss(plain))(variables)
+        gb = jax.grad(loss(fused))(variables)
+        flat_a = jax.tree_util.tree_leaves_with_path(ga)
+        flat_b = {str(k): v for k, v in
+                  jax.tree_util.tree_leaves_with_path(gb)}
+        for k, va in flat_a:
+            vb = flat_b[str(k)]
+            np.testing.assert_allclose(
+                np.asarray(va, np.float32), np.asarray(vb, np.float32),
+                atol=3e-2, rtol=3e-1, err_msg=str(k),
+            )
+
+    def test_fp32_falls_back_bitwise(self, rng):
+        plain, fused = self._layer_pair(jnp.float32)
+        x = jnp.asarray(rng.standard_normal((2, 9, 128)), jnp.float32)
+        variables = plain.init(jax.random.key(0), x, False, False)
+        a = np.asarray(plain.apply(variables, x, False, False))
+        b = np.asarray(fused.apply(variables, x, False, False))
+        np.testing.assert_array_equal(a, b)
+
+    def test_active_dropout_falls_back_bitwise(self, rng):
+        """dropout > 0 in training: the kernel has no internal dropout
+        point, so the layer must take the XLA path (bitwise equal to the
+        plain layer under the same rng)."""
+        plain, fused = self._layer_pair(
+            jnp.bfloat16, dropout=0.3, fused_dropout=0.3
+        )
+        x = jnp.asarray(rng.standard_normal((2, 9, 128)), jnp.bfloat16)
+        variables = plain.init(jax.random.key(0), x, True, False)
+        rngs = {"dropout": jax.random.key(7)}
+        a = np.asarray(
+            plain.apply(variables, x, False, False, rngs=rngs), np.float32
+        )
+        b = np.asarray(
+            fused.apply(variables, x, False, False, rngs=rngs), np.float32
+        )
+        np.testing.assert_array_equal(a, b)
+
+    def test_param_tree_unchanged(self, rng):
+        plain, fused = self._layer_pair(jnp.bfloat16)
+        x = jnp.asarray(rng.standard_normal((1, 4, 128)), jnp.bfloat16)
+        va = plain.init(jax.random.key(0), x, False, False)
+        vb = fused.init(jax.random.key(0), x, False, False)
+        assert jax.tree_util.tree_structure(va) == \
+            jax.tree_util.tree_structure(vb)
+        sa = {str(k): v.shape for k, v in
+              jax.tree_util.tree_leaves_with_path(va)}
+        sb = {str(k): v.shape for k, v in
+              jax.tree_util.tree_leaves_with_path(vb)}
+        assert sa == sb
+
+    def test_cli_flag_plumbs_to_config(self):
+        from clip_for_dl_tpu.cli import build_parser
+        from clip_for_dl_tpu.cli.main import _apply_tiny
+        from clip_for_dl_tpu.core.config import get_preset
+
+        args = build_parser().parse_args(
+            ["pretrain", "--synthetic", "--tiny", "--vit-fused-mlp-train"]
+        )
+        cfg = _apply_tiny(get_preset("pretrain_clip"), args, 64)
+        assert cfg.model.vit_fused_mlp_train
+
+    def test_inference_fused_mlp_takes_precedence(self, rng):
+        """Both flags on + deterministic: output equals the inference
+        fused_mlp layer's (the LN-fusing kernel wins at serving)."""
+        from clip_for_dl_tpu.models.vit import ViTEncoderLayer
+
+        kw = dict(hidden=128, heads=2, mlp_dim=256, dtype=jnp.bfloat16)
+        inf = ViTEncoderLayer(**kw, fused_mlp=True)
+        both = ViTEncoderLayer(**kw, fused_mlp=True, fused_mlp_train=True)
+        x = jnp.asarray(rng.standard_normal((2, 9, 128)), jnp.bfloat16)
+        variables = inf.init(jax.random.key(0), x, True, False)
+        a = np.asarray(inf.apply(variables, x, True, False), np.float32)
+        b = np.asarray(both.apply(variables, x, True, False), np.float32)
+        np.testing.assert_array_equal(a, b)

@@ -61,6 +61,9 @@ def main(argv=None) -> int:
     p.add_argument("--bert-fused-mlp", action="store_true",
                    help="fused Dense-GELU-Dense Pallas TRAINING kernel in "
                         "the BERT MLPs (fwd+bwd, ops/mlp_train.py)")
+    p.add_argument("--vit-fused-mlp-train", action="store_true",
+                   help="the same fused training MLP kernel in the ViT "
+                        "tower's MLPs (models/vit.py fused_mlp_train)")
     p.add_argument("--fused-mlp", action="store_true",
                    help="Pallas fused MLP block in the ViT layers — engages "
                         "in the training forward too (custom VJP, exact-XLA "
@@ -140,6 +143,8 @@ def main(argv=None) -> int:
             cfg = dataclasses.replace(cfg, flash_attention=True)
         if args.bert_fused_mlp:
             cfg = dataclasses.replace(cfg, bert_fused_mlp=True)
+        if args.vit_fused_mlp_train:
+            cfg = dataclasses.replace(cfg, vit_fused_mlp_train=True)
         model = CXRClip(cfg, dtype=jnp.bfloat16)
         variables = model.init(
             jax.random.key(0),
@@ -214,6 +219,7 @@ def main(argv=None) -> int:
             "fused_mlp": args.fused_mlp,
             "flash_attention": args.flash_attention,
             "bert_fused_mlp": args.bert_fused_mlp,
+            "vit_fused_mlp_train": args.vit_fused_mlp_train,
             "vs_baseline": round(img_s / baseline, 2),
             **mfu_fields(compiled, b, args.iters / dt),
             **hbm,
