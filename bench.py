@@ -50,7 +50,8 @@ ITERS = 30
 
 def build_zero_shot(tower: str, batch_n: int, *, fast_gelu=False,
                     fused_mlp=False,
-                    flash_attention=False, compiler_options=None):
+                    flash_attention=False, compiler_options=None,
+                    channels: int = 3):
     """Compile the zero-shot program; returns (compiled, args, mfu_fn)."""
     from clip_for_dl_tpu.core.config import CLIP_MEAN, CLIP_STD, ModelConfig
     from clip_for_dl_tpu.models import CXRClip
@@ -97,7 +98,7 @@ def build_zero_shot(tower: str, batch_n: int, *, fast_gelu=False,
 
     images = jax.device_put(
         np.random.default_rng(0).integers(
-            0, 255, (batch_n, 224, 224, 3), dtype=np.uint8
+            0, 255, (batch_n, 224, 224, channels), dtype=np.uint8
         )
     )
     compiled = zero_shot_fn.lower(variables, images, text_features).compile(
@@ -165,7 +166,12 @@ def measure_pretrain(timeout_s: float) -> dict:
 
 
 def _make_cache(n_images: int, image_size: int = 224):
-    """Synthetic PNGs at drill geometry → the real uint8 memmap cache."""
+    """Synthetic GRAYSCALE PNGs at drill geometry → the uint8 memmap cache.
+
+    Indiana CXR sources are 8-bit grayscale PNGs (the reference triplicates
+    them to RGB at decode, 0425/prepare_data.py:65-90); the cache builder
+    detects that per file and packs one channel per pixel — a third of the
+    bytes on disk and over H2D (data/cache.py)."""
     import cv2
 
     from clip_for_dl_tpu.data.cache import build_image_cache
@@ -177,7 +183,7 @@ def _make_cache(n_images: int, image_size: int = 224):
     paths = []
     for i in range(n_images):
         p = os.path.join(img_dir, f"CXR{i}_IM.dcm.png")
-        cv2.imwrite(p, rng.integers(20, 235, (256, 208, 3), dtype=np.uint8))
+        cv2.imwrite(p, rng.integers(20, 235, (256, 208), dtype=np.uint8))
         paths.append(p)
     t0 = time.perf_counter()
     cache = build_image_cache(
@@ -187,17 +193,25 @@ def _make_cache(n_images: int, image_size: int = 224):
 
 
 def measure_e2e(compiled, variables, text_features, batch_n: int,
-                seconds: float = 30.0, n_images: int = 512):
-    """Sustained cache→H2D→device→D2H loop + per-stage attribution."""
+                seconds: float = 30.0, n_images: int = 512,
+                rgb_compiled=None):
+    """Sustained cache→H2D→device→D2H loop + per-stage attribution.
+
+    `compiled` must accept the cache's channel count (1 for gray-packed).
+    When `rgb_compiled` (the 3-channel program) is given, one batch is run
+    through BOTH paths — gray-packed H2D + on-device broadcast vs
+    triplicated-RGB H2D — and the predictions are asserted bit-identical;
+    the result is reported as `gray_pred_identical`."""
     from clip_for_dl_tpu.data.cache import DATA_NAME
     from clip_for_dl_tpu.data.loader import prefetch_to_device
     from clip_for_dl_tpu.utils.profiling import trace
     from clip_for_dl_tpu.utils.trace_report import device_op_table
 
     cache, build_s = _make_cache(n_images)
+    c = cache.channels
     arr = np.memmap(
         os.path.join(cache.directory, DATA_NAME), dtype=np.uint8,
-        mode="r", shape=(len(cache), cache.image_size, cache.image_size, 3),
+        mode="r", shape=(len(cache), cache.image_size, cache.image_size, c),
     )
 
     def host_iter(limit=None):
@@ -224,23 +238,49 @@ def measure_e2e(compiled, variables, text_features, batch_n: int,
     h2d_s = (time.perf_counter() - t0) / 4
     h2d_mb_s = batch0.nbytes / 2**20 / h2d_s
 
-    # sustained loop: double-buffered H2D, per-batch probability fetch
-    it = prefetch_to_device(host_iter())
+    # gray-ingest correctness gate: 1-channel H2D + device broadcast must
+    # produce the SAME bytes as triplicated-RGB H2D (VERDICT r3 item 1)
+    gray_identical = None
+    if rgb_compiled is not None and c == 1:
+        p_gray = np.asarray(compiled(variables, batch0, text_features))
+        p_rgb = np.asarray(
+            rgb_compiled(variables, np.repeat(batch0, 3, axis=-1),
+                         text_features)
+        )
+        gray_identical = bool((p_gray == p_rgb).all())
+
+    # sustained loop: PIPELINED — a producer thread owns host-read +
+    # device_put (H2D overlaps everything), the consumer keeps a small
+    # in-flight window of dispatched batches and fetches with lag 2, so
+    # the per-batch D2H probability fetch (serving semantics — every
+    # prediction lands on the host) never serializes against the next
+    # batch's H2D. In-line prefetch measured 306.7 img/s on this tunnel;
+    # this loop is what the serving MicroBatcher does internally.
+    from collections import deque
+
+    lag = 3
+    it = prefetch_to_device(host_iter(), threaded=True, depth=lag)
     for _ in range(2):  # warm the pipeline
         np.asarray(compiled(variables, next(it)["images"], text_features))
     t0 = time.perf_counter()
     n_done = 0
+    inflight = deque()
     for batch in it:
-        np.asarray(compiled(variables, batch["images"], text_features))
-        n_done += batch_n
+        inflight.append(compiled(variables, batch["images"], text_features))
+        if len(inflight) >= lag:
+            np.asarray(inflight.popleft())
+            n_done += batch_n
         if time.perf_counter() - t0 >= seconds:
             break
+    while inflight:  # drain: count only results actually on host
+        np.asarray(inflight.popleft())
+        n_done += batch_n
     wall = time.perf_counter() - t0
     e2e_rate = n_done / wall
 
     # device-busy fraction: profiler trace over a slice of the same loop
     log_dir = tempfile.mkdtemp(prefix="bench_e2e_trace_")
-    it2 = prefetch_to_device(host_iter())
+    it2 = prefetch_to_device(host_iter(), threaded=True, depth=lag)
     t0 = time.perf_counter()
     with trace(log_dir):
         for _ in range(6):
@@ -254,7 +294,7 @@ def measure_e2e(compiled, variables, text_features, batch_n: int,
     except Exception:
         busy = None
 
-    return {
+    out = {
         "img_per_sec": round(e2e_rate, 1),
         "seconds": round(wall, 1),
         "n_images": n_done,
@@ -264,7 +304,11 @@ def measure_e2e(compiled, variables, text_features, batch_n: int,
         "host_cache_read_img_s": round(host_rate, 1),
         "h2d_mb_per_s": round(h2d_mb_s, 1),
         "batch_mb": round(batch0.nbytes / 2**20, 1),
+        "cache_channels": c,
     }
+    if gray_identical is not None:
+        out["gray_pred_identical"] = gray_identical
+    return out
 
 
 def main(argv=None) -> None:
@@ -342,9 +386,15 @@ def main(argv=None) -> None:
             **mfu_fields(compiled, batch_n, rate / batch_n),
         }
         if args.e2e:
+            gray_compiled, gray_args = build_zero_shot(
+                args.tower, batch_n, fast_gelu=args.fast_gelu,
+                fused_mlp=args.fused_mlp,
+                flash_attention=args.flash_attention,
+                compiler_options=compiler_options, channels=1,
+            )
             row["e2e"] = measure_e2e(
-                compiled, fn_args[0], fn_args[2], batch_n,
-                seconds=args.e2e_seconds,
+                gray_compiled, gray_args[0], gray_args[2], batch_n,
+                seconds=args.e2e_seconds, rgb_compiled=compiled,
             )
             row["e2e"]["frac_of_compute"] = round(
                 row["e2e"]["img_per_sec"] / rate, 3
@@ -367,10 +417,16 @@ def main(argv=None) -> None:
         **mfu_fields(compiled, batch_n, rate / batch_n),
     }
     if not args.no_e2e:
-        # reference's 25 img/s is end-to-end; this is our end-to-end
+        # reference's 25 img/s is end-to-end; this is our end-to-end.
+        # The sustained loop ships the gray-packed single-channel batches
+        # (the real CXR workload shape); the 3-channel program double-checks
+        # prediction bit-identity on one batch.
+        gray_compiled, gray_args = build_zero_shot(
+            "resnet", batch_n, compiler_options=compiler_options, channels=1,
+        )
         row["e2e"] = measure_e2e(
-            compiled, fn_args[0], fn_args[2], batch_n,
-            seconds=args.e2e_seconds,
+            gray_compiled, gray_args[0], gray_args[2], batch_n,
+            seconds=args.e2e_seconds, rgb_compiled=compiled,
         )
         row["e2e"]["frac_of_compute"] = round(
             row["e2e"]["img_per_sec"] / rate, 3

@@ -406,12 +406,14 @@ def cmd_cache_images(args) -> int:
         return 2
     t0 = time.time()
     cache = build_image_cache(
-        paths, args.image_size, args.out, workers=args.workers
+        paths, args.image_size, args.out, workers=args.workers,
+        channels=getattr(args, "channels", "auto"),
     )
     dt = time.time() - t0
+    layout = "gray-packed (1ch)" if cache.channels == 1 else "rgb (3ch)"
     print(
-        f"cached {len(cache)} images at {args.image_size}px → {args.out} "
-        f"({dt:.1f}s, {len(cache) / max(dt, 1e-9):.0f} img/s)"
+        f"cached {len(cache)} images at {args.image_size}px {layout} → "
+        f"{args.out} ({dt:.1f}s, {len(cache) / max(dt, 1e-9):.0f} img/s)"
     )
     return 0
 
@@ -1790,6 +1792,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "(default: recursive glob of --image-dir)")
     sp.add_argument("--image-size", type=int, default=224)
     sp.add_argument("--workers", type=int, default=8)
+    sp.add_argument("--channels", choices=["auto", "rgb"], default="auto",
+                    help="auto (default): pack to one uint8 channel when "
+                         "every image is grayscale (3x smaller cache and "
+                         "H2D; bit-identical model input — the device "
+                         "broadcast reproduces the reference's gray->RGB "
+                         "duplication). rgb: force 3-channel rows")
     sp.set_defaults(fn=cmd_cache_images)
 
     sp = sub.add_parser("pretrain", help="CLIP contrastive pretraining")

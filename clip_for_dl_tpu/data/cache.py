@@ -15,9 +15,23 @@ fallback, same zero-image fallback on decode failure), so a cached run and
 an uncached run feed the model the same bytes (tests/test_cache.py,
 tests/test_native.py pin this).
 
+Grayscale packing (channels=1): chest X-ray sources are grayscale PNGs that
+the reference triplicates to RGB at decode (0425/prepare_data.py:65-90 —
+cv2.imread returns three identical channels for gray sources). Shipping
+those 3 identical bytes per pixel through the cache and over H2D is pure
+waste, and H2D is the e2e bottleneck in tunnel-bound environments. The
+builder therefore checks EVERY image at build time; when all three channels
+are identical for every row, the cache stores one uint8 channel per pixel
+([N, S, S, 1], 3x smaller on disk and over the wire) and the on-device
+preprocess broadcasts back to 3 channels after the resize
+(ops/image_prep.py preprocess_images handles C==1 input) — bit-identical
+model input, since identical channels resize identically. Any genuinely
+color image at build time keeps the full RGB layout for the whole cache
+(per-file gate, cache-level layout: a memmap needs one row stride).
+
 Layout (directory):
-  cache_meta.json  — {"version", "image_size", "keys": [filename, ...]}
-  images.u8        — C-order uint8 [len(keys), S, S, 3] raw memmap
+  cache_meta.json  — {"version", "image_size", "channels", "keys": [...]}
+  images.u8        — C-order uint8 [len(keys), S, S, channels] raw memmap
 """
 
 from __future__ import annotations
@@ -31,7 +45,10 @@ import numpy as np
 
 META_NAME = "cache_meta.json"
 DATA_NAME = "images.u8"
-_VERSION = 1
+# v1: [N,S,S,3] RGB rows. v2: adds "channels" (1 for grayscale-packed
+# caches, 3 for RGB). v1 caches still open (channels defaults to 3).
+_VERSION = 2
+_READABLE_VERSIONS = (1, 2)
 
 
 def _key(path: str) -> str:
@@ -43,24 +60,32 @@ def _key(path: str) -> str:
 
 class ImageCache:
     """Read-only view of a built cache; get() returns the preprocessed
-    uint8 [S, S, 3] row or None for an unknown filename (callers fall back
-    to the live decode path, so a partial cache degrades gracefully)."""
+    uint8 [S, S, channels] row (channels is 1 for grayscale-packed caches,
+    3 for RGB) or None for an unknown filename (callers fall back to the
+    live decode path, so a partial cache degrades gracefully)."""
 
     def __init__(self, directory: str):
         meta_path = os.path.join(directory, META_NAME)
         with open(meta_path) as f:
             meta = json.load(f)
-        if meta.get("version") != _VERSION:
+        if meta.get("version") not in _READABLE_VERSIONS:
             raise ValueError(
                 f"image cache {directory} has version {meta.get('version')}, "
-                f"expected {_VERSION} — rebuild with `cache-images`"
+                f"expected one of {_READABLE_VERSIONS} — rebuild with "
+                f"`cache-images`"
             )
         self.directory = directory
         self.image_size = int(meta["image_size"])
+        self.channels = int(meta.get("channels", 3))
+        if self.channels not in (1, 3):
+            raise ValueError(
+                f"image cache {directory} has channels={self.channels}, "
+                f"expected 1 or 3"
+            )
         keys = meta["keys"]
         self._rows: Dict[str, int] = {k: i for i, k in enumerate(keys)}
-        s = self.image_size
-        expected = len(keys) * s * s * 3
+        s, c = self.image_size, self.channels
+        expected = len(keys) * s * s * c
         data_path = os.path.join(directory, DATA_NAME)
         actual = os.path.getsize(data_path)
         if actual != expected:
@@ -70,7 +95,7 @@ class ImageCache:
                 f"— rebuild with `cache-images`"
             )
         self._arr = np.memmap(
-            data_path, dtype=np.uint8, mode="r", shape=(len(keys), s, s, 3)
+            data_path, dtype=np.uint8, mode="r", shape=(len(keys), s, s, c)
         )
 
     def __len__(self) -> int:
@@ -93,6 +118,7 @@ def build_image_cache(
     image_size: int,
     directory: str,
     workers: int = 8,
+    channels: str = "auto",
 ) -> "ImageCache":
     """One-time pass: decode + host-resize every path into the memmap.
 
@@ -100,7 +126,15 @@ def build_image_cache(
     threads, one Python call per chunk — byte-identical to
     datasets.load_image, tests/test_native.py); failed or non-PNG slots
     retry through load_image (cv2), whose zero-image fallback matches the
-    native loader's zero-fill."""
+    native loader's zero-fill.
+
+    channels="auto" (default): after the decode pass, every row is checked
+    for grayscale (three identical channels — what the reference's gray→RGB
+    duplication produces for CXR sources); if ALL rows are gray the cache
+    is compacted to one channel per pixel (3x smaller rows, 3x less H2D).
+    channels="rgb" forces the full RGB layout."""
+    if channels not in ("auto", "rgb"):
+        raise ValueError(f"channels must be 'auto' or 'rgb', got {channels!r}")
     from .datasets import load_image
     from ..native import bindings as native
 
@@ -153,9 +187,48 @@ def build_image_cache(
         with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
             list(pool.map(_fill, retry))
     arr.flush()
+
+    # Grayscale gate: one streaming pass over the just-written rows (page
+    # cache still warm — memory bandwidth, not re-decode). Per-file check;
+    # one color file keeps the whole cache RGB.
+    n_channels = 3
+    if channels == "auto" and len(keys):
+        all_gray = True
+        scan = 512
+        for start in range(0, len(keys), scan):
+            block = arr[start : start + scan]
+            if not (block[..., :1] == block[..., 1:]).all():
+                all_gray = False
+                break
+        if all_gray:
+            n_channels = 1
     del arr
 
-    meta = {"version": _VERSION, "image_size": s, "keys": keys}
+    if n_channels == 1:
+        # Compact in place: channel 0 IS the gray value for every row.
+        src = np.memmap(
+            os.path.join(directory, DATA_NAME), dtype=np.uint8, mode="r",
+            shape=(len(keys), s, s, 3),
+        )
+        packed_path = os.path.join(directory, DATA_NAME + ".tmp1")
+        dst = np.memmap(
+            packed_path, dtype=np.uint8, mode="w+", shape=(len(keys), s, s, 1)
+        )
+        chunk_rows = 512
+        for start in range(0, len(keys), chunk_rows):
+            dst[start : start + chunk_rows] = (
+                src[start : start + chunk_rows, :, :, :1]
+            )
+        dst.flush()
+        del src, dst
+        os.replace(packed_path, os.path.join(directory, DATA_NAME))
+
+    meta = {
+        "version": _VERSION,
+        "image_size": s,
+        "channels": n_channels,
+        "keys": keys,
+    }
     tmp = os.path.join(directory, META_NAME + ".tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)

@@ -198,22 +198,37 @@ def _check_cache(cache, image_size: int):
     return cache
 
 
+def _cache_channels(cache) -> int:
+    """1 when the cache is grayscale-packed (see data/cache.py), else 3.
+    Every item a dataset emits uses this count so batches stack."""
+    return getattr(cache, "channels", 3) if cache is not None else 3
+
+
 def _cached_load(cache, path: str, image_size: int) -> np.ndarray:
     if cache is not None:
         img = cache.get(path)
         if img is not None:
             return img
+        if cache.channels == 1:
+            # Straggler not in a gray-packed cache: live decode, keep
+            # channel 0 (== the gray value for grayscale sources — the
+            # cache build proved every cached file is gray; a genuinely
+            # color straggler should rebuild the cache instead).
+            return load_image(path, image_size)[..., :1]
     return load_image(path, image_size)
 
 
 class ChestXrayMultiViewDataset:
-    """Exam-level dataset: (images [2, S, S, 3] uint8, labels [16],
-    findings str, view_types) — NHWC, device does the rest."""
+    """Exam-level dataset: (images [2, S, S, C] uint8, labels [16],
+    findings str, view_types) — NHWC, device does the rest. C is 3, or 1
+    when fed from a grayscale-packed cache (preprocess_images broadcasts
+    back to 3 on device, bit-identically)."""
 
     def __init__(self, index: ExamIndex, image_size: int = 224, cache=None):
         self.index = index
         self.image_size = image_size
         self.cache = _check_cache(cache, image_size)
+        self.channels = _cache_channels(self.cache)
 
     def __len__(self) -> int:
         return len(self.index)
@@ -223,7 +238,7 @@ class ChestXrayMultiViewDataset:
         views = []
         for path in (self.index.frontal_paths[i], self.index.lateral_paths[i]):
             if path is None:
-                views.append(np.zeros((s, s, 3), np.uint8))
+                views.append(np.zeros((s, s, self.channels), np.uint8))
             else:
                 views.append(_cached_load(self.cache, path, s))
         return {
@@ -249,6 +264,7 @@ class ImageTextDataset:
         self.texts = list(texts)
         self.image_size = image_size
         self.cache = _check_cache(cache, image_size)
+        self.channels = _cache_channels(self.cache)
 
     def __len__(self) -> int:
         return len(self.image_paths)
@@ -280,6 +296,7 @@ class ImageMultiLabelDataset:
         self.image_size = image_size
         self.texts = list(texts) if texts is not None else None
         self.cache = _check_cache(cache, image_size)
+        self.channels = _cache_channels(self.cache)
 
     def __len__(self) -> int:
         return len(self.image_paths)

@@ -205,11 +205,23 @@ def prefetch_to_device(
     sharding=None,
     keys: Optional[Sequence[str]] = None,
     transform: Optional[Callable[[Dict], Dict]] = None,
+    threaded: bool = False,
+    depth: int = 2,
 ) -> Iterator[Dict[str, Any]]:
     """Double-buffered H2D transfer: device_put batch N+1 while N computes.
 
     Non-array entries (strings) pass through untouched. `keys` restricts
     which entries go to device; `transform` runs host-side first.
+
+    threaded=True moves host-read + device_put into a producer thread
+    behind a bounded queue (`depth` batches deep). In-line device_put is
+    enough when the consumer never blocks the Python thread; when the
+    consumer FETCHES results synchronously (serving/e2e loops:
+    np.asarray per batch — the only reliable fence through the axon
+    tunnel), the in-line form serializes H2D behind every fetch, and the
+    producer thread is what actually overlaps them (measured: the e2e
+    sustained loop went H2D-serialized 306 img/s → overlapped, see
+    bench.py). Producer exceptions re-raise in the consumer.
     """
 
     def put(batch: Dict[str, Any]) -> Dict[str, Any]:
@@ -226,6 +238,30 @@ def prefetch_to_device(
             else:
                 out[k] = v
         return out
+
+    if threaded:
+        q: "Queue" = Queue(maxsize=max(1, depth))
+        done = object()
+
+        def producer():
+            try:
+                for batch in iterator:
+                    q.put(put(batch))
+            except BaseException as exc:  # re-raised consumer-side
+                q.put(exc)
+                return
+            q.put(done)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        return
 
     pending = None
     for batch in iterator:

@@ -99,14 +99,24 @@ def resize_bilinear(
     return x
 
 
-def _fused_prep_viable(in_h: int, in_w: int, c: int, out_w: int) -> bool:
-    """True when one image + both weight matrices fit VMEM comfortably
-    (the Pallas kernel holds the fp32 image, the H-weights and the
-    Ww⊗I_C kron in VMEM at once; ~16 MB/core on v5e)."""
-    img_f32 = in_h * in_w * c * 4
-    kron = out_w * c * in_w * c * 4
-    wh = 224 * in_h * 4
-    return img_f32 + kron + wh <= 9 * 1024 * 1024
+def _fused_prep_viable(
+    in_h: int, in_w: int, c_in: int, out_h: int, out_w: int, c_out: int
+) -> bool:
+    """True when one image's full working set fits VMEM comfortably: the
+    kernel holds the fp32 image [in_h, in_w*c_in], the H-weights
+    [out_h, in_h], the W-kron [out_w*c_out, in_w*c_in], the fp32
+    H-resized intermediate [out_h, in_w*c_in] and the output block
+    [out_h, out_w*c_out] at once (~16 MB/core on v5e; budget 12 MB leaves
+    headroom for Mosaic's own buffers — the measured-winning 512→224
+    serving shape's true working set is 9.7 MB, the old 9 MB constant
+    only admitted it by ignoring the intermediates, ADVICE r3)."""
+    img_f32 = in_h * in_w * c_in * 4
+    kron = out_w * c_out * in_w * c_in * 4
+    wh = out_h * in_h * 4
+    intermediate = out_h * in_w * c_in * 4
+    out_block = out_h * out_w * c_out * 4
+    total = img_f32 + kron + wh + intermediate + out_block
+    return total <= 12 * 1024 * 1024
 
 
 @functools.partial(
@@ -137,15 +147,22 @@ def preprocess_images(
     keep the XLA path — pure elementwise normalize, measured FASTER than
     the kernel's identity matmuls. fused="never"/"always" force a path
     ("always" still requires a real resize).
+
+    Grayscale input (C==1) with 3-channel mean/std broadcasts to a
+    3-channel output AFTER the resize: identical channels resize
+    identically, so the result is bit-identical to feeding the
+    triplicated RGB batch — at a third of the H2D bytes and resize FLOPs
+    (the grayscale-packed image cache path, data/cache.py).
     """
     _, in_h, in_w, c = images.shape
+    c_out = len(mean) if (c == 1 and len(mean) == 3) else c
     needs_resize = (in_h, in_w) != (out_h, out_w)
     use_fused = needs_resize and (
         fused == "always"
         or (
             fused == "auto"
             and jax.default_backend() == "tpu"
-            and _fused_prep_viable(in_h, in_w, c, out_w)
+            and _fused_prep_viable(in_h, in_w, c, out_h, out_w, c_out)
         )
     )
     if use_fused:
@@ -155,6 +172,7 @@ def preprocess_images(
     input_scale = 1.0 / 255.0 if images.dtype == jnp.uint8 else 1.0
     scale, bias = _norm_scale_bias(mean, std, input_scale)
     x = resize_bilinear(images, out_h, out_w, precision)
+    # C==1 → C==3: [b,H,W,1] broadcasts against the [3] scale/bias rows
     x = x * jnp.asarray(scale) + jnp.asarray(bias)
     return x.astype(out_dtype)
 
@@ -180,8 +198,19 @@ def _fused_prep_kernel(img_ref, wh_ref, ww_ref, scale_ref, bias_ref, out_ref):
 
 
 @functools.lru_cache(maxsize=16)
-def _kron_weights(in_w: int, out_w: int, channels: int) -> np.ndarray:
-    return np.kron(_resize_weights(in_w, out_w), np.eye(channels, dtype=np.float32))
+def _kron_weights(
+    in_w: int, out_w: int, c_in: int, c_out: int
+) -> np.ndarray:
+    """Dense [out_w*c_out, in_w*c_in] W-resize matrix over channel-folded
+    rows. c_in==c_out: Ww ⊗ I_C (channels pass through). c_in==1, c_out>1:
+    Ww ⊗ 1_{c_out×1} — the resize and the gray→RGB broadcast in ONE
+    matmul (each output channel reads the single input channel)."""
+    w = _resize_weights(in_w, out_w)
+    if c_in == c_out:
+        return np.kron(w, np.eye(c_in, dtype=np.float32))
+    if c_in == 1:
+        return np.kron(w, np.ones((c_out, 1), dtype=np.float32))
+    raise ValueError(f"unsupported channel map {c_in}->{c_out}")
 
 
 def _pallas_prep(folded, wh, ww, scale, bias, *, out_h, out_dtype, interpret):
@@ -273,14 +302,15 @@ def fused_resize_normalize(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, in_h, in_w, c = images.shape
+    c_out = len(mean) if (c == 1 and len(mean) == 3) else c
     folded = images.reshape(b, in_h, in_w * c)
     input_scale = 1.0 / 255.0 if images.dtype == jnp.uint8 else 1.0
     scale_c, bias_c = _norm_scale_bias(mean, std, input_scale)
-    scale = jnp.asarray(np.tile(scale_c, out_w))[None, :]  # [1, Wout*C]
+    scale = jnp.asarray(np.tile(scale_c, out_w))[None, :]  # [1, Wout*C_out]
     bias = jnp.asarray(np.tile(bias_c, out_w))[None, :]
     wh = jnp.asarray(_resize_weights(in_h, out_h))
-    ww = jnp.asarray(_kron_weights(in_w, out_w, c))
+    ww = jnp.asarray(_kron_weights(in_w, out_w, c, c_out))
     out = _prep_op(out_h, jnp.dtype(out_dtype).name, bool(interpret))(
         folded, wh, ww, scale, bias
     )
-    return out.reshape(b, out_h, out_w, c)
+    return out.reshape(b, out_h, out_w, c_out)

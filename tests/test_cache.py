@@ -79,9 +79,111 @@ class TestBuildAndRead:
     def test_decode_failure_matches_live_zero_fallback(self, tmp_path):
         bad = tmp_path / "bad.png"
         bad.write_bytes(b"not a png")
+        # an all-zero row is trivially grayscale → auto-packs to 1 channel
         cache = build_image_cache([str(bad)], 16, str(tmp_path / "c"))
+        assert cache.channels == 1
+        np.testing.assert_array_equal(
+            cache.get(str(bad)), np.zeros((16, 16, 1), np.uint8)
+        )
+        # forced-RGB layout keeps the live path's exact 3-channel zeros
+        cache = build_image_cache(
+            [str(bad)], 16, str(tmp_path / "c3"), channels="rgb"
+        )
+        assert cache.channels == 3
         np.testing.assert_array_equal(
             cache.get(str(bad)), np.zeros((16, 16, 3), np.uint8)
+        )
+
+
+class TestGrayscalePacking:
+    """Grayscale-packed caches (channels=1): the CXR ingest fast path —
+    3x smaller rows, bit-identical model input after the on-device
+    broadcast (ops/image_prep.py)."""
+
+    @pytest.fixture(scope="class")
+    def gray_dir(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("gray")
+        rng = np.random.default_rng(11)
+        for i in range(5):
+            cv2.imwrite(
+                str(d / f"CXR{i}.png"),
+                rng.integers(0, 255, (80 + 6 * i, 64 + 4 * i), np.uint8),
+            )
+        return str(d)
+
+    def test_all_gray_sources_pack_to_one_channel(self, gray_dir, tmp_path):
+        paths = _paths(gray_dir)
+        cache = build_image_cache(paths, 48, str(tmp_path / "c"), workers=2)
+        assert cache.channels == 1
+        data = os.path.join(str(tmp_path / "c"), DATA_NAME)
+        assert os.path.getsize(data) == len(paths) * 48 * 48  # 1 byte/px
+        for p in paths:
+            live = load_image(p, 48)  # [S,S,3], three identical channels
+            np.testing.assert_array_equal(live[..., :1], live[..., 1:2])
+            np.testing.assert_array_equal(cache.get(p), live[..., :1])
+
+    def test_one_color_file_keeps_rgb_layout(self, gray_dir, image_dir,
+                                             tmp_path):
+        paths = _paths(gray_dir) + _paths(image_dir)[:1]
+        cache = build_image_cache(paths, 32, str(tmp_path / "c"), workers=2)
+        assert cache.channels == 3
+        for p in paths:
+            np.testing.assert_array_equal(cache.get(p), load_image(p, 32))
+
+    def test_force_rgb_overrides_auto(self, gray_dir, tmp_path):
+        cache = build_image_cache(
+            _paths(gray_dir), 32, str(tmp_path / "c"), channels="rgb"
+        )
+        assert cache.channels == 3
+
+    def test_bad_channels_arg_rejected(self, gray_dir, tmp_path):
+        with pytest.raises(ValueError, match="channels"):
+            build_image_cache(
+                _paths(gray_dir), 32, str(tmp_path / "c"), channels="gray"
+            )
+
+    def test_v1_meta_opens_as_rgb(self, image_dir, tmp_path):
+        """Round-3 caches (version 1, no channels field) still open."""
+        d = str(tmp_path / "c")
+        build_image_cache(_paths(image_dir), 32, d)
+        meta_path = os.path.join(d, META_NAME)
+        meta = json.load(open(meta_path))
+        assert meta["channels"] == 3  # color fixture → rgb layout
+        meta["version"] = 1
+        del meta["channels"]
+        json.dump(meta, open(meta_path, "w"))
+        cache = ImageCache(d)
+        assert cache.channels == 3
+
+    def test_multiview_dataset_emits_consistent_gray_items(
+        self, gray_dir, tmp_path
+    ):
+        """Datasets fed a gray cache emit 1-channel items everywhere —
+        cached rows, the zero-view fallback, and live-decode stragglers —
+        so batches stack."""
+        from clip_for_dl_tpu.data.datasets import (
+            ChestXrayMultiViewDataset, ExamIndex,
+        )
+
+        paths = _paths(gray_dir)
+        cache = build_image_cache(paths[:-1], 48, str(tmp_path / "c"))
+        assert cache.channels == 1
+        index = ExamIndex(
+            uids=np.array(["u1", "u2", "u3"]),
+            frontal_paths=[paths[0], paths[-1], None],  # [-1] is uncached
+            lateral_paths=[paths[1], None, None],
+            labels=np.zeros((3, 16), np.float32),
+            findings=["", "", ""],
+            view_types=[("frontal", "lateral")] * 3,
+        )
+        ds = ChestXrayMultiViewDataset(index, 48, cache=cache)
+        assert ds.channels == 1
+        for i in range(3):
+            item = ds[i]
+            assert item["images"].shape == (2, 48, 48, 1)
+        # straggler went through live decode + channel-0 reduction
+        np.testing.assert_array_equal(
+            ds[1]["images"][0], load_image(paths[-1], 48)[..., :1]
         )
 
 

@@ -177,8 +177,51 @@ class TestPrepDispatchAndSharding:
 
     def test_fused_prep_vmem_gate(self):
         """The auto dispatch's VMEM viability gate admits the 512-source
-        serving shape and rejects native-resolution (2048) sources."""
+        serving shape and rejects native-resolution (2048) sources. The
+        budget uses the ACTUAL out_h (not a hardcoded 224) and counts the
+        fp32 H-resized intermediate + output block (ADVICE r3)."""
         from clip_for_dl_tpu.ops.image_prep import _fused_prep_viable
 
-        assert _fused_prep_viable(512, 512, 3, 224)
-        assert not _fused_prep_viable(2048, 2048, 3, 224)
+        assert _fused_prep_viable(512, 512, 3, 224, 224, 3)
+        assert not _fused_prep_viable(2048, 2048, 3, 224, 224, 3)
+        # a tall output target inflates wh + intermediate + out blocks:
+        # the old 224-hardcoded estimate said yes here, the real budget no
+        assert not _fused_prep_viable(768, 768, 3, 2048, 224, 3)
+
+    def test_gray_broadcast_paths_bit_identical_to_rgb(self, rng):
+        """C==1 input + 3-channel mean/std → 3-channel output identical
+        to feeding the triplicated RGB batch, on every path (identity
+        resize, XLA resize, fused Pallas kernel) — the grayscale-packed
+        cache contract (data/cache.py)."""
+        mean, std = (0.48, 0.45, 0.40), (0.26, 0.26, 0.27)
+        g = rng.integers(0, 256, (2, 64, 48, 1), dtype=np.uint8)
+        rgb = np.repeat(g, 3, axis=-1)
+        # identity resize (the 224-cache e2e hot path)
+        a = preprocess_images(jnp.asarray(g), 64, 48, mean, std, jnp.float32)
+        b = preprocess_images(jnp.asarray(rgb), 64, 48, mean, std,
+                              jnp.float32)
+        assert a.shape == (2, 64, 48, 3)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # real resize, XLA path
+        a = preprocess_images(jnp.asarray(g), 32, 32, mean, std,
+                              jnp.float32, fused="never")
+        b = preprocess_images(jnp.asarray(rgb), 32, 32, mean, std,
+                              jnp.float32, fused="never")
+        assert a.shape == (2, 32, 32, 3)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # fused Pallas kernel (broadcast folded into the W-resize kron)
+        af = fused_resize_normalize(jnp.asarray(g), 32, 32, mean, std,
+                                    jnp.float32, interpret=True)
+        bf = fused_resize_normalize(jnp.asarray(rgb), 32, 32, mean, std,
+                                    jnp.float32, interpret=True)
+        assert af.shape == (2, 32, 32, 3)
+        np.testing.assert_allclose(np.asarray(af), np.asarray(bf),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_gray_single_channel_mean_stays_single_channel(self, rng):
+        """C==1 with 1-channel constants keeps a 1-channel output (no
+        implicit broadcast)."""
+        g = rng.integers(0, 256, (2, 32, 32, 1), dtype=np.uint8)
+        out = preprocess_images(jnp.asarray(g), 32, 32, (0.5,), (0.25,),
+                                jnp.float32)
+        assert out.shape == (2, 32, 32, 1)
