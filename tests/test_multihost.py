@@ -108,14 +108,18 @@ def test_two_process_dp_matches_single_process(tmp_path):
 @pytest.mark.slow
 @pytest.mark.parametrize("extra, name", [
     (["--regime", "dp_tp"], "dp_tp"),
+    (["--regime", "dp_pp"], "dp_pp"),
+    (["--regime", "dp_ep"], "dp_ep"),
     (["--loss", "local"], "local_loss"),
     (["--loss", "siglip_ring"], "siglip_ring"),
 ])
 def test_two_process_regimes_match_single_process(tmp_path, extra, name):
-    """The r2 proof ran dp only — these legs run the tensor-parallel mesh
-    and the local-loss / SigLIP-ring loss forms ACROSS the process
-    boundary (the shard_map data axis and the TP model axis both span the
-    2-process device set) and must match the 1-process 8-device run."""
+    """The r2 proof ran dp only — these legs run the tensor-parallel mesh,
+    the GPipe pipeline (stage axis spanning the process boundary, ppermute
+    hops crossing it), the expert-parallel MoE mesh, and the local-loss /
+    SigLIP-ring loss forms ACROSS the process boundary (the shard_map data
+    axis and the model/stage/expert axes all span the 2-process device
+    set) and must match the 1-process 8-device run."""
     steps, batch = 3, 8
     (tmp_path / "sp").mkdir()
     (tmp_path / "mp").mkdir()
