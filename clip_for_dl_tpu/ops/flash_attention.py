@@ -73,6 +73,24 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 # fully-padded row's softmax stays finite (see module docstring).
 _NEG_BIG = -1e30
 
+# Single-block design bound: each grid step holds one batch row's full
+# [NP, NP] fp32 logits (+ probs) per head in VMEM. At N=512, H=12, D=64
+# that is ~5 MB — comfortable; at N=1024 the logits alone quadruple and
+# Mosaic fails with an opaque VMEM-exhaustion error. Guard with a clear
+# ValueError instead (ADVICE r3): longer sequences need a multi-block
+# (tiled-KV) kernel, which this workload (seq ≤ 512 text) never hits.
+MAX_SEQ_LEN = 512
+
+
+def _check_seq_len(n: int) -> None:
+    if n > MAX_SEQ_LEN:
+        raise ValueError(
+            f"flash attention supports sequence length ≤ {MAX_SEQ_LEN} "
+            f"(single-block kernel holds the full [N, N] logits in VMEM); "
+            f"got N={n}. Use the XLA attention path for longer sequences "
+            f"(flash_attention=False in the tower config)."
+        )
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -615,6 +633,7 @@ def flash_attention_packed(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, N, HD3 = qkv.shape
+    _check_seq_len(N)
     if HD3 % (3 * heads):
         raise ValueError(f"last dim {HD3} not divisible by 3*heads")
     if key_bias is None:
@@ -673,6 +692,7 @@ def flash_attention(
     elif layout != "bnhd":
         raise ValueError(f"layout must be 'bnhd' or 'bhnd', got {layout!r}")
     B, N, H, D = q.shape
+    _check_seq_len(N)
     if key_bias is None:
         bias = jnp.zeros((B, N), jnp.float32)
     else:

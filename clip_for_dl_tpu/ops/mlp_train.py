@@ -298,11 +298,14 @@ def _mlp(approximate, interpret, x, w1, b1, w2, b2):
 
 def _mlp_fwd(approximate, interpret, x, w1, b1, w2, b2):
     out = _fwd_op(approximate, interpret)(x, w1, b1, w2, b2)
-    return out, (x, w1, b1, w2)
+    # b2 rides along ([H2] — negligible) so db2 casts to ITS dtype; using
+    # b1's dtype silently produced a wrong-dtype gradient if the two
+    # biases ever diverge (ADVICE r3)
+    return out, (x, w1, b1, w2, b2)
 
 
 def _mlp_bwd(approximate, interpret, res, dy):
-    x, w1, b1, w2 = res
+    x, w1, b1, w2, b2 = res
     dy = dy.astype(x.dtype)
     dx, g, dh = _bwd_op(approximate, interpret)(x, w1, b1, w2, dy)
     # the weight grads are two clean full-size GEMMs — XLA runs these at
@@ -310,8 +313,7 @@ def _mlp_bwd(approximate, interpret, res, dy):
     dw1 = _dot(x, dh, ((0,), (0,))).astype(w1.dtype)
     db1 = jnp.sum(dh.astype(jnp.float32), axis=0).astype(b1.dtype)
     dw2 = _dot(g, dy, ((0,), (0,))).astype(w2.dtype)
-    # b1/b2 share the model's param dtype
-    db2 = jnp.sum(dy.astype(jnp.float32), axis=0).astype(b1.dtype)
+    db2 = jnp.sum(dy.astype(jnp.float32), axis=0).astype(b2.dtype)
     return dx, dw1, db1, dw2, db2
 
 
