@@ -1,4 +1,4 @@
-.PHONY: test test-fast check-fast-budget bench native smoke parity latency pipeline scaling trainbench tracereport clean
+.PHONY: test test-fast check-fast-budget bench native smoke parity latency pipeline scaling trainbench tracereport realdata day-one accumreport clean
 
 test:
 	python -m pytest tests/ -q
@@ -42,6 +42,9 @@ tracereport:  ## per-op device-time table from a jax.profiler capture
 
 realdata:  ## day-one drill: Kaggle-layout dataset + full CLI chain + schema diff
 	python tools/real_data_dryrun.py
+
+day-one:  ## one-command real-hardware bring-up: prep -> cache-images -> hub-init pretrain -> adapter -> zeroshot -> convert -> parity gate (real assets from real_assets/ or $$CLIP_FOR_DL_REAL_ASSETS; validated stand-ins otherwise)
+	python tools/day_one.py
 
 accumreport:  ## measured HBM effect of GradCache accumulation (XLA memory_analysis)
 	python tools/accum_report.py --tiny

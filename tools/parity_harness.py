@@ -58,6 +58,10 @@ def main(argv=None) -> int:
     p.add_argument("--temperature", type=float, default=0.5)
     p.add_argument("--tiny", action="store_true",
                    help="small towers (fast smoke)")
+    p.add_argument("--width", type=int, default=None,
+                   help="ResNet stem width override (default 8 with "
+                        "--tiny, 64 otherwise); tools/day_one.py passes "
+                        "16 to match the CLI's --tiny checkpoints")
     p.add_argument("--from-png", action="store_true",
                    help="start both chains from PNG BYTES on disk "
                         "(decode + resize + normalize + both towers + "
@@ -97,6 +101,8 @@ def main(argv=None) -> int:
         stages, width, size = (1, 1, 1, 1), 8, 64
     else:
         stages, width, size = (3, 4, 6, 3), 64, args.image_size
+    if args.width:
+        width = args.width
     feat_dim = width * 8 * 4
 
     # -- reference side -----------------------------------------------------

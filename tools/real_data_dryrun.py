@@ -52,8 +52,13 @@ BASELINE_METRIC_KEYS = {
 LABELED_CSV_COLUMNS = 25  # 01_preprocess_data/indiana_reports_labeled.csv
 
 
-def make_miniature_dataset(root: str, n_uids: int = 24) -> dict:
-    """Kaggle layout: images/images_normalized/*.dcm.png + the two CSVs."""
+def make_miniature_dataset(root: str, n_uids: int = 24,
+                           gray: bool = False) -> dict:
+    """Kaggle layout: images/images_normalized/*.dcm.png + the two CSVs.
+
+    gray=True writes single-channel PNGs — the real Indiana sources are
+    8-bit grayscale, and tools/day_one.py uses this to rehearse the
+    grayscale-packed cache path (data/cache.py) end to end."""
     import numpy as np
     import pandas as pd
 
@@ -87,7 +92,8 @@ def make_miniature_dataset(root: str, n_uids: int = 24) -> dict:
         })
         for view, tag in (("Frontal", "IM-0001-1001"), ("Lateral", "IM-0001-2001")):
             fname = f"CXR{uid}_{tag}.dcm.png"
-            img = rng.integers(20, 235, (256, 208, 3), dtype=np.uint8)
+            shape = (256, 208) if gray else (256, 208, 3)
+            img = rng.integers(20, 235, shape, dtype=np.uint8)
             cv2.imwrite(os.path.join(img_dir, fname), img)
             projections.append(
                 {"uid": uid, "filename": fname, "projection": view}
