@@ -22,6 +22,40 @@ import jax
 import numpy as np
 
 
+def length_grouped_order(
+    order: np.ndarray,
+    lengths: Sequence[int],
+    batch_size: int,
+    window_batches: int = 50,
+) -> np.ndarray:
+    """Reorder a SHUFFLED epoch order so contiguous batches are
+    length-homogeneous: chunk the shuffled order into windows of
+    ``window_batches * batch_size`` samples and sort each window by
+    length, descending (stable).
+
+    With per-batch length bucketing (``encode_bucketed``) a uniformly
+    shuffled epoch wastes the win: at B=128 on the real Indiana report
+    distribution (p50=34, p99≈100 tokens) almost every batch contains one
+    long report and pads to the 128/200 bucket. Grouping recovers it —
+    the windows come from the shuffled order, so window CONTENTS stay
+    random across epochs; only lengths within a window are grouped (the
+    standard length-grouped sampler scheme, cf. HF transformers
+    LengthGroupedSampler). Descending sort puts each window's longest
+    batch first, so an OOM would surface on batch 0.
+
+    Pure function of its inputs, so the loader's (seed, epoch)-keyed
+    shuffle + mid-epoch resume semantics are unchanged.
+    """
+    lengths = np.asarray(lengths)
+    window = max(1, window_batches) * batch_size
+    chunks = []
+    for start in range(0, len(order), window):
+        w = order[start : start + window]
+        # stable sort on negated lengths = descending, ties keep shuffle order
+        chunks.append(w[np.argsort(-lengths[w], kind="stable")])
+    return np.concatenate(chunks) if chunks else order
+
+
 def _collate(samples: Sequence[Dict]) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for key in samples[0]:
@@ -56,6 +90,8 @@ class HostLoader:
         num_shards: int = 1,
         even_shards: bool = False,
         pad_shards: bool = False,
+        lengths: Optional[Sequence[int]] = None,
+        length_group_window: int = 50,
     ):
         """`shard_index`/`num_shards`: multi-host data parallelism — every
         host sees the same global shuffle (seed+epoch) and takes a disjoint
@@ -90,6 +126,16 @@ class HostLoader:
         self.num_shards = num_shards
         self.even_shards = even_shards
         self.pad_shards = pad_shards
+        # per-sample sequence lengths → length-grouped batches (see
+        # length_grouped_order); applied to the shuffled order only, so
+        # eval/deterministic iteration is untouched
+        if lengths is not None and len(lengths) != len(dataset):
+            raise ValueError(
+                f"lengths has {len(lengths)} entries for a "
+                f"{len(dataset)}-sample dataset"
+            )
+        self.lengths = None if lengths is None else np.asarray(lengths)
+        self.length_group_window = length_group_window
         self._epoch = 0
         self._step = 0
         self._resume = False
@@ -116,6 +162,11 @@ class HostLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
+            if self.lengths is not None:
+                order = length_grouped_order(
+                    order, self.lengths, self.batch_size,
+                    self.length_group_window,
+                )
         valid = np.ones(len(order), bool)
         if self.num_shards > 1:
             if self.even_shards:

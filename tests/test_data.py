@@ -130,6 +130,78 @@ class TestLoader:
         assert isinstance(out[0]["images"], jax.Array)
         assert isinstance(out[0]["findings"], list)
 
+    def test_prefetch_threaded_matches_inline(self):
+        """threaded=True (producer-thread H2D, the e2e/serving overlap
+        path) yields the same batches in the same order as the in-line
+        double-buffered form."""
+        ds = SyntheticMultiViewDataset(n=10, image_size=8)
+
+        def batches():
+            return iter(HostLoader(ds, batch_size=4, shuffle=True, seed=1))
+
+        inline = list(prefetch_to_device(batches(), keys=("images",)))
+        threaded = list(prefetch_to_device(
+            batches(), keys=("images",), threaded=True
+        ))
+        assert len(inline) == len(threaded) == 3
+        for a, b in zip(inline, threaded):
+            np.testing.assert_array_equal(
+                np.asarray(a["images"]), np.asarray(b["images"])
+            )
+            assert a["findings"] == b["findings"]
+
+    def test_prefetch_threaded_reraises_producer_error(self):
+        def boom():
+            yield {"x": np.zeros(2)}
+            raise RuntimeError("decode failed")
+
+        it = prefetch_to_device(boom(), threaded=True)
+        next(it)
+        with pytest.raises(RuntimeError, match="decode failed"):
+            next(it)
+
+
+class TestLengthGrouped:
+    def test_order_groups_without_losing_samples(self):
+        from clip_for_dl_tpu.data.loader import length_grouped_order
+
+        rng = np.random.default_rng(0)
+        lengths = rng.integers(2, 200, 256)
+        order = rng.permutation(256)
+        out = length_grouped_order(order, lengths, batch_size=8,
+                                   window_batches=4)
+        # a permutation of the input order (nothing dropped/duplicated)
+        assert sorted(out) == sorted(order)
+        # within each 32-sample window, lengths are descending
+        for s in range(0, 256, 32):
+            w = lengths[out[s:s + 32]]
+            assert (np.diff(w) <= 0).all()
+
+    def test_loader_batches_are_length_homogeneous(self):
+        ds = SyntheticImageTextDataset(n=64, image_size=8)
+        lengths = np.arange(64)[::-1].copy()  # deterministic spread
+        grouped = HostLoader(ds, batch_size=8, shuffle=True, seed=2,
+                             lengths=lengths, length_group_window=2)
+        plain = HostLoader(ds, batch_size=8, shuffle=True, seed=2)
+        # grouped epoch = same sample set, different order
+        g_texts = [t for b in grouped for t in b["text"]]
+        p_texts = [t for b in plain for t in b["text"]]
+        assert sorted(g_texts) == sorted(p_texts)
+        # per-batch length spread shrinks vs the uniform shuffle
+        def spreads(loader):
+            out = []
+            idx = {ds[i]["text"]: i for i in range(64)}
+            for b in loader:
+                ls = lengths[[idx[t] for t in b["text"]]]
+                out.append(ls.max() - ls.min())
+            return out
+        assert np.mean(spreads(grouped)) < np.mean(spreads(plain))
+
+    def test_lengths_size_mismatch_rejected(self):
+        ds = SyntheticImageTextDataset(n=8, image_size=8)
+        with pytest.raises(ValueError, match="lengths"):
+            HostLoader(ds, batch_size=4, lengths=np.arange(5))
+
 
 def test_synthetic_labels_shape():
     ds = SyntheticMultiViewDataset(n=32, image_size=8)

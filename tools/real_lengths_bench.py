@@ -1,0 +1,462 @@
+"""Bucketed pretrain on the REAL Indiana report length distribution.
+
+VERDICT r3 item 2: `--bucket-text` was measured only at a fixed synthetic
+seq 64 (1,090.7 img/s vs 627.8 padded-200, NOTES.md); the reference pads
+every report to max_length (`/root/reference/0425/train.py:809-815`, 02 nb
+trains at max_text_length=200). This tool grounds the flag in the actual
+workload:
+
+1. Tokenizes the REAL `findings` column of
+   `/root/reference/00_data/indiana_reports.csv` (3,851 reports; the
+   training text per `prepare_data.py:162-165` — empty when NaN) with the
+   framework WordPiece tokenizer (`text/tokenizer.py`) and reports the
+   token-length histogram, percentiles, and the bucket each batch of a
+   shuffled epoch lands in.
+
+   No real Bio_ClinicalBERT `vocab.txt` ships in this container, so the
+   vocab is built from the corpus itself two ways to BRACKET the real
+   distribution:
+   - `corpus`: every corpus word is a vocab entry -> token count =
+     basic-token count + [CLS]/[SEP]. Lower bound (real WordPiece splits
+     rare words into a few pieces).
+   - `top1000`: only the 1,000 most frequent words are whole entries;
+     everything else falls to char pieces. A far harsher splitter than the
+     real 30,522-entry vocab -> upper bound.
+
+2. Measures the EFFECTIVE epoch throughput of the real pretrain step
+   (ResNet-50 + BERT fwd+bwd + AdamW, B=128) when each batch pads to its
+   `encode_bucketed` bucket (32/64/128/200 — one compile per bucket that
+   actually occurs) vs every batch padded to 200, and runs the same first
+   N optimizer steps BOTH ways from one init to pin loss-trajectory
+   parity (masked attention makes pad positions inert; the trajectories
+   must agree to float-accumulation noise).
+
+Usage:
+  python tools/real_lengths_bench.py --hist-only       # host-only, fast
+  python tools/real_lengths_bench.py                   # + chip measurement
+  ... --out benchmarks/bucketed_pretrain               # write .md/.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPORTS_CSV = "/root/reference/00_data/indiana_reports.csv"
+BUCKETS = (32, 64, 128)  # + max_length 200 as the implicit top bucket
+
+
+def load_findings(csv_path: str) -> list:
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    # prepare_data.py:162-165 — findings, "" when NaN
+    return [
+        str(t) if pd.notna(t) else "" for t in df["findings"].tolist()
+    ]
+
+
+def build_vocabs(texts: list) -> dict:
+    from clip_for_dl_tpu.text import build_tiny_vocab
+    from clip_for_dl_tpu.text.tokenizer import BasicTokenizer
+
+    basic = BasicTokenizer(do_lower_case=False)
+    counts: collections.Counter = collections.Counter()
+    for t in texts:
+        counts.update(basic.tokenize(t))
+    all_words = [w for w, _ in counts.most_common()]
+    return {
+        "corpus": build_tiny_vocab(all_words),
+        "top1000": build_tiny_vocab(all_words[:1000]),
+    }
+
+
+def length_stats(tok, texts: list, max_length: int) -> dict:
+    enc = tok.encode(texts, max_length=max_length, padding="longest")
+    lens = enc["attention_mask"].sum(1)
+    pct = {
+        f"p{q}": int(np.percentile(lens, q)) for q in (10, 50, 90, 95, 99)
+    }
+    hist_edges = [0, 16, 32, 48, 64, 96, 128, 200]
+    hist = np.histogram(lens, bins=hist_edges + [max_length + 1])[0]
+    return {
+        "n": int(len(lens)),
+        "mean": round(float(lens.mean()), 1),
+        **pct,
+        "max": int(lens.max()),
+        "truncated_at_200": int((lens >= max_length).sum()),
+        "hist_edges": hist_edges,
+        "hist": hist.tolist(),
+        "lens": lens,
+    }
+
+
+def epoch_buckets(tok, texts: list, batch_size: int, max_length: int,
+                  seed: int = 42,
+                  grouped: bool = False) -> collections.Counter:
+    """Bucket of every batch of one shuffled epoch (reference shuffles,
+    02 nb DataLoader shuffle=True; drop_last semantics match cli pretrain).
+
+    grouped=True applies the loader's length-grouped windowed sort
+    (`data/loader.py length_grouped_order`, pretrain --length-grouped):
+    at B=128 a uniformly shuffled batch nearly always carries one
+    p99-length report and pads to the 128/200 bucket; grouping is what
+    lets the p50=34-token mass actually land in the small buckets."""
+    from clip_for_dl_tpu.data.loader import length_grouped_order
+
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(texts))
+    if grouped:
+        lens = tok.encode(
+            texts, max_length=max_length, padding="longest"
+        )["attention_mask"].sum(1)
+        order = length_grouped_order(order, lens, batch_size)
+    out: collections.Counter = collections.Counter()
+    for i in range(0, len(texts) - batch_size + 1, batch_size):
+        chunk = [texts[j] for j in order[i:i + batch_size]]
+        enc = tok.encode_bucketed(chunk, max_length=max_length,
+                                  buckets=BUCKETS)
+        out[enc["input_ids"].shape[1]] += 1
+    return out
+
+
+def measure_chip(vocab_size: int, bucket_counts: collections.Counter,
+                 batch_size: int, iters: int, parity_steps: int,
+                 tok, texts: list, max_length: int,
+                 extra_buckets=()) -> dict:
+    """Per-bucket step time on the chip + padded-vs-bucketed loss parity."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_for_dl_tpu.core.compile_cache import enable_from_env
+    from clip_for_dl_tpu.core.config import ModelConfig
+
+    enable_from_env()
+    from clip_for_dl_tpu.models import CXRClip
+    from clip_for_dl_tpu.train import (
+        TrainState,
+        base_transform,
+        make_clip_pretrain_step,
+        make_label_fn,
+    )
+
+    size = 224
+    lrs = {
+        "image_tower": 1e-4, "text_tower": 1e-5,
+        "image_projector": 1e-3, "text_projector": 1e-3, "default": 1e-4,
+    }
+    label_fn = make_label_fn(
+        ["image_tower", "text_tower", "image_projector", "text_projector"]
+    )
+    tx = base_transform(max_grad_norm=1.0, weight_decay=1e-3)
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (batch_size, size, size, 3),
+                          dtype=np.uint8)
+
+    # Batches of one shuffled epoch, tokenized ONCE; reused for both the
+    # per-bucket timing and the two parity trajectories.
+    order = np.random.default_rng(42).permutation(len(texts))
+    batches = []
+    for i in range(0, len(texts) - batch_size + 1, batch_size):
+        chunk = [texts[j] for j in order[i:i + batch_size]]
+        batches.append({
+            "bucketed": tok.encode_bucketed(chunk, max_length=max_length,
+                                            buckets=BUCKETS),
+            "padded": tok.encode(chunk, max_length=max_length,
+                                 padding="max_length"),
+        })
+
+    compiled = {}
+    state0 = None
+
+    def step_for(seq: int):
+        nonlocal state0
+        if seq in compiled:
+            return compiled[seq]
+        cfg = ModelConfig(max_text_length=seq, vocab_size=vocab_size)
+        model = CXRClip(cfg, dtype=jnp.bfloat16)
+        variables = model.init(
+            jax.random.key(0),
+            jnp.zeros((1, size, size, 3)),
+            jnp.zeros((1, seq), jnp.int32),
+        )
+        step = jax.jit(
+            make_clip_pretrain_step(
+                model, tx, label_fn, "clip_self_distill",
+                temperature=2.0, image_size=size,
+                compute_dtype=jnp.bfloat16,
+            ),
+        )
+        state = TrainState.create(variables, tx)
+        batch = {
+            "images": jax.device_put(images),
+            "input_ids": jax.device_put(
+                np.zeros((batch_size, seq), np.int32)),
+            "attention_mask": jax.device_put(
+                np.ones((batch_size, seq), np.int32)),
+        }
+        c = step.lower(state, batch, lrs, jax.random.key(0)).compile()
+        if state0 is None:
+            state0 = state
+        compiled[seq] = (c, state)
+        return compiled[seq]
+
+    # --- per-bucket step time (the FLOPs don't depend on params/inputs) ---
+    per_bucket = {}
+    for seq in sorted(set(bucket_counts) | set(extra_buckets)):
+        c, state = step_for(seq)
+        batch = {
+            "images": jax.device_put(images),
+            "input_ids": jax.device_put(
+                rng.integers(0, vocab_size, (batch_size, seq)).astype(
+                    np.int32)),
+            "attention_mask": jax.device_put(
+                np.ones((batch_size, seq), np.int32)),
+        }
+        st = state
+        for i in range(3):
+            st, m = c(st, batch, lrs, jax.random.key(i))
+        float(np.asarray(m["loss"]))
+        t0 = time.perf_counter()
+        for i in range(iters):
+            st, m = c(st, batch, lrs, jax.random.key(i))
+        float(np.asarray(m["loss"]))
+        per_bucket[seq] = (time.perf_counter() - t0) / iters
+
+    n_batches = sum(bucket_counts.values())
+    t_bucketed = sum(per_bucket[s] * n for s, n in bucket_counts.items())
+    t_padded = per_bucket.get(max_length)
+    if t_padded is None:
+        c, state = step_for(max_length)
+        batch = {
+            "images": jax.device_put(images),
+            "input_ids": jax.device_put(
+                rng.integers(0, vocab_size,
+                             (batch_size, max_length)).astype(np.int32)),
+            "attention_mask": jax.device_put(
+                np.ones((batch_size, max_length), np.int32)),
+        }
+        st = state
+        for i in range(3):
+            st, m = c(st, batch, lrs, jax.random.key(i))
+        float(np.asarray(m["loss"]))
+        t0 = time.perf_counter()
+        for i in range(iters):
+            st, m = c(st, batch, lrs, jax.random.key(i))
+        float(np.asarray(m["loss"]))
+        t_padded = (time.perf_counter() - t0) / iters
+        per_bucket[max_length] = t_padded
+
+    # --- loss-trajectory parity: same init, same data, first N steps ---
+    # The bucketed run re-pads each batch's ids to max_length ONLY for
+    # state bookkeeping — no: each variant runs its own shapes; the padded
+    # step's extra positions are mask-inert, so losses must match.
+    def run_traj(kind: str) -> list:
+        losses = []
+        # all seqs share one param tree: take state from the max_length
+        # program (same init key + same shapes for every param)
+        _, state = step_for(max_length)
+        st = state
+        for i, b in enumerate(batches[:parity_steps]):
+            enc = b[kind]
+            seq = enc["input_ids"].shape[1]
+            c, _ = step_for(seq)
+            batch = {
+                "images": jax.device_put(images),
+                "input_ids": jax.device_put(enc["input_ids"]),
+                "attention_mask": jax.device_put(enc["attention_mask"]),
+            }
+            st, m = c(st, batch, lrs, jax.random.key(i))
+            losses.append(float(np.asarray(m["loss"])))
+        return losses
+
+    pad_traj = run_traj("padded")
+    buck_traj = run_traj("bucketed")
+    max_dloss = max(abs(a - b) for a, b in zip(pad_traj, buck_traj))
+
+    return {
+        "batch_size": batch_size,
+        "iters_per_bucket": iters,
+        "per_bucket_step_ms": {
+            str(s): round(t * 1e3, 1) for s, t in sorted(per_bucket.items())
+        },
+        "epoch_batches_per_bucket": {
+            str(s): n for s, n in sorted(bucket_counts.items())
+        },
+        "padded_img_s": round(batch_size / t_padded, 1),
+        "bucketed_effective_img_s": round(
+            batch_size * n_batches / t_bucketed, 1),
+        "speedup": round(t_padded * n_batches / t_bucketed, 2),
+        "parity_steps": parity_steps,
+        "loss_traj_padded": [round(x, 4) for x in pad_traj],
+        "loss_traj_bucketed": [round(x, 4) for x in buck_traj],
+        "max_abs_dloss": round(max_dloss, 5),
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--csv", default=REPORTS_CSV)
+    p.add_argument("--hist-only", action="store_true")
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--max-length", type=int, default=200)
+    p.add_argument("--iters", type=int, default=15)
+    p.add_argument("--parity-steps", type=int, default=12)
+    p.add_argument("--out", default=None, metavar="BASE")
+    args = p.parse_args(argv)
+
+    from clip_for_dl_tpu.text import BertTokenizer
+
+    texts = load_findings(args.csv)
+    vocabs = build_vocabs(texts)
+    result = {
+        "metric": "real Indiana report token lengths + bucketed pretrain",
+        "csv": args.csv,
+        "reports": len(texts),
+        "empty_findings": sum(not t for t in texts),
+        "buckets": list(BUCKETS) + [args.max_length],
+        "vocabs": {},
+    }
+    bucket_counts = {}
+    grouped_counts = {}
+    toks = {}
+    for name, vocab in vocabs.items():
+        tok = BertTokenizer(vocab)
+        toks[name] = tok
+        stats = length_stats(tok, texts, args.max_length)
+        stats.pop("lens")
+        counts = epoch_buckets(tok, texts, args.batch_size,
+                               args.max_length)
+        counts_g = epoch_buckets(tok, texts, args.batch_size,
+                                 args.max_length, grouped=True)
+        bucket_counts[name] = counts
+        grouped_counts[name] = counts_g
+        result["vocabs"][name] = {
+            "vocab_size": len(vocab),
+            **stats,
+            "epoch_batches_per_bucket": {
+                str(s): n for s, n in sorted(counts.items())
+            },
+            "epoch_batches_per_bucket_length_grouped": {
+                str(s): n for s, n in sorted(counts_g.items())
+            },
+        }
+        print(json.dumps({name: result["vocabs"][name]}), file=sys.stderr)
+
+    if not args.hist_only:
+        import jax
+
+        result["backend"] = jax.default_backend()
+        # measure on the harsher (top1000) distribution — if bucketing wins
+        # there it wins a fortiori on the realistic one; report both
+        # bucket mixes against the same per-bucket step times
+        extra = set()
+        for mixes in (bucket_counts, grouped_counts):
+            for c in mixes.values():
+                extra |= set(c)
+        chip = measure_chip(
+            len(vocabs["top1000"]), bucket_counts["top1000"],
+            args.batch_size, args.iters, args.parity_steps,
+            toks["top1000"], texts, args.max_length,
+            extra_buckets=extra,
+        )
+        result["chip"] = chip
+        per_bucket = {int(k): v / 1e3
+                      for k, v in chip["per_bucket_step_ms"].items()}
+
+        def mix_rate(mix) -> float:
+            n_b = sum(mix.values())
+            t_mix = sum(per_bucket.get(s, per_bucket[args.max_length]) * n
+                        for s, n in mix.items())
+            return round(args.batch_size * n_b / t_mix, 1)
+
+        result["chip"]["effective_img_s_by_mix"] = {
+            "padded_200": chip["padded_img_s"],
+            "bucketed_shuffled_top1000": mix_rate(bucket_counts["top1000"]),
+            "bucketed_shuffled_corpus": mix_rate(bucket_counts["corpus"]),
+            "bucketed_grouped_top1000": mix_rate(grouped_counts["top1000"]),
+            "bucketed_grouped_corpus": mix_rate(grouped_counts["corpus"]),
+        }
+        # back-compat field names used by the .md writer
+        result["chip"]["corpus_mix_effective_img_s"] = mix_rate(
+            bucket_counts["corpus"])
+
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out + ".json", "w") as f:
+            json.dump(result, f, indent=1)
+        v = result["vocabs"]
+        lines = [
+            "# Bucketed pretrain on the real Indiana report lengths",
+            "",
+            f"Token lengths of the REAL `findings` column "
+            f"({result['reports']} reports, {result['empty_findings']} "
+            f"empty), framework WordPiece tokenizer, two corpus-derived "
+            f"vocabs bracketing the (absent in-container) Bio_ClinicalBERT "
+            f"vocab: `corpus` = every word whole (lower bound), `top1000` "
+            f"= only the 1,000 most frequent words whole, the rest char "
+            f"pieces (harsh upper bound). Reference pads ALL of these to "
+            f"max_length (0425/train.py:809-815; 02 nb seq 200).",
+            "",
+            "| vocab | p50 | p90 | p95 | p99 | max | truncated@200 | "
+            "epoch batches/bucket (shuffled) | (length-grouped) |",
+            "|---|---|---|---|---|---|---|---|---|",
+        ]
+        for name in ("corpus", "top1000"):
+            s = v[name]
+            bb = ", ".join(
+                f"{k}:{n}" for k, n in s["epoch_batches_per_bucket"].items()
+            )
+            bg = ", ".join(
+                f"{k}:{n}" for k, n in
+                s["epoch_batches_per_bucket_length_grouped"].items()
+            )
+            lines.append(
+                f"| {name} | {s['p50']} | {s['p90']} | {s['p95']} "
+                f"| {s['p99']} | {s['max']} | {s['truncated_at_200']} "
+                f"| {bb} | {bg} |"
+            )
+        if "chip" in result:
+            c = result["chip"]
+            sb = ", ".join(f"{k}: {v} ms"
+                           for k, v in c["per_bucket_step_ms"].items())
+            lines += [
+                "",
+                f"Chip measurement (B={c['batch_size']}, real pretrain "
+                f"step, per-bucket step time: {sb}):",
+                "",
+                f"- padded-200 epoch: **{c['padded_img_s']} img/s**",
+                f"- bucketed epoch (top1000 mix): "
+                f"**{c['bucketed_effective_img_s']} img/s** "
+                f"({c['speedup']}x)",
+                f"- bucketed epoch (corpus mix): "
+                f"**{c['corpus_mix_effective_img_s']} img/s**",
+                f"- + `--length-grouped` (loader windowed sort, "
+                f"`data/loader.py length_grouped_order`): "
+                f"**{c['effective_img_s_by_mix']['bucketed_grouped_top1000']}"
+                f" img/s** (top1000) / "
+                f"**{c['effective_img_s_by_mix']['bucketed_grouped_corpus']}"
+                f" img/s** (corpus)",
+                f"- loss-trajectory parity over {c['parity_steps']} "
+                f"optimizer steps (same init/data): max|dloss| = "
+                f"{c['max_abs_dloss']} (pad positions are mask-inert; "
+                f"difference is bf16 accumulation order only)",
+                "",
+                "Generated by `python tools/real_lengths_bench.py --out "
+                + args.out + "` (VERDICT r3 item 2).",
+            ]
+        with open(args.out + ".md", "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
