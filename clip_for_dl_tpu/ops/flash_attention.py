@@ -81,6 +81,17 @@ _NEG_BIG = -1e30
 # (tiled-KV) kernel, which this workload (seq ≤ 512 text) never hits.
 MAX_SEQ_LEN = 512
 
+# Backward lane packing: process D=64 heads in PAIRS as batched 3-D dots
+# so each MXU issue spans 128 lanes instead of 64 (VERDICT r3 weak #4).
+# Bitwise-identical results (tools/probe_bwd_lane_packing.py). Read once
+# at import — a per-call flag would silently go stale inside already-
+# compiled jit programs. Set CLIP_FOR_DL_TPU_FLASH_BWD_PACK2=0 to A/B
+# the per-head form (tools/train_bench.py runs in a subprocess, so the
+# env var is a clean toggle there).
+import os as _os
+
+BWD_PACK2 = _os.environ.get("CLIP_FOR_DL_TPU_FLASH_BWD_PACK2", "1") != "0"
+
 
 def _check_seq_len(n: int) -> None:
     if n > MAX_SEQ_LEN:
@@ -192,6 +203,43 @@ def _head_bwd(q, k, v, do, bias, seed, h, scale, rate):
     return dq, dk, dv
 
 
+def _pair_bwd(q2, k2, v2, do2, bias, seed, h0, scale, rate):
+    """Two heads' (dq, dk, dv) as BATCHED 3-D dots — heads h0 and h0+1
+    stacked on a leading batch dim so every narrow [NP,·]×[·,64] matmul
+    issues as one batched dot over a 128-lane pair instead of two 64-lane
+    singles (probe: tools/probe_bwd_lane_packing.py, bitwise-equal to the
+    per-head form; benchmarks/bwd_lane_packing_probe.md).
+
+    Dropout masks are the SAME per-head 2-D counter-hash streams as
+    :func:`_head_bwd` (stacked, not a 3-D iota) — the regenerated mask
+    must match the forward bit-for-bit."""
+    dn = jax.lax.dot_general
+    s = dn(q2, k2, (((2,), (2,)), ((0,), (0,))),
+           preferred_element_type=jnp.float32) * scale + bias
+    p = _softmax_rows(s)
+    if rate > 0.0:
+        u = jnp.stack([_uniform01(seed, h0, s.shape[1:]),
+                       _uniform01(seed, h0 + 1, s.shape[1:])])
+        keep = u >= rate
+        inv = 1.0 / (1.0 - rate)
+        pd = jnp.where(keep, p * inv, 0.0)
+    else:
+        pd = p
+    pdc = pd.astype(q2.dtype)
+    dv = dn(pdc, do2, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+    dpd = dn(do2, v2, (((2,), (2,)), ((0,), (0,))),
+             preferred_element_type=jnp.float32)
+    dp = jnp.where(keep, dpd * inv, 0.0) if rate > 0.0 else dpd
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = (p * (dp - delta)).astype(q2.dtype)
+    dq = dn(ds, k2, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+    dk = dn(ds, q2, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+    return dq, dk, dv
+
+
 def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, out_ref,
                 *, heads: int, dim: int, scale: float, rate: float):
     # refs: [1, NP, H·D] — the LAYOUT-NATIVE form (identical bytes to the
@@ -236,7 +284,22 @@ def _bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
     bias = bias_ref[0]
     seed = seed_ref[pl.program_id(0), 0]
     qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-    for h in range(heads):
+    pairs = heads // 2 if BWD_PACK2 else 0
+    for p_i in range(pairs):
+        a = slice(2 * p_i * dim, (2 * p_i + 1) * dim)
+        b = slice((2 * p_i + 1) * dim, (2 * p_i + 2) * dim)
+        dq, dk, dv = _pair_bwd(
+            jnp.stack([qf[:, a], qf[:, b]]),
+            jnp.stack([kf[:, a], kf[:, b]]),
+            jnp.stack([vf[:, a], vf[:, b]]),
+            jnp.stack([dof[:, a], dof[:, b]]),
+            bias, seed, 2 * p_i, scale, rate,
+        )
+        for j, sl in enumerate((a, b)):
+            dq_ref[0, :, sl] = dq[j].astype(dq_ref.dtype)
+            dk_ref[0, :, sl] = dk[j].astype(dk_ref.dtype)
+            dv_ref[0, :, sl] = dv[j].astype(dv_ref.dtype)
+    for h in range(2 * pairs, heads):
         sl = slice(h * dim, (h + 1) * dim)
         dq, dk, dv = _head_bwd(
             qf[:, sl], kf[:, sl], vf[:, sl], dof[:, sl],
@@ -254,7 +317,27 @@ def _bwd_kernel_packed(seed_ref, bias_ref, qkv_ref, do_ref, dqkv_ref,
     f = qkv_ref[0]
     do = do_ref[0]
     hd = heads * dim
-    for h in range(heads):
+    pairs = heads // 2 if BWD_PACK2 else 0
+    for p_i in range(pairs):
+        ha, hb = 2 * p_i, 2 * p_i + 1
+        a = slice(ha * dim, (ha + 1) * dim)
+        b = slice(hb * dim, (hb + 1) * dim)
+        ka = slice(hd + ha * dim, hd + (ha + 1) * dim)
+        kb = slice(hd + hb * dim, hd + (hb + 1) * dim)
+        va = slice(2 * hd + ha * dim, 2 * hd + (ha + 1) * dim)
+        vb = slice(2 * hd + hb * dim, 2 * hd + (hb + 1) * dim)
+        dq, dk, dv = _pair_bwd(
+            jnp.stack([f[:, a], f[:, b]]),
+            jnp.stack([f[:, ka], f[:, kb]]),
+            jnp.stack([f[:, va], f[:, vb]]),
+            jnp.stack([do[:, a], do[:, b]]),
+            bias, seed, ha, scale, rate,
+        )
+        for j, (qs, ks, vs) in enumerate(((a, ka, va), (b, kb, vb))):
+            dqkv_ref[0, :, qs] = dq[j].astype(dqkv_ref.dtype)
+            dqkv_ref[0, :, ks] = dk[j].astype(dqkv_ref.dtype)
+            dqkv_ref[0, :, vs] = dv[j].astype(dqkv_ref.dtype)
+    for h in range(2 * pairs, heads):
         q = f[:, h * dim:(h + 1) * dim]
         k = f[:, hd + h * dim:hd + (h + 1) * dim]
         v = f[:, 2 * hd + h * dim:2 * hd + (h + 1) * dim]
