@@ -1579,6 +1579,7 @@ def cmd_serve(args) -> int:
         buckets=tuple(sorted(args.buckets)),
         max_wait_ms=args.max_wait_ms,
         image_size=image_size,
+        max_pending=args.max_pending or None,
     )
     # warm every bucket so no request pays a compile
     for b in sorted(set(args.buckets)):
@@ -1753,7 +1754,7 @@ def build_parser() -> argparse.ArgumentParser:
                              "prob dropout, no [B,H,L,L] residual — the "
                              "training memory/bandwidth kernel "
                              "(ops/flash_attention.py; r3 trace: BERT "
-                             "attention was 44% of the pretrain step)")
+                             "attention was 44%% of the pretrain step)")
         sp.add_argument("--bert-fused-mlp", action="store_true",
                         help="fused Dense-GELU-Dense Pallas TRAINING "
                              "kernel in the BERT MLPs: fwd AND bwd, the "
@@ -1970,6 +1971,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="pre-compiled batch sizes for the micro-batcher")
     sp.add_argument("--max-wait-ms", type=float, default=5.0,
                     help="max coalescing wait for a lone request")
+    sp.add_argument("--max-pending", type=int, default=256,
+                    help="admission bound on the batcher backlog: past "
+                         "this many queued requests, new ones get 429 "
+                         "(load shedding) instead of unbounded queueing; "
+                         "0 = unbounded")
     sp.add_argument("--tp", type=int, default=1,
                     help="with --num-devices: tensor-parallel degree for "
                          "the transformer towers (N/tp × tp mesh)")

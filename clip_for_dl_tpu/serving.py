@@ -30,6 +30,7 @@ import base64
 import json
 import threading
 import time
+from collections import Counter
 from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from queue import Empty, Full, Queue
@@ -38,6 +39,12 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 DEFAULT_BUCKETS = (1, 4, 16, 64)
+
+
+class BacklogFull(RuntimeError):
+    """Raised by :meth:`MicroBatcher.submit` when the pending queue is at
+    ``max_pending`` — the HTTP layer maps it to 429 so overload sheds at
+    admission instead of inflating every accepted request's latency."""
 
 
 def _percentiles(samples) -> Dict[str, float]:
@@ -85,22 +92,29 @@ class MicroBatcher:
         max_wait_ms: float = 5.0,
         fetch_fn: Optional[Callable] = None,
         stats_window: int = 512,
+        max_pending: Optional[int] = None,
     ):
         self.predict_fn = predict_fn
         self.fetch_fn = fetch_fn or np.asarray
         self.buckets = tuple(sorted(buckets))
         self.max_wait_ms = max_wait_ms
+        self.max_pending = max_pending
         self.queue: "Queue[Tuple[np.ndarray, Future, float]]" = Queue()
         # depth-2 hand-off = double buffer (one computing, one staged)
         self._inflight: Queue = Queue(maxsize=2)
         self.requests = 0
         self.batches = 0
         self.rows_padded = 0
+        self.shed = 0
         from collections import deque
 
         self._t_queue = deque(maxlen=stats_window)
         self._t_assemble = deque(maxlen=stats_window)
         self._t_fetch = deque(maxlen=stats_window)
+        # achieved (pre-padding) batch sizes, windowed like the timings —
+        # the occupancy distribution a load benchmark needs, not just the
+        # lifetime mean
+        self._batch_sizes = deque(maxlen=stats_window)
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -109,6 +123,21 @@ class MicroBatcher:
         self._finalizer.start()
 
     def submit(self, image_u8: np.ndarray) -> Future:
+        """Queue one image; raises :class:`BacklogFull` past ``max_pending``.
+
+        Shedding at admission (instead of queueing unboundedly) keeps the
+        latency of ACCEPTED requests bounded under overload — the load
+        benchmark showed unbounded queues turn 2× overload into multi-
+        second p99 for everyone (`benchmarks/serving_load.md`)."""
+        if (
+            self.max_pending is not None
+            and self.queue.qsize() >= self.max_pending
+        ):
+            with self._lock:
+                self.shed += 1
+            raise BacklogFull(
+                f"batcher backlog at max_pending={self.max_pending}"
+            )
         fut: Future = Future()
         self.queue.put((image_u8, fut, time.monotonic()))
         with self._lock:
@@ -120,12 +149,17 @@ class MicroBatcher:
             batches = max(1, self.batches)
             return {
                 "requests": self.requests,
+                "shed": self.shed,
                 "batches": self.batches,
                 "mean_batch_size": round(self.requests / batches, 3),
                 "rows_padded": self.rows_padded,
                 "queue_ms": _percentiles(self._t_queue),
                 "assemble_ms": _percentiles(self._t_assemble),
                 "fetch_ms": _percentiles(self._t_fetch),
+                "batch_size_hist": {
+                    str(k): v
+                    for k, v in sorted(Counter(self._batch_sizes).items())
+                },
             }
 
     def close(self):
@@ -252,6 +286,7 @@ class MicroBatcher:
             with self._lock:
                 self.batches += 1
                 self.rows_padded += size - len(items)
+                self._batch_sizes.append(len(items))
                 self._t_queue.extend(w * 1e3 for w in queue_waits)
                 self._t_assemble.append(asm_ms)
                 self._t_fetch.append(fetch_ms)
@@ -293,6 +328,7 @@ class ZeroShotService:
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         max_wait_ms: float = 5.0,
         image_size: int = 224,
+        max_pending: Optional[int] = None,
     ):
         self.disease_list = list(disease_list)
         # scalar, or per-disease mapping (e.g. the calibration written by
@@ -320,10 +356,13 @@ class ZeroShotService:
                 return jax.nn.sigmoid(out)
 
             self.batcher = MicroBatcher(
-                dispatch, buckets, max_wait_ms, fetch_fn=np.asarray
+                dispatch, buckets, max_wait_ms, fetch_fn=np.asarray,
+                max_pending=max_pending,
             )
         else:
-            self.batcher = MicroBatcher(engine.probs, buckets, max_wait_ms)
+            self.batcher = MicroBatcher(
+                engine.probs, buckets, max_wait_ms, max_pending=max_pending
+            )
         self._engine = engine
 
     def predict_one(self, image_u8: np.ndarray,
@@ -386,6 +425,16 @@ def _make_handler(service: ZeroShotService, model_info: Dict):
                 return
             try:
                 self._send(200, service.predict_one(image))
+            except BacklogFull as exc:
+                # deliberate load shedding, not a failure — clients should
+                # back off and retry (Retry-After is advisory)
+                body = json.dumps({"error": str(exc)}).encode()
+                self.send_response(429)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             except Exception as exc:
                 self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
 
@@ -408,4 +457,14 @@ def create_server(
     """Bind (port 0 → ephemeral) and return the server; call
     `serve_forever()` on it (or run it in a thread) to start handling."""
     handler = _make_handler(service, model_info or {})
-    return ThreadingHTTPServer((host, port), handler)
+
+    class Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog is 5 — a burst of
+        # concurrent clients beyond that gets kernel-level connection
+        # resets before the batcher ever sees them (observed as opaque
+        # client errors at 64 clients in benchmarks/serving_load.md).
+        # Overload policy belongs to the batcher's max_pending → 429,
+        # not to the accept queue.
+        request_queue_size = 128
+
+    return Server((host, port), handler)

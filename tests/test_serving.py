@@ -146,6 +146,35 @@ class TestMicroBatcher:
             fut.result(timeout=5)
         batcher.close()
 
+    def test_backlog_sheds_at_max_pending(self):
+        # admission control: past max_pending queued requests, submit
+        # raises BacklogFull (HTTP layer maps it to 429) instead of
+        # queueing unboundedly; accepted requests still complete
+        from clip_for_dl_tpu.serving import BacklogFull
+
+        release = threading.Event()
+
+        def slow(x):
+            release.wait(timeout=10)
+            return x.sum(axis=(1, 2, 3))
+
+        batcher = MicroBatcher(slow, buckets=(1,), max_wait_ms=1.0,
+                               max_pending=2)
+        img = np.ones((2, 2, 3), np.uint8)
+        futs = [batcher.submit(img)]  # assembler takes this one
+        # wait until the worker has dequeued the first request so the
+        # backlog accounting below is deterministic
+        deadline = time.monotonic() + 5
+        while batcher.queue.qsize() > 0 and time.monotonic() < deadline:
+            time.sleep(0.005)
+        futs += [batcher.submit(img), batcher.submit(img)]  # fills backlog
+        with pytest.raises(BacklogFull):
+            batcher.submit(img)
+        assert batcher.stats()["shed"] == 1
+        release.set()
+        assert all(f.result(timeout=10) == 12 for f in futs)
+        batcher.close()
+
 
 class TestDecodeRequestImage:
     def _png_bytes(self, size=32):
@@ -287,6 +316,42 @@ class TestHTTPAPI:
         status, _ = _request(live_server, "POST", "/nope", b"x")
         assert status == 404
 
+    def test_backlog_full_maps_to_429(self):
+        # overload shedding surfaces as HTTP 429 + Retry-After, distinct
+        # from the 500 an actual failure produces
+        from clip_for_dl_tpu.serving import BacklogFull
+
+        class SheddingService:
+            image_size = 48
+            disease_list = list(DISEASE_LABELS)
+
+            class batcher:  # /stats route only
+                @staticmethod
+                def stats():
+                    return {"shed": 1}
+
+            def predict_one(self, image, timeout_s=30.0):
+                raise BacklogFull("backlog at max_pending=2")
+
+        server = create_server(SheddingService(), "127.0.0.1", 0,
+                               model_info={})
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            conn = http.client.HTTPConnection(*server.server_address,
+                                              timeout=30)
+            conn.request("POST", "/predict", body=self._png(),
+                         headers={"Content-Type": "image/png"})
+            resp = conn.getresponse()
+            data = json.loads(resp.read())
+            assert resp.status == 429
+            assert resp.getheader("Retry-After") == "1"
+            assert "max_pending" in data["error"]
+            conn.close()
+        finally:
+            server.shutdown()
+            server.server_close()
+
     def test_stats_and_concurrent_load(self, live_server):
         png = self._png()
         with ThreadPoolExecutor(8) as pool:
@@ -367,6 +432,10 @@ class TestPipelinedBatcher:
             for stage in ("queue_ms", "assemble_ms", "fetch_ms"):
                 assert stage in stats and "p50" in stats[stage], stats
                 assert stats[stage]["p99"] >= stats[stage]["p50"] >= 0.0
+            # achieved-occupancy histogram: 5 requests, pre-padding sizes,
+            # counts sum to the request total
+            hist = stats["batch_size_hist"]
+            assert sum(int(k) * v for k, v in hist.items()) == 5, stats
         finally:
             batcher.close()
 
