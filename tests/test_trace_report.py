@@ -63,3 +63,49 @@ def test_device_op_table_top_limit(tmp_path):
 def test_missing_capture_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         device_op_table(str(tmp_path / "nope"))
+
+
+GROUPED_EVENTS = EVENTS[:5] + [
+    # two layers of the same scope must collapse into one layer_* group;
+    # jit()/jvp() wrappers dropped, bwd detected from transpose(jvp
+    {"ph": "X", "pid": 3, "tid": 3, "name": "fusion.10", "dur": 1000.0,
+     "args": {"tf_op": "jit(step)/jvp(M)/M.encode/tower/layer_0/mlp/"
+              "dot_general:", "hlo_category": "fusion"}},
+    {"ph": "X", "pid": 3, "tid": 3, "name": "fusion.11", "dur": 3000.0,
+     "args": {"tf_op": "jit(step)/jvp(M)/M.encode/tower/layer_1/mlp/"
+              "dot_general:", "hlo_category": "fusion"}},
+    {"ph": "X", "pid": 3, "tid": 3, "name": "fusion.12", "dur": 2000.0,
+     "args": {"tf_op": "jit(step)/transpose(jvp(M))/M.encode/tower/"
+              "layer_0/mlp/dot_general:", "hlo_category": "fusion"}},
+    # named_scope region
+    {"ph": "X", "pid": 3, "tid": 3, "name": "fusion.13", "dur": 500.0,
+     "args": {"tf_op": "jit(step)/optimizer_update/add:",
+              "hlo_category": "loop fusion"}},
+    # scope-less DMA op lands under its hlo_category
+    {"ph": "X", "pid": 3, "tid": 3, "name": "copy-done.1", "dur": 250.0,
+     "args": {"hlo_category": "copy-done"}},
+]
+
+
+def test_scope_groups(tmp_path):
+    report = device_op_table(
+        _write_trace(tmp_path, GROUPED_EVENTS), group_depth=4
+    )
+    groups = {g["name"]: g for g in report["groups"]}
+    fwd = groups["fwd M.encode/tower/layer_*/mlp"]
+    assert fwd["total_ms"] == 4.0 and fwd["count"] == 2  # layers collapsed
+    bwd = groups["bwd M.encode/tower/layer_*/mlp"]
+    assert bwd["total_ms"] == 2.0
+    assert groups["fwd optimizer_update/add:"]["total_ms"] == 0.5
+    assert groups["<untraced> copy-done"]["total_ms"] == 0.25
+    # ops with no args at all (the base EVENTS) still group somewhere
+    assert sum(g["total_ms"] for g in report["groups"]) == pytest.approx(
+        report["device_total_ms"]
+    )
+    table = format_table(report)
+    assert "by scope" in table and "layer_*" in table
+
+
+def test_group_depth_zero_omits_groups(tmp_path):
+    report = device_op_table(_write_trace(tmp_path, GROUPED_EVENTS))
+    assert "groups" not in report

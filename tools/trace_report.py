@@ -47,6 +47,12 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None, help="also write the JSON report")
     p.add_argument("--parse-only", default=None, metavar="LOG_DIR",
                    help="skip capture; parse an existing trace dir")
+    p.add_argument("--group-depth", type=int, default=4, metavar="N",
+                   help="also aggregate device time by jax scope path "
+                        "(tf_op) truncated to N components, fwd/bwd "
+                        "split, layer indices collapsed — names the "
+                        "named_scope regions (optimizer_update, loss) "
+                        "and DMA buckets; 0 disables")
     args = p.parse_args(argv)
 
     from clip_for_dl_tpu.utils.trace_report import (
@@ -55,7 +61,8 @@ def main(argv=None) -> int:
     )
 
     if args.parse_only:
-        report = device_op_table(args.parse_only)
+        report = device_op_table(args.parse_only,
+                                 group_depth=args.group_depth)
         print(format_table(report, args.top))
         if args.out:
             with open(args.out, "w") as f:
@@ -170,7 +177,7 @@ def main(argv=None) -> int:
             out = run(*fns_args)
         fence(out)
 
-    report = device_op_table(log_dir)
+    report = device_op_table(log_dir, group_depth=args.group_depth)
     report["workload"] = args.workload
     report["tower"] = args.tower
     report["batch"] = args.batch
