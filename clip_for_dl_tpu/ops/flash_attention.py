@@ -91,6 +91,7 @@ MAX_SEQ_LEN = 512
 import os as _os
 
 BWD_PACK2 = _os.environ.get("CLIP_FOR_DL_TPU_FLASH_BWD_PACK2", "1") != "0"
+FWD_PACK2 = _os.environ.get("CLIP_FOR_DL_TPU_FLASH_FWD_PACK2", "1") != "0"
 
 
 def _check_seq_len(n: int) -> None:
@@ -203,6 +204,24 @@ def _head_bwd(q, k, v, do, bias, seed, h, scale, rate):
     return dq, dk, dv
 
 
+def _pair_fwd(q2, k2, v2, bias, seed, h0, scale, rate):
+    """Two heads' attention outputs as BATCHED 3-D dots — the fwd analog
+    of :func:`_pair_bwd`: heads h0 and h0+1 stacked on a leading batch dim
+    so the two narrow matmuls per head issue as 128-lane batched dots.
+    Bitwise-equal to the per-head form (same fp32 softmax, same per-head
+    2-D dropout streams, stacked)."""
+    dn = jax.lax.dot_general
+    s = dn(q2, k2, (((2,), (2,)), ((0,), (0,))),
+           preferred_element_type=jnp.float32) * scale + bias
+    p = _softmax_rows(s)
+    if rate > 0.0:
+        u = jnp.stack([_uniform01(seed, h0, s.shape[1:]),
+                       _uniform01(seed, h0 + 1, s.shape[1:])])
+        p = jnp.where(u >= rate, p * (1.0 / (1.0 - rate)), 0.0)
+    return dn(p.astype(q2.dtype), v2, (((2,), (1,)), ((0,), (0,))),
+              preferred_element_type=jnp.float32)
+
+
 def _pair_bwd(q2, k2, v2, do2, bias, seed, h0, scale, rate):
     """Two heads' (dq, dk, dv) as BATCHED 3-D dots — heads h0 and h0+1
     stacked on a leading batch dim so every narrow [NP,·]×[·,64] matmul
@@ -252,7 +271,19 @@ def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, out_ref,
     bias = bias_ref[0]  # [1, NP]
     seed = seed_ref[pl.program_id(0), 0]
     qf, kf, vf = q_ref[0], k_ref[0], v_ref[0]  # [NP, H·D]
-    for h in range(heads):
+    pairs = heads // 2 if FWD_PACK2 else 0
+    for p_i in range(pairs):
+        a = slice(2 * p_i * dim, (2 * p_i + 1) * dim)
+        b = slice((2 * p_i + 1) * dim, (2 * p_i + 2) * dim)
+        o = _pair_fwd(
+            jnp.stack([qf[:, a], qf[:, b]]),
+            jnp.stack([kf[:, a], kf[:, b]]),
+            jnp.stack([vf[:, a], vf[:, b]]),
+            bias, seed, 2 * p_i, scale, rate,
+        )
+        out_ref[0, :, a] = o[0].astype(out_ref.dtype)
+        out_ref[0, :, b] = o[1].astype(out_ref.dtype)
+    for h in range(2 * pairs, heads):
         sl = slice(h * dim, (h + 1) * dim)
         out_ref[0, :, sl] = _head_fwd(
             qf[:, sl], kf[:, sl], vf[:, sl], bias, seed, h, scale, rate
@@ -269,7 +300,22 @@ def _fwd_kernel_packed(seed_ref, bias_ref, qkv_ref, out_ref,
     seed = seed_ref[pl.program_id(0), 0]
     f = qkv_ref[0]  # [NP, 3·H·D]
     hd = heads * dim
-    for h in range(heads):
+    pairs = heads // 2 if FWD_PACK2 else 0
+    for p_i in range(pairs):
+        ha, hb = 2 * p_i, 2 * p_i + 1
+        a = slice(ha * dim, (ha + 1) * dim)
+        b = slice(hb * dim, (hb + 1) * dim)
+        o = _pair_fwd(
+            jnp.stack([f[:, a], f[:, b]]),
+            jnp.stack([f[:, hd + ha * dim:hd + (ha + 1) * dim],
+                       f[:, hd + hb * dim:hd + (hb + 1) * dim]]),
+            jnp.stack([f[:, 2 * hd + ha * dim:2 * hd + (ha + 1) * dim],
+                       f[:, 2 * hd + hb * dim:2 * hd + (hb + 1) * dim]]),
+            bias, seed, ha, scale, rate,
+        )
+        out_ref[0, :, a] = o[0].astype(out_ref.dtype)
+        out_ref[0, :, b] = o[1].astype(out_ref.dtype)
+    for h in range(2 * pairs, heads):
         q = f[:, h * dim:(h + 1) * dim]
         k = f[:, hd + h * dim:hd + (h + 1) * dim]
         v = f[:, 2 * hd + h * dim:2 * hd + (h + 1) * dim]

@@ -76,6 +76,33 @@ class TestForward:
             atol=2e-6, rtol=2e-6,
         )
 
+    def test_fwd_pack2_bitwise_equal_to_per_head(self, rng):
+        # fwd analog of the bwd lane-packing test: the pair-batched
+        # forward must reproduce the per-head form bit-for-bit,
+        # dropout streams included
+        import clip_for_dl_tpu.ops.flash_attention as fa
+
+        q, k, v = _qkv(rng, h=4, dtype=jnp.bfloat16)
+        bias = _key_bias(rng)
+        seeds = dropout_seeds_from_rng(jax.random.key(3), q.shape[0])
+
+        def run():
+            return flash_attention(
+                q, k, v, bias, dropout_rate=0.1, dropout_seeds=seeds
+            )
+
+        orig = fa.FWD_PACK2
+        try:
+            fa.FWD_PACK2 = True
+            with_pack = np.asarray(run())
+            fa.FWD_PACK2 = False
+            jax.clear_caches()  # kernel choice is bound at trace time
+            without = np.asarray(run())
+        finally:
+            fa.FWD_PACK2 = orig
+            jax.clear_caches()
+        np.testing.assert_array_equal(with_pack, without)
+
     def test_bias_shape_rejected(self, rng):
         q, k, v = _qkv(rng)
         with pytest.raises(ValueError, match="key_bias"):

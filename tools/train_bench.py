@@ -68,6 +68,12 @@ def main(argv=None) -> int:
                    help="Pallas fused MLP block in the ViT layers — engages "
                         "in the training forward too (custom VJP, exact-XLA "
                         "backward)")
+    p.add_argument("--phase", choices=["pretrain", "adapter"],
+                   default="pretrain",
+                   help="adapter = the frozen-CLIP phase-B step (only the "
+                        "Linear head trains, towers eval-mode under "
+                        "stop_gradient; 02 nb cell 29's ~135 s/epoch = "
+                        "26.6 img/s anchor)")
     p.add_argument("--compiler-options", default=None, metavar="JSON",
                    help="JSON dict of XLA backend compiler options passed "
                         "to .compile() (TPU flags can't ride XLA_FLAGS "
@@ -100,8 +106,10 @@ def main(argv=None) -> int:
         make_label_fn,
     )
 
-    # 02 nb cell 25 (ResNet) / vit nb cell 25 (ViT)
+    # 02 nb cell 25 (ResNet) / vit nb cell 25 (ViT) / 02 nb cell 29 (adapter)
     baseline = 17.7 if args.tower == "resnet" else 15.2
+    if args.phase == "adapter":
+        baseline = 26.6
     if args.tiny:
         args.batch_size = min(args.batch_size, 8)
         args.seq_lens = [min(s, 16) for s in args.seq_lens]
@@ -151,37 +159,70 @@ def main(argv=None) -> int:
             jnp.zeros((1, size, size, 3)),
             jnp.zeros((1, seq), jnp.int32),
         )
-        tx = base_transform(
-            max_grad_norm=1.0, weight_decay=1e-3,
-            moment_dtype=jnp.bfloat16 if args.bf16_moments else None,
-        )
-        label_fn = make_label_fn(
-            ["image_tower", "text_tower", "image_projector", "text_projector"]
-        )
-        step = jax.jit(
-            make_clip_pretrain_step(
-                model, tx, label_fn, "clip_self_distill",
-                temperature=2.0, image_size=size,
-                compute_dtype=jnp.bfloat16,
-            ),
-            donate_argnums=(0,),
-        )
-        lrs = {
-            "image_tower": 1e-4, "text_tower": 1e-5,
-            "image_projector": 1e-3, "text_projector": 1e-3,
-            "default": 1e-4,
-        }
-        state = TrainState.create(variables, tx)
         b = args.batch_size
-        batch = {
-            "images": jax.device_put(
-                rng.integers(0, 255, (b, size, size, 3), dtype=np.uint8)
-            ),
-            "input_ids": jax.device_put(
-                rng.integers(0, cfg.vocab_size, (b, seq)).astype(np.int32)
-            ),
-            "attention_mask": jax.device_put(np.ones((b, seq), np.int32)),
-        }
+        if args.phase == "adapter":
+            # 02 nb cells 28-29: frozen towers (stop_gradient eval-mode
+            # forward), BCE on the 16-way Linear head — the only trained
+            # params. Anchor: ~135 s/epoch over 3595 imgs = 26.6 img/s.
+            from clip_for_dl_tpu.core.config import CLIP_MEAN, CLIP_STD
+            from clip_for_dl_tpu.train import (
+                freeze_mask,
+                make_adapter_train_step,
+            )
+
+            tx = base_transform(None, 0.0)
+            label_fn = make_label_fn(["adapter"])
+            freeze = freeze_mask(variables["params"], ["adapter"])
+            step = jax.jit(
+                make_adapter_train_step(
+                    model, tx, label_fn, freeze, size,
+                    CLIP_MEAN, CLIP_STD, jnp.bfloat16,
+                ),
+                donate_argnums=(0,),
+            )
+            lrs = {"adapter": 1e-3, "default": 0.0}
+            batch = {
+                "images": jax.device_put(
+                    rng.integers(0, 255, (b, size, size, 3), dtype=np.uint8)
+                ),
+                "labels": jax.device_put(
+                    (rng.random((b, cfg.num_classes)) < 0.2).astype(
+                        np.float32
+                    )
+                ),
+            }
+        else:
+            tx = base_transform(
+                max_grad_norm=1.0, weight_decay=1e-3,
+                moment_dtype=jnp.bfloat16 if args.bf16_moments else None,
+            )
+            label_fn = make_label_fn(
+                ["image_tower", "text_tower", "image_projector",
+                 "text_projector"]
+            )
+            step = jax.jit(
+                make_clip_pretrain_step(
+                    model, tx, label_fn, "clip_self_distill",
+                    temperature=2.0, image_size=size,
+                    compute_dtype=jnp.bfloat16,
+                ),
+                donate_argnums=(0,),
+            )
+            lrs = {
+                "image_tower": 1e-4, "text_tower": 1e-5,
+                "image_projector": 1e-3, "text_projector": 1e-3,
+                "default": 1e-4,
+            }
+            batch = {
+                "images": jax.device_put(
+                    rng.integers(0, 255, (b, size, size, 3), dtype=np.uint8)
+                ),
+                "input_ids": jax.device_put(
+                    rng.integers(0, cfg.vocab_size, (b, seq)).astype(np.int32)
+                ),
+                "attention_mask": jax.device_put(np.ones((b, seq), np.int32)),
+            }
+        state = TrainState.create(variables, tx)
         compiled = step.lower(state, batch, lrs, jax.random.key(0)).compile(
             compiler_options=compiler_options
         )
@@ -206,9 +247,10 @@ def main(argv=None) -> int:
         except Exception:
             pass
         print(json.dumps({
-            "metric": "CLIP pretrain img/s/chip",
+            "metric": f"CLIP {args.phase} img/s/chip",
             "value": round(img_s, 1),
             "unit": "images/sec",
+            "phase": args.phase,
             "tower": args.tower,
             "batch": b,
             "seq_len": seq,
