@@ -465,7 +465,9 @@ def cmd_pretrain(args) -> int:
         ds = train_loader.dataset
         texts = getattr(ds, "texts", None)
         if texts is None and hasattr(ds, "base"):  # synthetic wrapper
-            texts = [ds[i]["text"] for i in range(len(ds))]
+            # read the precomputed findings list — indexing ds itself would
+            # synthesize (and discard) every image just to reach the text
+            texts = ds.base.findings
         if texts is None:
             raise SystemExit("--length-grouped needs a text dataset")
         # one host-side tokenize pass; lengths key the windowed sort

@@ -99,7 +99,12 @@ class MicroBatcher:
         self.buckets = tuple(sorted(buckets))
         self.max_wait_ms = max_wait_ms
         self.max_pending = max_pending
-        self.queue: "Queue[Tuple[np.ndarray, Future, float]]" = Queue()
+        # bounded queue = the admission bound itself: put_nowait is atomic,
+        # so concurrent handler threads can never overshoot max_pending the
+        # way a check-then-put on qsize() could (maxsize 0 = unbounded)
+        self.queue: "Queue[Tuple[np.ndarray, Future, float]]" = Queue(
+            maxsize=max_pending or 0
+        )
         # depth-2 hand-off = double buffer (one computing, one staged)
         self._inflight: Queue = Queue(maxsize=2)
         self.requests = 0
@@ -129,17 +134,15 @@ class MicroBatcher:
         latency of ACCEPTED requests bounded under overload — the load
         benchmark showed unbounded queues turn 2× overload into multi-
         second p99 for everyone (`benchmarks/serving_load.md`)."""
-        if (
-            self.max_pending is not None
-            and self.queue.qsize() >= self.max_pending
-        ):
+        fut: Future = Future()
+        try:
+            self.queue.put_nowait((image_u8, fut, time.monotonic()))
+        except Full:
             with self._lock:
                 self.shed += 1
             raise BacklogFull(
                 f"batcher backlog at max_pending={self.max_pending}"
-            )
-        fut: Future = Future()
-        self.queue.put((image_u8, fut, time.monotonic()))
+            ) from None
         with self._lock:
             self.requests += 1
         return fut

@@ -59,12 +59,22 @@ def _scope_group(tf_op: str, hlo_category: str, depth: int) -> str:
         return f"<untraced> {hlo_category or '?'}"
     parts = _LAYER_IDX.sub(lambda m: m.group(0).rsplit("_", 1)[0] + "_*",
                            tf_op).split("/")
-    direction = "bwd" if _DIRECTION.search(tf_op) else "fwd"
+    # direction only exists for ops under autodiff wrappers: transpose(jvp
+    # = backward, bare jvp( = forward. Ops outside the grad (optimizer
+    # update, loss post-processing, eval-only programs) carry NO prefix —
+    # labeling them 'fwd' would let a reader's sum-of-fwd-rows silently
+    # absorb the optimizer share.
+    if _DIRECTION.search(tf_op):
+        direction = "bwd "
+    elif "jvp(" in tf_op:
+        direction = "fwd "
+    else:
+        direction = ""
     # drop the jit(...)/jvp(...) wrappers — direction already captured
     body = [p for p in parts
             if not (p.startswith("jit(") or "jvp(" in p)]
-    return f"{direction} " + "/".join(body[:depth]) if body else (
-        f"{direction} " + parts[-1])
+    return direction + "/".join(body[:depth]) if body else (
+        direction + parts[-1])
 
 
 def device_op_table(

@@ -164,9 +164,12 @@ class TestMicroBatcher:
         futs = [batcher.submit(img)]  # assembler takes this one
         # wait until the worker has dequeued the first request so the
         # backlog accounting below is deterministic
-        deadline = time.monotonic() + 5
+        deadline = time.monotonic() + 30
         while batcher.queue.qsize() > 0 and time.monotonic() < deadline:
             time.sleep(0.005)
+        # fail loudly here rather than letting the fills below trip
+        # BacklogFull outside the pytest.raises block on a starved CI host
+        assert batcher.queue.qsize() == 0, "worker never dequeued request 1"
         futs += [batcher.submit(img), batcher.submit(img)]  # fills backlog
         with pytest.raises(BacklogFull):
             batcher.submit(img)

@@ -96,7 +96,9 @@ def test_scope_groups(tmp_path):
     assert fwd["total_ms"] == 4.0 and fwd["count"] == 2  # layers collapsed
     bwd = groups["bwd M.encode/tower/layer_*/mlp"]
     assert bwd["total_ms"] == 2.0
-    assert groups["fwd optimizer_update/add:"]["total_ms"] == 0.5
+    # outside-the-grad scopes (no jvp wrapper) carry no fwd/bwd prefix —
+    # the optimizer is neither forward nor backward pass time
+    assert groups["optimizer_update/add:"]["total_ms"] == 0.5
     assert groups["<untraced> copy-done"]["total_ms"] == 0.25
     # ops with no args at all (the base EVENTS) still group somewhere
     assert sum(g["total_ms"] for g in report["groups"]) == pytest.approx(

@@ -175,10 +175,8 @@ def measure_chip(vocab_size: int, bucket_counts: collections.Counter,
         })
 
     compiled = {}
-    state0 = None
 
     def step_for(seq: int):
-        nonlocal state0
         if seq in compiled:
             return compiled[seq]
         cfg = ModelConfig(max_text_length=seq, vocab_size=vocab_size)
@@ -204,14 +202,14 @@ def measure_chip(vocab_size: int, bucket_counts: collections.Counter,
                 np.ones((batch_size, seq), np.int32)),
         }
         c = step.lower(state, batch, lrs, jax.random.key(0)).compile()
-        if state0 is None:
-            state0 = state
         compiled[seq] = (c, state)
         return compiled[seq]
 
     # --- per-bucket step time (the FLOPs don't depend on params/inputs) ---
+    # max_length always times here too: t_padded below reads it directly
     per_bucket = {}
-    for seq in sorted(set(bucket_counts) | set(extra_buckets)):
+    for seq in sorted(set(bucket_counts) | set(extra_buckets)
+                      | {max_length}):
         c, state = step_for(seq)
         batch = {
             "images": jax.device_put(images),
@@ -233,27 +231,7 @@ def measure_chip(vocab_size: int, bucket_counts: collections.Counter,
 
     n_batches = sum(bucket_counts.values())
     t_bucketed = sum(per_bucket[s] * n for s, n in bucket_counts.items())
-    t_padded = per_bucket.get(max_length)
-    if t_padded is None:
-        c, state = step_for(max_length)
-        batch = {
-            "images": jax.device_put(images),
-            "input_ids": jax.device_put(
-                rng.integers(0, vocab_size,
-                             (batch_size, max_length)).astype(np.int32)),
-            "attention_mask": jax.device_put(
-                np.ones((batch_size, max_length), np.int32)),
-        }
-        st = state
-        for i in range(3):
-            st, m = c(st, batch, lrs, jax.random.key(i))
-        float(np.asarray(m["loss"]))
-        t0 = time.perf_counter()
-        for i in range(iters):
-            st, m = c(st, batch, lrs, jax.random.key(i))
-        float(np.asarray(m["loss"]))
-        t_padded = (time.perf_counter() - t0) / iters
-        per_bucket[max_length] = t_padded
+    t_padded = per_bucket[max_length]
 
     # --- loss-trajectory parity: same init, same data, first N steps ---
     # The bucketed run re-pads each batch's ids to max_length ONLY for
