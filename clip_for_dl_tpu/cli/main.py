@@ -474,7 +474,7 @@ def cmd_pretrain(args) -> int:
         enc_lens = tokenizer.encode(
             list(texts), max_length=max_len, padding="longest"
         )["attention_mask"].sum(1)
-        train_loader.lengths = np.asarray(enc_lens)
+        train_loader.set_lengths(enc_lens)
         logging.info(
             "length-grouped batching: %d samples, token length p50=%d "
             "p90=%d max=%d",

@@ -212,9 +212,21 @@ def _cached_load(cache, path: str, image_size: int) -> np.ndarray:
         if cache.channels == 1:
             # Straggler not in a gray-packed cache: live decode, keep
             # channel 0 (== the gray value for grayscale sources — the
-            # cache build proved every cached file is gray; a genuinely
-            # color straggler should rebuild the cache instead).
-            return load_image(path, image_size)[..., :1]
+            # cache build proved every cached file is gray). A genuinely
+            # color straggler cannot be represented in a gray-packed
+            # batch; dropping two channels would be silent data
+            # corruption, so verify and fail loudly instead.
+            img = load_image(path, image_size)
+            if not (
+                np.array_equal(img[..., 0], img[..., 1])
+                and np.array_equal(img[..., 0], img[..., 2])
+            ):
+                raise ValueError(
+                    f"{path}: color image fed through a grayscale-packed "
+                    "image cache (its channels differ) — rebuild the cache "
+                    "with `cache-images` so this file gets the RGB fallback"
+                )
+            return img[..., :1]
     return load_image(path, image_size)
 
 

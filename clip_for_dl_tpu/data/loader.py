@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from queue import Queue
+from queue import Empty, Full, Queue
 from typing import Any, Callable, Dict, Iterator, Optional, Sequence
 
 import jax
@@ -139,6 +139,18 @@ class HostLoader:
         self._epoch = 0
         self._step = 0
         self._resume = False
+
+    def set_lengths(self, lengths: Sequence[int]) -> None:
+        """Install per-sample sequence lengths after construction (the CLI
+        tokenizes once the tokenizer exists, after the loader is built).
+        Same validation as the constructor path."""
+        lengths = np.asarray(lengths)
+        if len(lengths) != len(self.dataset):
+            raise ValueError(
+                f"lengths has {len(lengths)} entries for a "
+                f"{len(self.dataset)}-sample dataset"
+            )
+        self.lengths = lengths
 
     def _shard_size(self) -> int:
         n = len(self.dataset)
@@ -293,25 +305,52 @@ def prefetch_to_device(
     if threaded:
         q: "Queue" = Queue(maxsize=max(1, depth))
         done = object()
+        stop = threading.Event()
+
+        def _enqueue(item) -> bool:
+            # Bounded put that gives up once the consumer is gone — a
+            # plain q.put() would block the producer forever (holding
+            # `depth` device-resident batches) when the consumer
+            # abandons the generator mid-stream (bench.py's timed e2e
+            # loops do exactly that).
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for batch in iterator:
-                    q.put(put(batch))
+                    if stop.is_set() or not _enqueue(put(batch)):
+                        return
             except BaseException as exc:  # re-raised consumer-side
-                q.put(exc)
+                _enqueue(exc)
                 return
-            q.put(done)
+            _enqueue(done)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is done:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # Consumer finished or abandoned us (GeneratorExit lands
+            # here): unblock the producer and drop any queued device
+            # buffers so HBM is released promptly.
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except Empty:
+                pass
         return
 
     pending = None

@@ -85,19 +85,9 @@ class BertSelfAttention(nn.Module):
 
         if self.flash and not sow_weights:
             if self.bf16_probs:
-                # bf16_probs is a residual-dtype knob for the XLA path;
-                # the flash kernel never materializes probabilities in HBM
-                # at all (it recomputes them in the backward), so the flag
-                # has no effect here — flash supersedes it. Warn instead
-                # of silently matching neither documented mode (ADVICE r3).
-                import warnings
+                from ..ops.flash_attention import warn_bf16_probs_ignored
 
-                warnings.warn(
-                    "bf16_attention_probs is ignored when flash attention "
-                    "is enabled: the flash kernel saves no probability "
-                    "residual (its whole point); set one or the other",
-                    stacklevel=2,
-                )
+                warn_bf16_probs_ignored()
             from ..ops.flash_attention import (
                 dropout_seeds_from_rng,
                 flash_attention_packed,

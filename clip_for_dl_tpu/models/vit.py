@@ -126,16 +126,9 @@ class ViTEncoderLayer(nn.Module):
         use_flash = self.flash and not sow_weights
         if use_flash:
             if self.bf16_probs:
-                # same interaction as models/bert.py: flash saves no
-                # probability residual, so the bf16_probs knob is inert
-                import warnings
+                from ..ops.flash_attention import warn_bf16_probs_ignored
 
-                warnings.warn(
-                    "bf16_attention_probs is ignored when flash attention "
-                    "is enabled: the flash kernel saves no probability "
-                    "residual (its whole point); set one or the other",
-                    stacklevel=2,
-                )
+                warn_bf16_probs_ignored()
             from ..ops.flash_attention import (
                 dropout_seeds_from_rng,
                 flash_attention_packed,

@@ -104,6 +104,22 @@ def _check_seq_len(n: int) -> None:
         )
 
 
+def warn_bf16_probs_ignored() -> None:
+    """Both towers gate flash vs the XLA path on the same flag pair;
+    bf16_attention_probs is a residual-dtype knob for the XLA path only —
+    the flash kernel never materializes probabilities in HBM (it
+    recomputes them in the backward), so the flag is inert under flash.
+    One shared warning keeps the two call sites in lockstep (ADVICE r3)."""
+    import warnings
+
+    warnings.warn(
+        "bf16_attention_probs is ignored when flash attention "
+        "is enabled: the flash kernel saves no probability "
+        "residual (its whole point); set one or the other",
+        stacklevel=3,
+    )
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 

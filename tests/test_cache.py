@@ -186,6 +186,27 @@ class TestGrayscalePacking:
             ds[1]["images"][0], load_image(paths[-1], 48)[..., :1]
         )
 
+    def test_color_straggler_through_gray_cache_raises(
+        self, gray_dir, tmp_path
+    ):
+        """A genuinely color image NOT in a gray-packed cache cannot be
+        represented in a 1-channel batch; keeping channel 0 would be
+        silent data corruption, so the loader refuses loudly."""
+        from clip_for_dl_tpu.data.datasets import _cached_load
+
+        paths = _paths(gray_dir)
+        cache = build_image_cache(paths, 48, str(tmp_path / "c"))
+        assert cache.channels == 1
+        color = str(tmp_path / "color.png")
+        rng = np.random.default_rng(3)
+        cv2.imwrite(color, rng.integers(0, 255, (64, 64, 3), np.uint8))
+        with pytest.raises(ValueError, match="color image"):
+            _cached_load(cache, color, 48)
+        # a gray straggler still loads fine
+        gray2 = str(tmp_path / "gray2.png")
+        cv2.imwrite(gray2, rng.integers(0, 255, (64, 64), np.uint8))
+        assert _cached_load(cache, gray2, 48).shape == (48, 48, 1)
+
 
 class TestGuards:
     def test_size_mismatch_rejected_at_dataset_construction(

@@ -75,6 +75,25 @@ def test_pretrain_then_restore_zeroshot(tmp_path):
     assert rows and "train_loss" in rows[0]
 
 
+def test_pretrain_length_grouped_smoke(tmp_path):
+    """--length-grouped tokenizes the corpus once, installs lengths via
+    HostLoader.set_lengths, and trains bucketed; rejected without
+    --bucket-text (grouping only pays when batches pad to their bucket)."""
+    assert run([
+        "pretrain", "--synthetic", "--tiny", "--fp32",
+        "--synthetic-samples", "16", "--epochs", "1",
+        "--bucket-text", "--length-grouped",
+        "--log-dir", str(tmp_path), "--checkpoint-dir",
+        str(tmp_path / "ck"),
+    ]) == 0
+    with pytest.raises(SystemExit, match="bucket-text"):
+        run([
+            "pretrain", "--synthetic", "--tiny", "--fp32",
+            "--synthetic-samples", "8", "--epochs", "1",
+            "--length-grouped", "--log-dir", str(tmp_path / "x"),
+        ])
+
+
 def test_gradcam_writes_overlays(tmp_path):
     assert run([
         "gradcam", "--synthetic", "--tiny", "--fp32",

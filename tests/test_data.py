@@ -160,6 +160,39 @@ class TestLoader:
         with pytest.raises(RuntimeError, match="decode failed"):
             next(it)
 
+    def test_prefetch_threaded_abandonment_stops_producer(self):
+        """bench.py's timed e2e loops abandon the generator mid-stream
+        over an infinite source; the producer thread must exit (not block
+        forever on a full queue pinning device batches)."""
+        import threading
+        import time
+
+        pulled = [0]
+
+        def infinite():
+            while True:
+                pulled[0] += 1
+                yield {"x": np.zeros(4)}
+
+        before = set(threading.enumerate())
+        it = prefetch_to_device(infinite(), threaded=True, depth=2)
+        next(it)
+        next(it)
+        it.close()  # consumer walks away
+        extra = []
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            extra = [
+                t for t in set(threading.enumerate()) - before if t.is_alive()
+            ]
+            if not extra:
+                break
+            time.sleep(0.05)
+        assert not extra, f"producer thread leaked: {extra}"
+        n = pulled[0]
+        time.sleep(0.2)
+        assert pulled[0] == n  # and it stopped pulling the source
+
 
 class TestLengthGrouped:
     def test_order_groups_without_losing_samples(self):
@@ -201,6 +234,16 @@ class TestLengthGrouped:
         ds = SyntheticImageTextDataset(n=8, image_size=8)
         with pytest.raises(ValueError, match="lengths"):
             HostLoader(ds, batch_size=4, lengths=np.arange(5))
+
+    def test_set_lengths_validates_like_constructor(self):
+        # the CLI installs lengths post-construction (tokenizer exists
+        # only later); the setter must keep the constructor's guard
+        ds = SyntheticImageTextDataset(n=8, image_size=8)
+        loader = HostLoader(ds, batch_size=4)
+        with pytest.raises(ValueError, match="lengths"):
+            loader.set_lengths(np.arange(5))
+        loader.set_lengths(np.arange(8))
+        assert loader.lengths is not None and len(loader.lengths) == 8
 
 
 def test_synthetic_labels_shape():

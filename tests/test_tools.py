@@ -196,3 +196,63 @@ def test_gen_slow_manifest_selection_and_budget_guard(tmp_path, monkeypatch):
     )
     monkeypatch.setattr(chk, "MANIFEST", str(manifest))
     assert chk.manifest_counts() == (4, 8)
+
+
+def test_serving_load_bench_tiny_smoke(capsys):
+    """Concurrency sweep against a real live server (tiny model, CPU):
+    every level row carries throughput, latency percentiles, and the
+    batcher stage split, with no transport errors at smoke scale."""
+    from tools.serving_load_bench import main
+
+    rc = main(["--tiny", "--cpu", "--levels", "1,2", "--duration", "1.0"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.strip().startswith("{")]
+    assert [r["concurrency"] for r in rows] == [1, 2]
+    for r in rows:
+        assert r["req_per_s"] > 0 and r["completed"] > 0
+        assert r["errors"] == 0
+        assert r["latency_ms"]["p50"] <= r["latency_ms"]["p99"]
+        assert r["mean_batch_size"] >= 1
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(
+        "/root/reference/00_data/indiana_reports.csv"),
+    reason="reference reports CSV not present",
+)
+def test_real_lengths_hist_only(capsys):
+    """Token-length histogram over the REAL Indiana findings text (both
+    bracketing vocabs) — the artifact behind benchmarks/bucketed_pretrain."""
+    from tools.real_lengths_bench import main
+
+    rc = main(["--hist-only"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert rec["reports"] > 3000
+    for name in ("corpus", "top1000"):
+        v = rec["vocabs"][name]
+        assert v["p50"] > 0 and v["p99"] <= 200
+        # bucketed epochs must cover every batch of the padded epoch
+        n_batches = sum(v["epoch_batches_per_bucket"].values())
+        assert n_batches == sum(
+            v["epoch_batches_per_bucket_length_grouped"].values())
+
+
+def test_day_one_rehearsal(tmp_path):
+    """The one-command bring-up chain (prep -> cache-images -> pretrain ->
+    adapter -> zeroshot -> convert -> parity gate) on stand-ins; the
+    report must mark it a rehearsal and every leg must have run."""
+    from tools.day_one import main
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["--work", str(tmp_path / "w"), "--keep"])
+    assert rc == 0
+    lines = [l for l in buf.getvalue().splitlines() if l.startswith("{")]
+    report = json.loads(lines[-1])
+    assert report["standin"], "rehearsal must record its stand-ins"
+    assert report["cache_channels"] == 1  # gray-packed CXR cache

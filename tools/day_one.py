@@ -209,6 +209,14 @@ def main(argv=None) -> int:
     resnet_w = _find(["resnet50.safetensors", "resnet50.pth", "resnet50.bin"])
     bert_w = _find(["bio_clinicalbert", "bert.safetensors", "bert.bin"])
     if resnet_w and bert_w and args.full:
+        _check(
+            "vocab" in report["real"],
+            "real tower weights found but no real vocab.txt — the BERT "
+            "embedding is sized for the real 28,996-entry vocab, so a "
+            "corpus-derived stand-in vocab would crash the pretrain leg "
+            "deep into the chain with an embedding shape mismatch; drop "
+            f"Bio_ClinicalBERT's vocab.txt under {ASSETS} first",
+        )
         report["real"]["towers"] = [resnet_w, bert_w]
     else:
         with open(vocab, encoding="utf-8") as f:

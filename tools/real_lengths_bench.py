@@ -21,7 +21,8 @@ workload:
      rare words into a few pieces).
    - `top1000`: only the 1,000 most frequent words are whole entries;
      everything else falls to char pieces. A far harsher splitter than the
-     real 30,522-entry vocab -> upper bound.
+     real 28,996-entry Bio_ClinicalBERT (bert-base-cased) vocab -> upper
+     bound.
 
 2. Measures the EFFECTIVE epoch throughput of the real pretrain step
    (ResNet-50 + BERT fwd+bwd + AdamW, B=128) when each batch pads to its
