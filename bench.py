@@ -51,8 +51,16 @@ ITERS = 30
 def build_zero_shot(tower: str, batch_n: int, *, fast_gelu=False,
                     fused_mlp=False,
                     flash_attention=False, compiler_options=None,
-                    channels: int = 3):
-    """Compile the zero-shot program; returns (compiled, args, mfu_fn)."""
+                    channels: int = 3, gather_n: int = 0):
+    """Compile the zero-shot program; returns (compiled, args, mfu_fn).
+
+    gather_n > 0: the DEVICE-CACHE form — the program takes the whole
+    HBM-resident [gather_n, 224, 224, C] uint8 dataset plus an int32
+    [batch] index vector and gathers the batch ON DEVICE before the
+    forward (jnp.take fused into the same XLA program: one dispatch per
+    batch, steady-state H2D = the indices). Same weights/text features
+    (seed-pinned) as the streaming form, so predictions are comparable
+    bit-for-bit."""
     from clip_for_dl_tpu.core.config import CLIP_MEAN, CLIP_STD, ModelConfig
     from clip_for_dl_tpu.models import CXRClip
     from clip_for_dl_tpu.ops.image_prep import preprocess_images
@@ -96,6 +104,21 @@ def build_zero_shot(tower: str, batch_n: int, *, fast_gelu=False,
         )
         return jax.nn.sigmoid(logits)
 
+    if gather_n:
+        @jax.jit
+        def zero_shot_gather_fn(variables, data_u8, idx, text_features):
+            images_u8 = jnp.take(data_u8, idx, axis=0, mode="clip")
+            return zero_shot_fn(variables, images_u8, text_features)
+
+        data = jax.ShapeDtypeStruct(
+            (gather_n, 224, 224, channels), jnp.uint8
+        )
+        idx = jax.ShapeDtypeStruct((batch_n,), jnp.int32)
+        compiled = zero_shot_gather_fn.lower(
+            variables, data, idx, text_features
+        ).compile(compiler_options=compiler_options)
+        return compiled, (variables, text_features)
+
     images = jax.device_put(
         np.random.default_rng(0).integers(
             0, 255, (batch_n, 224, 224, channels), dtype=np.uint8
@@ -122,13 +145,14 @@ def measure_compute(compiled, args, batch_n: int):
     return batch_n * ITERS / dt
 
 
-def measure_pretrain(timeout_s: float) -> dict:
-    """The training headline as a bench row: ResNet-50+BERT CLIP pretrain
-    step (B=128 seq200) with the r3 Pallas training kernels, measured by
-    tools/train_bench.py in a subprocess (fresh process = clean device).
-    The persistent compile cache (enabled above) makes repeat runs cheap;
-    a cold compile takes ~10 min, so a timeout returns a note instead of
-    sinking the whole bench."""
+def measure_train(timeout_s: float, phase: str = "pretrain") -> dict:
+    """A training row: tools/train_bench.py in a subprocess (fresh process
+    = clean device). phase="pretrain" is the ResNet-50+BERT CLIP step
+    (B=128 seq200) with the r3 Pallas training kernels — the 17.7 img/s
+    reference anchor; phase="adapter" is the frozen-backbone phase-B head
+    step — the 26.6 img/s anchor (02 nb cell 29). The persistent compile
+    cache (enabled above) makes repeat runs cheap; a cold compile takes
+    ~10 min, so a timeout returns a note instead of sinking the bench."""
     import subprocess
     import sys
 
@@ -136,9 +160,10 @@ def measure_pretrain(timeout_s: float) -> dict:
         sys.executable,
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "tools", "train_bench.py"),
-        "--batch-size", "128", "--seq-lens", "200",
-        "--flash-attention", "--bert-fused-mlp", "--iters", "20",
+        "--batch-size", "128", "--iters", "20", "--phase", phase,
     ]
+    if phase == "pretrain":
+        cmd += ["--seq-lens", "200", "--flash-attention", "--bert-fused-mlp"]
     try:
         proc = subprocess.run(
             cmd, timeout=timeout_s, stdout=subprocess.PIPE,
@@ -156,7 +181,8 @@ def measure_pretrain(timeout_s: float) -> dict:
                 "unit": row["unit"],
                 "batch": row["batch"],
                 "seq_len": row["seq_len"],
-                "vs_baseline_train": row["vs_baseline"],  # 17.7 img/s anchor
+                # pretrain: 17.7 img/s anchor; adapter: 26.6 img/s anchor
+                "vs_baseline_train": row["vs_baseline"],
                 **{k: row[k] for k in
                    ("mfu_pct", "tflops_per_sec", "gflops_per_item",
                     "hbm_temp_gb")
@@ -311,6 +337,115 @@ def measure_e2e(compiled, variables, text_features, batch_n: int,
     return out
 
 
+def measure_e2e_device_cache(tower: str, batch_n: int,
+                             seconds: float = 30.0, n_images: int = 512,
+                             rgb_compiled=None, rgb_args=None,
+                             compiler_options=None):
+    """Sustained loop with the DATASET RESIDENT IN HBM (VERDICT r4 item 1).
+
+    The gray-packed uint8 cache is uploaded once; every batch is gathered
+    on device by a host-supplied index vector fused into the zero-shot
+    program — steady-state H2D is ~1 KB of indices instead of ~12.8 MB of
+    pixels, so the loop is compute-bound where the streaming form is
+    tunnel-bound. Predictions are asserted bit-identical to the
+    triplicated-RGB streaming program on one batch (same seed-pinned
+    weights)."""
+    from collections import deque
+
+    from clip_for_dl_tpu.data.cache import DATA_NAME
+    from clip_for_dl_tpu.utils.profiling import trace
+    from clip_for_dl_tpu.utils.trace_report import device_op_table
+
+    cache, build_s = _make_cache(n_images)
+    c = cache.channels
+    arr = np.memmap(
+        os.path.join(cache.directory, DATA_NAME), dtype=np.uint8,
+        mode="r", shape=(len(cache), cache.image_size, cache.image_size, c),
+    )
+    compiled, (variables, text_features) = build_zero_shot(
+        tower, batch_n, compiler_options=compiler_options, channels=c,
+        gather_n=n_images,
+    )
+
+    # one-time upload of the whole dataset
+    host = np.asarray(arr)
+    t0 = time.perf_counter()
+    data = jax.device_put(host)
+    np.asarray(jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))(data))  # fence
+    upload_s = time.perf_counter() - t0
+    upload_mb = host.nbytes / 2**20
+
+    # bit-identity gate vs the triplicated-RGB streaming program
+    gray_identical = None
+    if rgb_compiled is not None and c == 1:
+        idx0 = np.arange(batch_n, dtype=np.int32) % n_images
+        p_dev = np.asarray(compiled(variables, data, idx0, text_features))
+        p_rgb = np.asarray(rgb_compiled(
+            rgb_args[0], np.repeat(host[idx0], 3, axis=-1), rgb_args[2]
+        ))
+        gray_identical = bool((p_dev == p_rgb).all())
+
+    # sustained loop: epoch-shuffled index batches, in-flight window with
+    # lag-3 D2H fetches (serving semantics — every prediction lands on
+    # the host)
+    rng = np.random.default_rng(7)
+
+    def idx_stream():
+        while True:
+            order = rng.permutation(n_images).astype(np.int32)
+            for s in range(0, n_images - batch_n + 1, batch_n):
+                yield order[s : s + batch_n]
+
+    it = idx_stream()
+    for _ in range(2):  # warm
+        np.asarray(compiled(variables, data, next(it), text_features))
+    lag = 3
+    t0 = time.perf_counter()
+    n_done = 0
+    inflight = deque()
+    while True:
+        inflight.append(compiled(variables, data, next(it), text_features))
+        if len(inflight) >= lag:
+            np.asarray(inflight.popleft())
+            n_done += batch_n
+        if time.perf_counter() - t0 >= seconds:
+            break
+    while inflight:
+        np.asarray(inflight.popleft())
+        n_done += batch_n
+    wall = time.perf_counter() - t0
+    rate = n_done / wall
+
+    # device-busy fraction over a slice of the same loop
+    log_dir = tempfile.mkdtemp(prefix="bench_devcache_trace_")
+    t0 = time.perf_counter()
+    with trace(log_dir):
+        for _ in range(6):
+            np.asarray(compiled(variables, data, next(it), text_features))
+    slice_wall_ms = (time.perf_counter() - t0) * 1e3
+    try:
+        device_ms = device_op_table(log_dir)["device_total_ms"]
+        busy = min(1.0, device_ms / slice_wall_ms)
+    except Exception:
+        busy = None
+
+    out = {
+        "img_per_sec": round(rate, 1),
+        "seconds": round(wall, 1),
+        "n_images": n_done,
+        "cache_images": n_images,
+        "resident_mb": round(upload_mb, 1),
+        "upload_s": round(upload_s, 2),
+        "h2d_per_batch_bytes": batch_n * 4,  # the index vector
+        "device_busy_frac": None if busy is None else round(busy, 3),
+        "vs_baseline_e2e": round(rate / BASELINE_IMG_PER_SEC, 2),
+        "cache_channels": c,
+    }
+    if gray_identical is not None:
+        out["gray_pred_identical"] = gray_identical
+    return out
+
+
 def main(argv=None) -> None:
     import argparse
 
@@ -434,8 +569,22 @@ def main(argv=None) -> None:
         row["e2e"]["vs_baseline_e2e"] = round(
             row["e2e"]["img_per_sec"] / BASELINE_IMG_PER_SEC, 2
         )
+        # e2e with the dataset RESIDENT IN HBM: batches gathered on
+        # device by index, steady-state H2D = the index vector — the
+        # whole Indiana set is ~225 MB gray-packed vs 16 GB of v5e HBM
+        # (VERDICT r4 item 1; CLI: --device-cache)
+        row["e2e_device_cache"] = measure_e2e_device_cache(
+            "resnet", batch_n, seconds=args.e2e_seconds,
+            rgb_compiled=compiled, rgb_args=fn_args,
+            compiler_options=compiler_options,
+        )
     if not args.no_pretrain:
-        row["pretrain_flash"] = measure_pretrain(args.pretrain_timeout)
+        row["pretrain_flash"] = measure_train(args.pretrain_timeout,
+                                              "pretrain")
+        # the phase-B frozen-backbone head step (26.6 img/s anchor) —
+        # driver-captured like the pretrain row (VERDICT r4 item 5)
+        row["adapter_train"] = measure_train(args.pretrain_timeout,
+                                             "adapter")
     if not args.no_vit:
         vt_compiled, vt_args = build_zero_shot(
             "vit", batch_n, fast_gelu=True, fused_mlp=True,

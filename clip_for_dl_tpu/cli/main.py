@@ -185,6 +185,7 @@ def _loaders(cfg, args, multi_view=True):
         from ..data import frame_to_image_text_dataset, merge_image_report
 
         cache = None
+        dcache = None
         if getattr(args, "image_cache", None):
             from ..data import ImageCache
 
@@ -193,6 +194,36 @@ def _loaders(cfg, args, multi_view=True):
                 "image cache: %d preprocessed images from %s",
                 len(cache), args.image_cache,
             )
+            unsupported = [
+                f for f in ("tp", "pp", "ep")
+                if (getattr(args, f, 1) or 1) > 1
+            ]
+            if getattr(args, "device_cache", False) and unsupported:
+                logging.warning(
+                    "--device-cache composes with dp only (got --%s) — "
+                    "streaming instead", unsupported[0],
+                )
+            elif getattr(args, "device_cache", False):
+                from ..data import DeviceCacheBudgetError, DeviceImageCache
+
+                # dp runs need the gathers sharded over the same mesh the
+                # step uses; replicating the resident array over N chips
+                # costs N×225 MB — still nothing against HBM
+                mesh = None
+                n = _num_devices(args)
+                if n > 1:
+                    from ..core.mesh import create_mesh
+
+                    mesh = create_mesh(n)
+                try:
+                    dcache = DeviceImageCache(cache, mesh=mesh)
+                except DeviceCacheBudgetError as e:
+                    logging.warning(
+                        "--device-cache: %s — streaming instead", e
+                    )
+        elif getattr(args, "device_cache", False):
+            raise SystemExit("--device-cache requires --image-cache")
+        image_rows = dcache is not None
         reports = pd.read_csv(cfg.data.reports_csv)
         projections = pd.read_csv(cfg.data.projections_csv)
         merged = merge_image_report(projections, reports)
@@ -207,21 +238,26 @@ def _loaders(cfg, args, multi_view=True):
                 cfg.data.image_dir,
             )
             train_ds = ChestXrayMultiViewDataset(
-                train_idx, cfg.model.image_size, cache=cache
+                train_idx, cfg.model.image_size, cache=cache,
+                image_rows=image_rows,
             )
             val_ds = ChestXrayMultiViewDataset(
-                val_idx, cfg.model.image_size, cache=cache
+                val_idx, cfg.model.image_size, cache=cache,
+                image_rows=image_rows,
             )
         else:
             # CLIP pretrain: flat (image, report) pairs over every image
             # (02 nb cell 12 semantics — 4497 rows, not per-exam views)
             train_ds = frame_to_image_text_dataset(
-                train_f, cfg.data.image_dir, cfg.model.image_size, cache=cache
+                train_f, cfg.data.image_dir, cfg.model.image_size,
+                cache=cache, image_rows=image_rows,
             )
             val_ds = frame_to_image_text_dataset(
-                val_f, cfg.data.image_dir, cfg.model.image_size, cache=cache
+                val_f, cfg.data.image_dir, cfg.model.image_size,
+                cache=cache, image_rows=image_rows,
             )
     else:
+        dcache = None
         logging.warning("Indiana images unavailable — using synthetic data")
         n = args.synthetic_samples
         if multi_view:
@@ -257,6 +293,11 @@ def _loaders(cfg, args, multi_view=True):
         num_threads=cfg.data.num_workers, pad_final=True,
         **val_shard_kwargs,
     )
+    if dcache is not None:
+        from ..data import DeviceFeedLoader
+
+        train_loader = DeviceFeedLoader(train_loader, dcache)
+        val_loader = DeviceFeedLoader(val_loader, dcache)
     return train_loader, val_loader
 
 
@@ -267,6 +308,22 @@ def _loaders(cfg, args, multi_view=True):
 
 def _num_devices(args) -> int:
     return int(getattr(args, "num_devices", None) or 0)
+
+
+def _step_images(batch, single_view: bool = False):
+    """Image entry of a collated batch, ready for the jitted step. Host
+    batches become contiguous numpy; batches already gathered on device
+    by the --device-cache feed stay there (np.asarray here would drag the
+    gathered batch BACK over the host link, defeating the cache). The
+    multi-view → frontal-only select runs wherever the array lives."""
+    import jax as _jax
+
+    img = batch.get("image", batch.get("images"))
+    if not isinstance(img, _jax.Array):
+        img = np.asarray(img)
+    if single_view and img.ndim == 5:
+        img = img[:, 0]
+    return img
 
 
 def _effective_dp_devices(args) -> int:
@@ -493,14 +550,12 @@ def cmd_pretrain(args) -> int:
             )
         else:
             enc = tokenizer.encode(list(texts), max_length=max_len)
-        out = {
-            "images": np.asarray(batch.get("image", batch.get("images"))),
+        return {
+            # multi-view → frontal only for pretrain
+            "images": _step_images(batch, single_view=True),
             "input_ids": enc["input_ids"],
             "attention_mask": enc["attention_mask"],
         }
-        if out["images"].ndim == 5:  # multi-view → frontal only for pretrain
-            out["images"] = out["images"][:, 0]
-        return out
 
     loss_name = (
         cfg.train.loss
@@ -934,11 +989,9 @@ def cmd_train(args) -> int:
         return (feats,)
 
     def clean(batch):
-        import numpy as _np
-
         return {
-            "images": _np.asarray(batch["images"]),
-            "labels": _np.asarray(batch["labels"]),
+            "images": _step_images(batch),
+            "labels": np.asarray(batch["labels"]),
         }
 
     ckpt = None
@@ -1025,9 +1078,7 @@ def cmd_shared_adapter(args) -> int:
     max_len = cfg.model.max_text_length
 
     def to_batch(batch):
-        imgs = np.asarray(batch["images"])
-        if imgs.ndim == 5:
-            imgs = imgs[:, 0]
+        imgs = _step_images(batch, single_view=True)
         texts = batch.get("findings") or batch.get("text")
         if args.bucket_text:
             enc = tokenizer.encode_bucketed(
@@ -1139,10 +1190,8 @@ def cmd_adapter(args) -> int:
     train_loader, val_loader = _loaders(cfg, args, multi_view=True)
 
     def to_single_view(batch):
-        imgs = np.asarray(batch["images"])
-        if imgs.ndim == 5:
-            imgs = imgs[:, 0]
-        return {"images": imgs, "labels": np.asarray(batch["labels"]),
+        return {"images": _step_images(batch, single_view=True),
+                "labels": np.asarray(batch["labels"]),
                 "mask": batch.get("mask")}
 
     ckpt = None
@@ -1720,6 +1769,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "`cache-images`): epochs read decoded uint8 "
                              "rows from a memmap instead of cv2-decoding "
                              "every image every epoch")
+        sp.add_argument("--device-cache", action="store_true",
+                        help="with --image-cache: upload the WHOLE cache "
+                             "to device HBM once and gather batches on "
+                             "device by index — steady-state H2D is just "
+                             "the index vector (the Indiana set is "
+                             "~225 MB gray-packed vs 16 GB of v5e HBM). "
+                             "Falls back to streaming with a warning if "
+                             "the dataset exceeds the HBM budget "
+                             "(CLIP_FOR_DL_TPU_HBM_BYTES overrides)")
         sp.add_argument("--batch-size", type=int, default=None)
         sp.add_argument("--num-devices", type=int, default=None,
                         help="run data-parallel over the first N visible "

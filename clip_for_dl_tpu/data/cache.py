@@ -104,6 +104,11 @@ class ImageCache:
     def __contains__(self, path: str) -> bool:
         return _key(path) in self._rows
 
+    def row(self, path: str) -> Optional[int]:
+        """Row index of `path` in the memmap (the device-resident cache
+        gathers by these indices — data/device_cache.py), or None."""
+        return self._rows.get(_key(path))
+
     def get(self, path: str) -> Optional[np.ndarray]:
         row = self._rows.get(_key(path))
         if row is None:

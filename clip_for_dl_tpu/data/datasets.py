@@ -204,6 +204,30 @@ def _cache_channels(cache) -> int:
     return getattr(cache, "channels", 3) if cache is not None else 3
 
 
+def _check_image_rows(image_rows: bool, cache):
+    """image_rows=True (the device-resident cache path) emits cache ROW
+    INDICES instead of pixels — meaningless without a cache to index."""
+    if image_rows and cache is None:
+        raise ValueError("image_rows=True requires an image cache")
+    return bool(image_rows)
+
+
+def _row_ref(cache, path: Optional[str]) -> np.int32:
+    """Cache row index for `path` (−1 = the missing-view zero image slot,
+    data/device_cache.py). Rows mode cannot fall back to a live decode —
+    an uncached file fails loudly instead of silently feeding wrong rows."""
+    if path is None:
+        return np.int32(-1)
+    row = cache.row(path)
+    if row is None:
+        raise KeyError(
+            f"{path}: not in the image cache — the device-resident cache "
+            "path (image_rows) needs full coverage; rebuild with "
+            "`cache-images` over every dataset path"
+        )
+    return np.int32(row)
+
+
 def _cached_load(cache, path: str, image_size: int) -> np.ndarray:
     if cache is not None:
         img = cache.get(path)
@@ -236,29 +260,38 @@ class ChestXrayMultiViewDataset:
     when fed from a grayscale-packed cache (preprocess_images broadcasts
     back to 3 on device, bit-identically)."""
 
-    def __init__(self, index: ExamIndex, image_size: int = 224, cache=None):
+    def __init__(self, index: ExamIndex, image_size: int = 224, cache=None,
+                 image_rows: bool = False):
         self.index = index
         self.image_size = image_size
         self.cache = _check_cache(cache, image_size)
         self.channels = _cache_channels(self.cache)
+        self.image_rows = _check_image_rows(image_rows, cache)
 
     def __len__(self) -> int:
         return len(self.index)
 
     def __getitem__(self, i: int) -> Dict:
         s = self.image_size
-        views = []
-        for path in (self.index.frontal_paths[i], self.index.lateral_paths[i]):
-            if path is None:
-                views.append(np.zeros((s, s, self.channels), np.uint8))
-            else:
-                views.append(_cached_load(self.cache, path, s))
-        return {
-            "images": np.stack(views),
+        paths = (self.index.frontal_paths[i], self.index.lateral_paths[i])
+        out = {
             "labels": self.index.labels[i],
             "findings": self.index.findings[i],
             "view_types": self.index.view_types[i],
         }
+        if self.image_rows:
+            out["images_rows"] = np.stack(
+                [_row_ref(self.cache, p) for p in paths]
+            )
+            return out
+        views = []
+        for path in paths:
+            if path is None:
+                views.append(np.zeros((s, s, self.channels), np.uint8))
+            else:
+                views.append(_cached_load(self.cache, path, s))
+        out["images"] = np.stack(views)
+        return out
 
 
 class ImageTextDataset:
@@ -270,6 +303,7 @@ class ImageTextDataset:
         texts: Sequence[str],
         image_size: int = 224,
         cache=None,
+        image_rows: bool = False,
     ):
         assert len(image_paths) == len(texts)
         self.image_paths = list(image_paths)
@@ -277,11 +311,17 @@ class ImageTextDataset:
         self.image_size = image_size
         self.cache = _check_cache(cache, image_size)
         self.channels = _cache_channels(self.cache)
+        self.image_rows = _check_image_rows(image_rows, cache)
 
     def __len__(self) -> int:
         return len(self.image_paths)
 
     def __getitem__(self, i: int) -> Dict:
+        if self.image_rows:
+            return {
+                "image_rows": _row_ref(self.cache, self.image_paths[i]),
+                "text": self.texts[i],
+            }
         return {
             "image": _cached_load(
                 self.cache, self.image_paths[i], self.image_size
@@ -301,6 +341,7 @@ class ImageMultiLabelDataset:
         image_size: int = 224,
         texts: Optional[Sequence[str]] = None,
         cache=None,
+        image_rows: bool = False,
     ):
         assert len(image_paths) == len(labels)
         self.image_paths = list(image_paths)
@@ -309,18 +350,22 @@ class ImageMultiLabelDataset:
         self.texts = list(texts) if texts is not None else None
         self.cache = _check_cache(cache, image_size)
         self.channels = _cache_channels(self.cache)
+        self.image_rows = _check_image_rows(image_rows, cache)
 
     def __len__(self) -> int:
         return len(self.image_paths)
 
     def __getitem__(self, i: int) -> Dict:
         out = {
-            "image": _cached_load(
-                self.cache, self.image_paths[i], self.image_size
-            ),
             "labels": self.labels[i],
             "path": self.image_paths[i],
         }
+        if self.image_rows:
+            out["image_rows"] = _row_ref(self.cache, self.image_paths[i])
+        else:
+            out["image"] = _cached_load(
+                self.cache, self.image_paths[i], self.image_size
+            )
         if self.texts is not None:
             out["text"] = self.texts[i]
         return out
@@ -328,17 +373,19 @@ class ImageMultiLabelDataset:
 
 def frame_to_multilabel_dataset(
     frame: pd.DataFrame, image_dir: str = "", image_size: int = 224,
-    with_text: bool = False, cache=None,
+    with_text: bool = False, cache=None, image_rows: bool = False,
 ) -> ImageMultiLabelDataset:
     paths = [os.path.join(image_dir, p) for p in frame["image_path"]]
     labels = frame[list(DISEASE_LABELS)].to_numpy(np.float32)
     texts = list(frame["report"]) if with_text else None
-    return ImageMultiLabelDataset(paths, labels, image_size, texts, cache)
+    return ImageMultiLabelDataset(paths, labels, image_size, texts, cache,
+                                  image_rows)
 
 
 def frame_to_image_text_dataset(
     frame: pd.DataFrame, image_dir: str = "", image_size: int = 224,
-    cache=None,
+    cache=None, image_rows: bool = False,
 ) -> ImageTextDataset:
     paths = [os.path.join(image_dir, p) for p in frame["image_path"]]
-    return ImageTextDataset(paths, list(frame["report"]), image_size, cache)
+    return ImageTextDataset(paths, list(frame["report"]), image_size, cache,
+                            image_rows)

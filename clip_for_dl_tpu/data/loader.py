@@ -221,10 +221,13 @@ class HostLoader:
             skip = 0
         queue: Queue = Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
 
         def producer():
             with ThreadPoolExecutor(self.num_threads) as pool:
                 for i, (idx, valid) in enumerate(self._batch_indices()):
+                    if stop.is_set():
+                        return
                     if i < skip:
                         continue
                     samples = list(pool.map(self.dataset.__getitem__, idx))
@@ -236,24 +239,65 @@ class HostLoader:
                         batch["mask"] = np.ones(real, np.float32)
                     if self.pad_final and not valid.all():
                         batch["mask"][:real] *= valid.astype(np.float32)
-                    queue.put(batch)
-            queue.put(sentinel)
+                    if not _bounded_put(queue, batch, stop):
+                        return  # consumer abandoned the epoch
+            _bounded_put(queue, sentinel, stop)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = queue.get()
-            if item is sentinel:
-                break
-            self._step += 1
-            yield item
+        try:
+            while True:
+                item = queue.get()
+                if item is sentinel:
+                    break
+                self._step += 1
+                yield item
+        finally:
+            # A consumer that abandons the epoch mid-stream (break, or the
+            # upstream prefetch generator being GC-closed) would otherwise
+            # leave this producer — and its ThreadPoolExecutor — blocked
+            # forever on a full queue.
+            _drain_producer(queue, stop, thread)
+
+
+def _bounded_put(queue: Queue, item, stop: threading.Event) -> bool:
+    """``queue.put`` that gives up once ``stop`` is set — an unbounded put
+    would block the producer thread forever when the consumer abandons the
+    stream with the queue full. Returns False when abandoned."""
+    while not stop.is_set():
+        try:
+            queue.put(item, timeout=0.1)
+            return True
+        except Full:
+            continue
+    return False
+
+
+def _drain_producer(queue: Queue, stop: threading.Event, thread) -> None:
+    """Deterministic producer shutdown: signal stop, drain, then join and
+    drain once more — a producer already inside ``queue.put`` (past its
+    stop check) can complete the put AFTER the first drain, leaving one
+    batch referenced by the queue until GC. The post-join drain drops that
+    last in-flight item too."""
+    stop.set()
+    for _ in range(2):
+        try:
+            while True:
+                queue.get_nowait()
+        except Empty:
+            pass
+        thread.join(timeout=5.0)
 
 
 def _pad_batch(batch: Dict[str, Any], size: int, real: int) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for key, val in batch.items():
         if isinstance(val, np.ndarray):
-            pad = np.zeros((size - real, *val.shape[1:]), val.dtype)
+            # `*_rows` entries are device-cache row indices; -1 is the
+            # zero-image slot (data/device_cache.py), so padded samples
+            # gather the same zero image streaming pads with
+            fill = -1 if key.endswith("_rows") else 0
+            pad = np.full((size - real, *val.shape[1:]), fill, val.dtype)
             out[key] = np.concatenate([val, pad])
         else:
             out[key] = list(val) + [val[-1]] * (size - real)
@@ -307,29 +351,20 @@ def prefetch_to_device(
         done = object()
         stop = threading.Event()
 
-        def _enqueue(item) -> bool:
-            # Bounded put that gives up once the consumer is gone — a
-            # plain q.put() would block the producer forever (holding
-            # `depth` device-resident batches) when the consumer
-            # abandons the generator mid-stream (bench.py's timed e2e
-            # loops do exactly that).
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except Full:
-                    continue
-            return False
-
         def producer():
+            # _bounded_put gives up once the consumer is gone — a plain
+            # q.put() would block this thread forever (holding `depth`
+            # device-resident batches) when the consumer abandons the
+            # generator mid-stream (bench.py's timed e2e loops do
+            # exactly that).
             try:
                 for batch in iterator:
-                    if stop.is_set() or not _enqueue(put(batch)):
+                    if stop.is_set() or not _bounded_put(q, put(batch), stop):
                         return
             except BaseException as exc:  # re-raised consumer-side
-                _enqueue(exc)
+                _bounded_put(q, exc, stop)
                 return
-            _enqueue(done)
+            _bounded_put(q, done, stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -343,14 +378,11 @@ def prefetch_to_device(
                 yield item
         finally:
             # Consumer finished or abandoned us (GeneratorExit lands
-            # here): unblock the producer and drop any queued device
-            # buffers so HBM is released promptly.
-            stop.set()
-            try:
-                while True:
-                    q.get_nowait()
-            except Empty:
-                pass
+            # here): unblock the producer, join it, and drop any queued
+            # device buffers so HBM is released promptly (drain → join →
+            # drain again, since a put in flight past its stop check can
+            # land after the first drain).
+            _drain_producer(q, stop, t)
         return
 
     pending = None

@@ -193,6 +193,56 @@ class TestLoader:
         time.sleep(0.2)
         assert pulled[0] == n  # and it stopped pulling the source
 
+    def test_hostloader_abandonment_stops_producer(self):
+        """Abandoning a HostLoader-backed pipeline mid-epoch (the prefetch
+        generator being closed GC-closes the upstream iterator) must stop
+        HostLoader's OWN producer thread and its ThreadPoolExecutor too —
+        not just prefetch_to_device's (ADVICE r4: the inner producer was
+        previously an unbounded queue.put one level down)."""
+        import threading
+        import time
+
+        ds = SyntheticMultiViewDataset(n=64, image_size=8)
+        loader = HostLoader(ds, batch_size=2, prefetch=1)
+        before = set(threading.enumerate())
+        it = prefetch_to_device(iter(loader), keys=("images",),
+                                threaded=True, depth=1)
+        next(it)
+        it.close()  # consumer walks away with >20 batches unproduced
+        extra = []
+        deadline = time.time() + 10.0
+        while time.time() < deadline:
+            extra = [
+                t for t in set(threading.enumerate()) - before if t.is_alive()
+            ]
+            if not extra:
+                break
+            time.sleep(0.05)
+        assert not extra, f"thread leaked past abandonment: {extra}"
+
+    def test_hostloader_direct_break_stops_producer(self):
+        """Breaking out of a bare HostLoader loop (no prefetch wrapper)
+        joins the producer thread via the iterator's finally clause."""
+        import threading
+        import time
+
+        ds = SyntheticMultiViewDataset(n=64, image_size=8)
+        loader = HostLoader(ds, batch_size=2, prefetch=1)
+        before = set(threading.enumerate())
+        for i, _ in enumerate(loader):
+            if i == 1:
+                break
+        extra = []
+        deadline = time.time() + 10.0
+        while time.time() < deadline:
+            extra = [
+                t for t in set(threading.enumerate()) - before if t.is_alive()
+            ]
+            if not extra:
+                break
+            time.sleep(0.05)
+        assert not extra, f"thread leaked past break: {extra}"
+
 
 class TestLengthGrouped:
     def test_order_groups_without_losing_samples(self):

@@ -159,3 +159,99 @@ def test_cli_real_pretrain_uses_image_text_pairs(fake_dataset, tmp_path):
         "--log-dir", str(tmp_path),
     ])
     assert rc == 0
+
+
+@pytest.fixture(scope="module")
+def built_cache(fake_dataset, tmp_path_factory):
+    """cache-images over the fake layout at the --tiny geometry (64)."""
+    from clip_for_dl_tpu.cli import main
+
+    root, _, _, img_dir = fake_dataset
+    out = str(tmp_path_factory.mktemp("cache") / "c64")
+    rc = main([
+        "cache-images", "--image-dir", img_dir, "--out", out,
+        "--projections-csv", str(root / "projections.csv"),
+        "--image-size", "64", "--workers", "2",
+    ])
+    assert rc == 0
+    return out
+
+
+def test_cli_pretrain_device_cache(fake_dataset, built_cache, tmp_path,
+                                   caplog):
+    """--device-cache: whole cache resident in device memory, batches
+    gathered on device by index (VERDICT r4 item 1); the epoch must train
+    to completion through the device-feed path."""
+    import logging as _logging
+
+    from clip_for_dl_tpu.cli import main
+
+    root, _, _, img_dir = fake_dataset
+    with caplog.at_level(_logging.INFO, logger="clip_for_dl_tpu.data"):
+        rc = main([
+            "pretrain", "--tiny", "--fp32", "--epochs", "1",
+            "--reports-csv", str(root / "reports_labeled.csv"),
+            "--projections-csv", str(root / "projections.csv"),
+            "--image-dir", img_dir,
+            "--image-cache", built_cache, "--device-cache",
+            "--batch-size", "4",
+            "--log-dir", str(tmp_path),
+        ])
+    assert rc == 0
+    assert any("device cache resident" in r.message for r in caplog.records)
+    assert (tmp_path / "training_history.csv").exists()
+
+
+def test_cli_train_multiview_device_cache(fake_dataset, built_cache,
+                                          tmp_path):
+    """Multi-view command over the device cache: [B, 2] row gathers with
+    the -1 missing-view slot (one lateral is dropped in the fixture)."""
+    from clip_for_dl_tpu.cli import main
+
+    root, _, _, img_dir = fake_dataset
+    rc = main([
+        "train", "--tiny", "--fp32", "--epochs", "1",
+        "--reports-csv", str(root / "reports_labeled.csv"),
+        "--projections-csv", str(root / "projections.csv"),
+        "--image-dir", img_dir,
+        "--image-cache", built_cache, "--device-cache",
+        "--batch-size", "4",
+        "--log-dir", str(tmp_path),
+    ])
+    assert rc == 0
+
+
+def test_cli_device_cache_requires_image_cache(fake_dataset, tmp_path):
+    from clip_for_dl_tpu.cli import main
+
+    root, _, _, img_dir = fake_dataset
+    with pytest.raises(SystemExit, match="image-cache"):
+        main([
+            "pretrain", "--tiny", "--fp32", "--epochs", "1",
+            "--reports-csv", str(root / "reports_labeled.csv"),
+            "--projections-csv", str(root / "projections.csv"),
+            "--image-dir", img_dir, "--device-cache",
+            "--batch-size", "4", "--log-dir", str(tmp_path),
+        ])
+
+
+def test_cli_device_cache_budget_fallback(fake_dataset, built_cache,
+                                          tmp_path, monkeypatch, caplog):
+    """Over-budget dataset streams instead of failing (gated at open)."""
+    import logging as _logging
+
+    from clip_for_dl_tpu.cli import main
+
+    monkeypatch.setenv("CLIP_FOR_DL_TPU_HBM_BYTES", "1024")
+    root, _, _, img_dir = fake_dataset
+    with caplog.at_level(_logging.WARNING):
+        rc = main([
+            "pretrain", "--tiny", "--fp32", "--epochs", "1",
+            "--reports-csv", str(root / "reports_labeled.csv"),
+            "--projections-csv", str(root / "projections.csv"),
+            "--image-dir", img_dir,
+            "--image-cache", built_cache, "--device-cache",
+            "--batch-size", "4", "--log-dir", str(tmp_path),
+        ])
+    assert rc == 0
+    assert any("streaming instead" in r.message for r in caplog.records)

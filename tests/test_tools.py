@@ -239,6 +239,7 @@ def test_real_lengths_hist_only(capsys):
             v["epoch_batches_per_bucket_length_grouped"].values())
 
 
+@pytest.mark.slow  # full seven-leg chain incl. a parity_harness subprocess
 def test_day_one_rehearsal(tmp_path):
     """The one-command bring-up chain (prep -> cache-images -> pretrain ->
     adapter -> zeroshot -> convert -> parity gate) on stand-ins; the
