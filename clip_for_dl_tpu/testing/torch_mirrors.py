@@ -89,6 +89,87 @@ class TorchResidualProjection(tnn.Module):
         return self.layer_norm(h + p)
 
 
+class TorchViTLayer(tnn.Module):
+    """torchvision vit_b_16 encoder layer topology + state_dict naming."""
+
+    def __init__(self, hidden: int = 768, heads: int = 12,
+                 mlp: int = 3072):
+        super().__init__()
+        self.ln_1 = tnn.LayerNorm(hidden, eps=1e-6)
+        self.self_attention = tnn.MultiheadAttention(
+            hidden, heads, batch_first=True
+        )
+        self.ln_2 = tnn.LayerNorm(hidden, eps=1e-6)
+        self.mlp = tnn.Sequential(
+            tnn.Linear(hidden, mlp), tnn.GELU(), tnn.Dropout(0.0),
+            tnn.Linear(mlp, hidden), tnn.Dropout(0.0),
+        )
+
+    def forward(self, x):
+        y = self.ln_1(x)
+        a, _ = self.self_attention(y, y, y, need_weights=False)
+        x = x + a
+        return x + self.mlp(self.ln_2(x))
+
+
+class TorchViT(tnn.Module):
+    """torchvision vit_b_16 topology with matching state_dict keys
+    (vit_vision/chestxray_CLIP_vitvision.ipynb cell 24's image tower);
+    returns the post-LN class-token embedding."""
+
+    def __init__(self, image_size: int = 224, patch: int = 16,
+                 hidden: int = 768, layers: int = 12, heads: int = 12,
+                 mlp: int = 3072):
+        super().__init__()
+        n = (image_size // patch) ** 2
+        self.conv_proj = tnn.Conv2d(3, hidden, patch, patch)
+        self.class_token = tnn.Parameter(torch.randn(1, 1, hidden) * 0.02)
+        self.encoder = tnn.Module()
+        self.encoder.pos_embedding = tnn.Parameter(
+            torch.randn(1, n + 1, hidden) * 0.02
+        )
+        self.encoder.layers = tnn.Sequential(
+            *[TorchViTLayer(hidden, heads, mlp) for _ in range(layers)]
+        )
+        # torchvision names layers encoder.layers.encoder_layer_N
+        self.encoder.layers._modules = {
+            f"encoder_layer_{i}": m
+            for i, m in enumerate(self.encoder.layers._modules.values())
+        }
+        self.encoder.ln = tnn.LayerNorm(hidden, eps=1e-6)
+
+    def forward(self, x):
+        b = x.shape[0]
+        x = self.conv_proj(x)  # [B, H, g, g]
+        x = x.flatten(2).transpose(1, 2)  # [B, n, H]
+        x = torch.cat([self.class_token.expand(b, -1, -1), x], dim=1)
+        x = x + self.encoder.pos_embedding
+        for layer in self.encoder.layers:
+            x = layer(x)
+        return self.encoder.ln(x)[:, 0]
+
+
+class TorchAdditiveAttention(tnn.Module):
+    """multimodal_attention/train.py:1069-1110 semantics — the enhanced
+    zero-shot path's feature mixer (disease_analysis.py:344-346)."""
+
+    def __init__(self, dim: int = 512):
+        super().__init__()
+        self.image_proj = tnn.Linear(dim, dim)
+        self.text_proj = tnn.Linear(dim, dim)
+        self.attention = tnn.Linear(dim, 1)
+        self.output_proj = tnn.Linear(dim, dim)
+
+    def forward(self, img, txt):
+        ip = self.image_proj(img)
+        tp = self.text_proj(txt)
+        te = tp.unsqueeze(0).expand(ip.size(0), -1, -1)
+        scores = self.attention(torch.tanh(ip.unsqueeze(1) + te))
+        w = F.softmax(scores.squeeze(-1), dim=1)
+        attended = torch.bmm(w.unsqueeze(1), te).squeeze(1)
+        return self.output_proj(ip + attended), w
+
+
 class TorchMultiViewFusion(tnn.Module):
     def __init__(self, dim=512, dropout=0.2):
         super().__init__()

@@ -116,24 +116,7 @@ def test_shared_embedding_adapter_shape(rng):
     assert out.shape == (4, 16)
 
 
-class TorchAdditiveAttention(tnn.Module):
-    """multimodal_attention/train.py:1069-1110 semantics."""
-
-    def __init__(self, dim=512):
-        super().__init__()
-        self.image_proj = tnn.Linear(dim, dim)
-        self.text_proj = tnn.Linear(dim, dim)
-        self.attention = tnn.Linear(dim, 1)
-        self.output_proj = tnn.Linear(dim, dim)
-
-    def forward(self, img, txt):
-        ip = self.image_proj(img)
-        tp = self.text_proj(txt)
-        te = tp.unsqueeze(0).expand(ip.size(0), -1, -1)
-        scores = self.attention(torch.tanh(ip.unsqueeze(1) + te))
-        w = F.softmax(scores.squeeze(-1), dim=1)
-        attended = torch.bmm(w.unsqueeze(1), te).squeeze(1)
-        return self.output_proj(ip + attended), w
+from clip_for_dl_tpu.testing import TorchAdditiveAttention  # noqa: E402
 
 
 def test_additive_attention_parity(rng):

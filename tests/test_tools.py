@@ -164,6 +164,28 @@ def test_parity_harness_from_png_tiny(capsys):
     assert report["auroc_max_abs_delta"] < 1e-2
 
 
+@pytest.mark.parametrize("extra", [
+    ["--tower", "vit"],
+    ["--enhance"],
+    ["--tower", "vit", "--enhance"],
+], ids=["vit", "enhance", "vit_enhance"])
+def test_parity_harness_from_png_vit_and_enhance(capsys, extra):
+    """VERDICT r4 item 6: the from-PNG oracle also covers the ViT tower
+    (vit_vision nb cell 24 chain) and the AdditiveMultiModalAttention
+    enhanced zero-shot path (disease_analysis.py:344-356)."""
+    from tools.parity_harness import main
+
+    rc = main(["--from-png", "--random-weights", "--tiny",
+               "--n-images", "6"] + extra)
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["host_chain_max_abs_delta_u8"] == 0
+    assert report["prob_max_abs_err"] < 2e-3
+    assert report["auroc_max_abs_delta"] < 1e-2
+    assert report["tower"] == ("vit" if "--tower" in extra else "resnet")
+    assert report["enhance"] == ("--enhance" in extra)
+
+
 def test_gen_slow_manifest_selection_and_budget_guard(tmp_path, monkeypatch):
     """gen_slow_manifest picks slowest-first within budget (every module
     keeps a fast test) and stamps the counts check_fast_budget reads."""

@@ -8,63 +8,16 @@ import torch
 import torch.nn as tnn
 
 from clip_for_dl_tpu.models.vit import ViT, import_torchvision_vit_b16
+from clip_for_dl_tpu.testing import TorchViT
 
 torch.manual_seed(0)
 
 H, HEADS, MLP, LAYERS, PATCH, IMG = 64, 4, 128, 2, 8, 32
 
 
-class TorchViTLayer(tnn.Module):
-    def __init__(self):
-        super().__init__()
-        self.ln_1 = tnn.LayerNorm(H, eps=1e-6)
-        self.self_attention = tnn.MultiheadAttention(H, HEADS, batch_first=True)
-        self.ln_2 = tnn.LayerNorm(H, eps=1e-6)
-        self.mlp = tnn.Sequential(
-            tnn.Linear(H, MLP), tnn.GELU(), tnn.Dropout(0.0),
-            tnn.Linear(MLP, H), tnn.Dropout(0.0),
-        )
-
-    def forward(self, x):
-        y = self.ln_1(x)
-        a, _ = self.self_attention(y, y, y, need_weights=False)
-        x = x + a
-        return x + self.mlp(self.ln_2(x))
-
-
-class TorchViT(tnn.Module):
-    """torchvision vit_b_16 topology with matching state_dict keys."""
-
-    def __init__(self):
-        super().__init__()
-        n = (IMG // PATCH) ** 2
-        self.conv_proj = tnn.Conv2d(3, H, PATCH, PATCH)
-        self.class_token = tnn.Parameter(torch.randn(1, 1, H) * 0.02)
-        self.encoder = tnn.Module()
-        self.encoder.pos_embedding = tnn.Parameter(torch.randn(1, n + 1, H) * 0.02)
-        self.encoder.layers = tnn.Sequential(
-            *[TorchViTLayer() for _ in range(LAYERS)]
-        )
-        # torchvision names layers encoder.layers.encoder_layer_N
-        self.encoder.layers._modules = {
-            f"encoder_layer_{i}": m
-            for i, m in enumerate(self.encoder.layers._modules.values())
-        }
-        self.encoder.ln = tnn.LayerNorm(H, eps=1e-6)
-
-    def forward(self, x):
-        b = x.shape[0]
-        x = self.conv_proj(x)  # [B, H, g, g]
-        x = x.flatten(2).transpose(1, 2)  # [B, n, H]
-        x = torch.cat([self.class_token.expand(b, -1, -1), x], dim=1)
-        x = x + self.encoder.pos_embedding
-        for layer in self.encoder.layers:
-            x = layer(x)
-        return self.encoder.ln(x)[:, 0]
-
-
 def test_vit_parity(rng):
-    tmod = TorchViT().eval()
+    tmod = TorchViT(image_size=IMG, patch=PATCH, hidden=H, layers=LAYERS,
+                    heads=HEADS, mlp=MLP).eval()
     x = rng.standard_normal((2, 3, IMG, IMG)).astype(np.float32)
     with torch.no_grad():
         want = tmod(torch.from_numpy(x)).numpy()

@@ -66,6 +66,15 @@ def main(argv=None) -> int:
                    help="start both chains from PNG BYTES on disk "
                         "(decode + resize + normalize + both towers + "
                         "AUROC — see module docstring)")
+    p.add_argument("--tower", choices=["resnet", "vit"], default="resnet",
+                   help="--from-png image tower: resnet (02 nb) or the "
+                        "ViT-B/16 chain (vit_vision nb cell 24 — torch "
+                        "mirror of torchvision vit_b_16)")
+    p.add_argument("--enhance", action="store_true",
+                   help="--from-png: route both sides through the "
+                        "AdditiveMultiModalAttention enhanced zero-shot "
+                        "path (multimodal_attention/disease_analysis.py:"
+                        "344-356: enhance -> renormalize -> sim/T=0.5)")
     p.add_argument("--n-images", type=int, default=32,
                    help="--from-png: synthetic PNGs to generate")
     p.add_argument("--seed", type=int, default=0)
@@ -211,11 +220,14 @@ def run_from_png(args) -> int:
     from clip_for_dl_tpu.models import torch_import as ti
     from clip_for_dl_tpu.models.bert import import_hf_bert
     from clip_for_dl_tpu.models.resnet import import_torchvision_resnet50
+    from clip_for_dl_tpu.models.vit import import_torchvision_vit_b16
     from clip_for_dl_tpu.ops.image_prep import preprocess_images
-    from clip_for_dl_tpu.ops.similarity import similarity
+    from clip_for_dl_tpu.ops.similarity import l2_normalize, similarity
     from clip_for_dl_tpu.testing import (
+        TorchAdditiveAttention,
         TorchResidualProjection,
         TorchResNet,
+        TorchViT,
         randomize_bn_stats,
     )
     from clip_for_dl_tpu.text.tokenizer import BertTokenizer, build_tiny_vocab
@@ -247,16 +259,27 @@ def run_from_png(args) -> int:
     if args.tiny:
         stages, width = (1, 1, 1, 1), 8
         t_hidden, t_layers, t_heads, t_inter = 32, 1, 2, 64
+        v_hidden, v_layers, v_heads, v_mlp, v_patch = 64, 2, 4, 128, 8
         shared = 64
     else:
         stages, width = (3, 4, 6, 3), 64
         t_hidden, t_layers, t_heads, t_inter = 768, 12, 12, 3072
+        v_hidden, v_layers, v_heads, v_mlp, v_patch = 768, 12, 12, 3072, 16
         shared = 512
-    feat_dim = width * 8 * 4
-    t_resnet = TorchResNet(layers=stages, width=width)
-    randomize_bn_stats(t_resnet, args.seed)
+    if args.tower == "vit":
+        t_image_tower = TorchViT(
+            image_size=size, patch=v_patch, hidden=v_hidden,
+            layers=v_layers, heads=v_heads, mlp=v_mlp,
+        )
+        feat_dim = v_hidden
+    else:
+        t_image_tower = TorchResNet(layers=stages, width=width)
+        randomize_bn_stats(t_image_tower, args.seed)
+        feat_dim = width * 8 * 4
+    t_resnet = t_image_tower  # checkpoint naming keeps the 02-nb key
     t_img_proj = TorchResidualProjection(feat_dim, shared)
     t_txt_proj = TorchResidualProjection(t_hidden, shared)
+    t_enhance = TorchAdditiveAttention(shared) if args.enhance else None
 
     prompts = [f"a chest x-ray of {d.lower()}" for d in DISEASE_LABELS]
     vocab = build_tiny_vocab(
@@ -279,10 +302,18 @@ def run_from_png(args) -> int:
         t_img_proj.load_state_dict(models["image_projector"])
         t_txt_proj.load_state_dict(models["text_projector"])
         t_bert.load_state_dict(models["text_model"])
+        if t_enhance is not None and "multimodal_attention" in models:
+            t_enhance.load_state_dict(models["multimodal_attention"])
     for m in (t_resnet, t_img_proj, t_txt_proj, t_bert):
         m.eval()
+    if t_enhance is not None:
+        t_enhance.eval()
 
-    # -- reference chain: cv2 decode → torch towers → sigmoid(sim·4) --------
+    # the enhanced path scores at T=0.5 (disease_analysis.py:352); the
+    # plain chain at the 02-nb zero-shot T=0.25 (sigmoid(sim·4))
+    temperature = 0.5 if args.enhance else 0.25
+
+    # -- reference chain: cv2 decode → torch towers → sigmoid(sim/T) --------
     ref_imgs = []
     zero_fallbacks = 0
     for p in paths:
@@ -297,7 +328,7 @@ def run_from_png(args) -> int:
     ref_x = np.stack(ref_imgs).astype(np.float32) / 255.0
     ref_x = (ref_x - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
     with torch.no_grad():
-        feats = t_resnet(torch.from_numpy(
+        feats = t_image_tower(torch.from_numpy(
             ref_x.transpose(0, 3, 1, 2)).float())
         feats = t_img_proj(torch.flatten(feats, 1))
         feats = torch.nn.functional.normalize(feats, dim=-1)
@@ -306,26 +337,49 @@ def run_from_png(args) -> int:
             attention_mask=torch.from_numpy(mask),
         ).last_hidden_state[:, 0, :]
         tf = torch.nn.functional.normalize(t_txt_proj(tf), dim=-1)
-        want = torch.sigmoid(feats @ tf.T * 4.0).numpy()
+        if t_enhance is not None:  # disease_analysis.py:344-346
+            feats, _ = t_enhance(feats, tf)
+            feats = torch.nn.functional.normalize(feats, dim=-1)
+        want = torch.sigmoid(feats @ tf.T / temperature).numpy()
 
-    # -- framework chain: native decode → CXRClip → sigmoid(sim/0.25) -------
+    # -- framework chain: native decode → CXRClip → sigmoid(sim/T) ----------
     cfg = ModelConfig(
         image_size=size, max_text_length=max_len, vocab_size=len(vocab),
         text_embedding_dim=t_hidden, text_layers=t_layers,
         text_heads=t_heads, text_intermediate_dim=t_inter,
         shared_embedding_dim=shared, resnet_stages=stages,
         resnet_width=width, text_max_position=64,
+        use_multimodal_attention=args.enhance,
+        vit_patch=v_patch, vit_hidden=v_hidden, vit_layers=v_layers,
+        vit_heads=v_heads, vit_mlp_dim=v_mlp,
     )
+    if args.tower == "vit":
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg, image_tower="vit_b16", image_embedding_dim=v_hidden
+        )
     model = CXRClip(cfg)
     variables = jax.jit(model.init)(
         jax.random.key(0), jnp.zeros((1, size, size, 3)),
         jnp.zeros((1, max_len), jnp.int32),
     )
+    variables = jax.tree.map(lambda x: x, variables)  # unfreeze-safe copy
     params = dict(variables["params"])
-    stats = dict(variables["batch_stats"])
-    rp, rs = import_torchvision_resnet50(t_resnet.state_dict(), stages)
-    params["image_tower"] = jax.tree.map(jnp.asarray, rp)
-    stats["image_tower"] = jax.tree.map(jnp.asarray, rs)
+    stats = dict(variables.get("batch_stats", {}))
+    if args.tower == "vit":
+        params["image_tower"] = jax.tree.map(
+            jnp.asarray,
+            import_torchvision_vit_b16(
+                t_image_tower.state_dict(), v_layers, v_hidden
+            ),
+        )
+    else:
+        rp, rs = import_torchvision_resnet50(
+            t_image_tower.state_dict(), stages
+        )
+        params["image_tower"] = jax.tree.map(jnp.asarray, rp)
+        stats["image_tower"] = jax.tree.map(jnp.asarray, rs)
     params["text_tower"] = jax.tree.map(
         jnp.asarray, import_hf_bert(t_bert.state_dict(), layers=t_layers)
     )
@@ -335,7 +389,13 @@ def run_from_png(args) -> int:
     params["text_projector"] = jax.tree.map(
         jnp.asarray, ti.import_residual_projection(t_txt_proj.state_dict())
     )
-    variables = {"params": params, "batch_stats": stats}
+    if args.enhance:
+        params["multimodal_attention"] = jax.tree.map(
+            jnp.asarray, ti.import_additive_attention(t_enhance.state_dict())
+        )
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
 
     # host chain: byte-identical native decode + cv2-parity resize
     our_u8 = np.stack([load_image(p, size) for p in paths])
@@ -347,7 +407,10 @@ def run_from_png(args) -> int:
         )
         feats = model.apply(v, x, normalize=True, method="encode_image")
         tf = model.apply(v, ids, mask, normalize=True, method="encode_text")
-        return jax.nn.sigmoid(similarity(feats, tf, temperature=0.25))
+        if args.enhance:
+            feats, _ = model.apply(v, feats, tf, method="enhance")
+            feats = l2_normalize(feats)
+        return jax.nn.sigmoid(similarity(feats, tf, temperature=temperature))
 
     got = np.asarray(pipeline(
         variables, jnp.asarray(our_u8), jnp.asarray(ids), jnp.asarray(mask)
@@ -365,6 +428,8 @@ def run_from_png(args) -> int:
     abs_err = np.abs(got - want)
     report = {
         "mode": "from_png_bytes",
+        "tower": args.tower,
+        "enhance": bool(args.enhance),
         "n_images": len(paths),
         "zero_fallbacks": zero_fallbacks,
         "host_chain_max_abs_delta_u8": host_delta,
