@@ -261,6 +261,22 @@ def test_real_lengths_hist_only(capsys):
             v["epoch_batches_per_bucket_length_grouped"].values())
 
 
+@pytest.mark.slow  # two full pretrain CLI runs (compile x1, shared cache)
+def test_device_cache_bench_tiny(capsys):
+    """Streaming-vs-device-resident feed benchmark drives the real CLI
+    both ways over an Indiana-layout dataset and reports steady-epoch
+    times (VERDICT r4 item 1's training leg)."""
+    from tools.device_cache_bench import main
+
+    rc = main(["--tiny", "--n-images", "32", "--src-px", "96",
+               "--epochs", "2", "--batch-size", "8"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert rec["streaming"]["steady_epoch_s"] > 0
+    assert rec["device_cache"]["steady_epoch_s"] > 0
+    assert len(rec["streaming"]["epoch_times_s"]) == 2
+
+
 @pytest.mark.slow  # full seven-leg chain incl. a parity_harness subprocess
 def test_day_one_rehearsal(tmp_path):
     """The one-command bring-up chain (prep -> cache-images -> pretrain ->
