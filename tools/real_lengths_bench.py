@@ -175,6 +175,26 @@ def measure_chip(vocab_size: int, bucket_counts: collections.Counter,
                                  padding="max_length"),
         })
 
+    # ONE real init: the param tree is seq-independent (the position
+    # table is sized by text_max_position, not max_text_length), so a
+    # single pristine state serves every bucket. It lives on the HOST;
+    # each bucket/trajectory device_puts a fresh copy because the step is
+    # compiled with donate_argnums=(0,) — without donation the v5e can't
+    # hold {old state, new state, 13 GB step temp} at B=128 and the
+    # measurement OOMs (this is exactly how the r4 attempt died).
+    cfg0 = ModelConfig(max_text_length=max_length, vocab_size=vocab_size)
+    model0 = CXRClip(cfg0, dtype=jnp.bfloat16)
+    variables0 = jax.jit(model0.init)(
+        jax.random.key(0),
+        jnp.zeros((1, size, size, 3)),
+        jnp.zeros((1, max_length), jnp.int32),
+    )
+    host_state = jax.device_get(TrainState.create(variables0, tx))
+    state_shape = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        host_state,
+    )
+
     compiled = {}
 
     def step_for(seq: int):
@@ -182,36 +202,34 @@ def measure_chip(vocab_size: int, bucket_counts: collections.Counter,
             return compiled[seq]
         cfg = ModelConfig(max_text_length=seq, vocab_size=vocab_size)
         model = CXRClip(cfg, dtype=jnp.bfloat16)
-        variables = model.init(
-            jax.random.key(0),
-            jnp.zeros((1, size, size, 3)),
-            jnp.zeros((1, seq), jnp.int32),
-        )
         step = jax.jit(
             make_clip_pretrain_step(
                 model, tx, label_fn, "clip_self_distill",
                 temperature=2.0, image_size=size,
                 compute_dtype=jnp.bfloat16,
             ),
+            donate_argnums=(0,),
         )
-        state = TrainState.create(variables, tx)
         batch = {
-            "images": jax.device_put(images),
-            "input_ids": jax.device_put(
-                np.zeros((batch_size, seq), np.int32)),
-            "attention_mask": jax.device_put(
-                np.ones((batch_size, seq), np.int32)),
+            "images": jax.ShapeDtypeStruct(
+                (batch_size, size, size, 3), np.uint8),
+            "input_ids": jax.ShapeDtypeStruct((batch_size, seq), np.int32),
+            "attention_mask": jax.ShapeDtypeStruct(
+                (batch_size, seq), np.int32),
         }
-        c = step.lower(state, batch, lrs, jax.random.key(0)).compile()
-        compiled[seq] = (c, state)
-        return compiled[seq]
+        c = step.lower(state_shape, batch, lrs, jax.random.key(0)).compile()
+        compiled[seq] = c
+        return c
+
+    def fresh_state():
+        return jax.device_put(host_state)
 
     # --- per-bucket step time (the FLOPs don't depend on params/inputs) ---
     # max_length always times here too: t_padded below reads it directly
     per_bucket = {}
     for seq in sorted(set(bucket_counts) | set(extra_buckets)
                       | {max_length}):
-        c, state = step_for(seq)
+        c = step_for(seq)
         batch = {
             "images": jax.device_put(images),
             "input_ids": jax.device_put(
@@ -220,7 +238,7 @@ def measure_chip(vocab_size: int, bucket_counts: collections.Counter,
             "attention_mask": jax.device_put(
                 np.ones((batch_size, seq), np.int32)),
         }
-        st = state
+        st = fresh_state()
         for i in range(3):
             st, m = c(st, batch, lrs, jax.random.key(i))
         float(np.asarray(m["loss"]))
@@ -229,6 +247,9 @@ def measure_chip(vocab_size: int, bucket_counts: collections.Counter,
             st, m = c(st, batch, lrs, jax.random.key(i))
         float(np.asarray(m["loss"]))
         per_bucket[seq] = (time.perf_counter() - t0) / iters
+        jax.tree.map(
+            lambda x: x.delete() if hasattr(x, "delete") else None, st
+        )
 
     n_batches = sum(bucket_counts.values())
     t_bucketed = sum(per_bucket[s] * n for s, n in bucket_counts.items())
@@ -240,14 +261,15 @@ def measure_chip(vocab_size: int, bucket_counts: collections.Counter,
     # step's extra positions are mask-inert, so losses must match.
     def run_traj(kind: str) -> list:
         losses = []
-        # all seqs share one param tree: take state from the max_length
-        # program (same init key + same shapes for every param)
-        _, state = step_for(max_length)
-        st = state
+        # every seq's program consumes/produces the SAME state tree
+        # (donated input), so the trajectory hops between bucket programs
+        # with one live state; each trajectory restarts from the shared
+        # pristine host init
+        st = fresh_state()
         for i, b in enumerate(batches[:parity_steps]):
             enc = b[kind]
             seq = enc["input_ids"].shape[1]
-            c, _ = step_for(seq)
+            c = step_for(seq)
             batch = {
                 "images": jax.device_put(images),
                 "input_ids": jax.device_put(enc["input_ids"]),
@@ -255,6 +277,9 @@ def measure_chip(vocab_size: int, bucket_counts: collections.Counter,
             }
             st, m = c(st, batch, lrs, jax.random.key(i))
             losses.append(float(np.asarray(m["loss"])))
+        jax.tree.map(
+            lambda x: x.delete() if hasattr(x, "delete") else None, st
+        )
         return losses
 
     pad_traj = run_traj("padded")
