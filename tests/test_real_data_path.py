@@ -221,6 +221,26 @@ def test_cli_train_multiview_device_cache(fake_dataset, built_cache,
     assert rc == 0
 
 
+def test_cli_pretrain_device_cache_dp(fake_dataset, built_cache, tmp_path):
+    """--device-cache composed with --num-devices: the resident array is
+    replicated over the dp mesh and gathers shard along the batch axis
+    (conftest provides the 8-device virtual CPU mesh)."""
+    from clip_for_dl_tpu.cli import main
+
+    root, _, _, img_dir = fake_dataset
+    rc = main([
+        "pretrain", "--tiny", "--fp32", "--epochs", "1",
+        "--reports-csv", str(root / "reports_labeled.csv"),
+        "--projections-csv", str(root / "projections.csv"),
+        "--image-dir", img_dir,
+        "--image-cache", built_cache, "--device-cache",
+        "--num-devices", "2", "--batch-size", "4",
+        "--log-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    assert (tmp_path / "training_history.csv").exists()
+
+
 def test_cli_device_cache_requires_image_cache(fake_dataset, tmp_path):
     from clip_for_dl_tpu.cli import main
 
