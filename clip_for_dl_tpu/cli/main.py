@@ -198,6 +198,13 @@ def _loaders(cfg, args, multi_view=True):
                 f for f in ("tp", "pp", "ep")
                 if (getattr(args, f, 1) or 1) > 1
             ]
+            import jax as _jax
+
+            if _jax.process_count() > 1:
+                # the upload would need per-process addressable shards of
+                # a global mesh; multi-host keeps the streaming loader
+                # (each process already feeds only its own slice)
+                unsupported = unsupported or ["num-processes"]
             if getattr(args, "device_cache", False) and unsupported:
                 logging.warning(
                     "--device-cache composes with dp only (got --%s) — "
