@@ -197,10 +197,20 @@ def measure_chip(vocab_size: int, bucket_counts: collections.Counter,
 
     compiled = {}
 
-    def step_for(seq: int):
-        if seq in compiled:
-            return compiled[seq]
-        cfg = ModelConfig(max_text_length=seq, vocab_size=vocab_size)
+    def step_for(seq: int, dropout0: bool = False):
+        """dropout0=True compiles the DETERMINISTIC variant for the
+        loss-trajectory parity leg: dropout masks are shaped by the
+        bucket, so the same rng key draws DIFFERENT bits at seq 32 vs
+        200 — with dropout on, padded-vs-bucketed trajectories diverge
+        by stochastic regularization, not math (the first run of this
+        tool measured max|dloss| 4.05 that way). With dropout 0 the pad
+        positions are mask-inert and the trajectories must agree to
+        accumulation noise."""
+        key = (seq, dropout0)
+        if key in compiled:
+            return compiled[key]
+        cfg = ModelConfig(max_text_length=seq, vocab_size=vocab_size,
+                          **({"dropout": 0.0} if dropout0 else {}))
         model = CXRClip(cfg, dtype=jnp.bfloat16)
         step = jax.jit(
             make_clip_pretrain_step(
@@ -218,7 +228,7 @@ def measure_chip(vocab_size: int, bucket_counts: collections.Counter,
                 (batch_size, seq), np.int32),
         }
         c = step.lower(state_shape, batch, lrs, jax.random.key(0)).compile()
-        compiled[seq] = c
+        compiled[key] = c
         return c
 
     def fresh_state():
@@ -258,7 +268,10 @@ def measure_chip(vocab_size: int, bucket_counts: collections.Counter,
     # --- loss-trajectory parity: same init, same data, first N steps ---
     # The bucketed run re-pads each batch's ids to max_length ONLY for
     # state bookkeeping — no: each variant runs its own shapes; the padded
-    # step's extra positions are mask-inert, so losses must match.
+    # step's extra positions are mask-inert, so losses must match. The
+    # parity programs run DROPOUT-OFF (see step_for): with dropout on,
+    # the same rng key draws different mask bits per bucket shape and the
+    # comparison measures regularization noise, not math.
     def run_traj(kind: str) -> list:
         losses = []
         # every seq's program consumes/produces the SAME state tree
@@ -269,7 +282,7 @@ def measure_chip(vocab_size: int, bucket_counts: collections.Counter,
         for i, b in enumerate(batches[:parity_steps]):
             enc = b[kind]
             seq = enc["input_ids"].shape[1]
-            c = step_for(seq)
+            c = step_for(seq, dropout0=True)
             batch = {
                 "images": jax.device_put(images),
                 "input_ids": jax.device_put(enc["input_ids"]),
@@ -451,8 +464,9 @@ def main(argv=None) -> int:
                 f" img/s** (corpus)",
                 f"- loss-trajectory parity over {c['parity_steps']} "
                 f"optimizer steps (same init/data): max|dloss| = "
-                f"{c['max_abs_dloss']} (pad positions are mask-inert; "
-                f"difference is bf16 accumulation order only)",
+                f"{c['max_abs_dloss']} (dropout-off parity programs: pad "
+                f"positions are mask-inert, so the residue is bf16 "
+                f"accumulation order only)",
                 "",
                 "Generated by `python tools/real_lengths_bench.py --out "
                 + args.out + "` (VERDICT r3 item 2).",
