@@ -416,12 +416,20 @@ def measure_e2e_device_cache(tower: str, batch_n: int,
     wall = time.perf_counter() - t0
     rate = n_done / wall
 
-    # device-busy fraction over a slice of the same loop
+    # device-busy fraction over a slice of the same PIPELINED loop — a
+    # synchronous fetch-per-batch slice would measure the ~50 ms tunnel
+    # RTT, not the loop being benchmarked (lag-3 in-flight window keeps
+    # dispatches ahead of fetches exactly like the timed loop above)
     log_dir = tempfile.mkdtemp(prefix="bench_devcache_trace_")
     t0 = time.perf_counter()
     with trace(log_dir):
-        for _ in range(6):
-            np.asarray(compiled(variables, data, next(it), text_features))
+        fl = deque()
+        for _ in range(12):
+            fl.append(compiled(variables, data, next(it), text_features))
+            if len(fl) >= lag:
+                np.asarray(fl.popleft())
+        while fl:
+            np.asarray(fl.popleft())
     slice_wall_ms = (time.perf_counter() - t0) * 1e3
     try:
         device_ms = device_op_table(log_dir)["device_total_ms"]
@@ -577,6 +585,14 @@ def main(argv=None) -> None:
             "resnet", batch_n, seconds=args.e2e_seconds,
             rgb_compiled=compiled, rgb_args=fn_args,
             compiler_options=compiler_options,
+        )
+        # the sustained-vs-ceiling ratio is the honest utilization figure
+        # here: the trace-slice busy fraction under-reads on this tunnel
+        # (profiler window edges + ~50 ms dispatch RTT inside a short
+        # 12-batch slice), while the 30 s loop itself sustains this
+        # fraction of the compute-only rate
+        row["e2e_device_cache"]["frac_of_compute"] = round(
+            row["e2e_device_cache"]["img_per_sec"] / rate, 3
         )
     if not args.no_pretrain:
         row["pretrain_flash"] = measure_train(args.pretrain_timeout,
