@@ -51,7 +51,7 @@ ITERS = 30
 def build_zero_shot(tower: str, batch_n: int, *, fast_gelu=False,
                     fused_mlp=False,
                     flash_attention=False, compiler_options=None,
-                    channels: int = 3, gather_n: int = 0):
+                    channels: int = 3, gather_n: int = 0, scan_k: int = 0):
     """Compile the zero-shot program; returns (compiled, args, mfu_fn).
 
     gather_n > 0: the DEVICE-CACHE form — the program takes the whole
@@ -105,6 +105,34 @@ def build_zero_shot(tower: str, batch_n: int, *, fast_gelu=False,
         return jax.nn.sigmoid(logits)
 
     if gather_n:
+        if scan_k:
+            # offline-eval form: ONE dispatch scores K consecutive
+            # batches (lax.scan keeps the per-step batch at the optimal
+            # B) and ONE D2H ships [K, B, 16] — amortizes this
+            # container's ~50 ms dispatch RTT K-fold. Semantics: results
+            # land on the host per K batches, which is exactly the
+            # reference's offline zero-shot eval workload (02 nb cell
+            # 42), not the per-batch serving contract.
+            @jax.jit
+            def zero_shot_scan_fn(variables, data_u8, idx_k, text_features):
+                def one(_, idx):
+                    images_u8 = jnp.take(data_u8, idx, axis=0, mode="clip")
+                    return None, zero_shot_fn(
+                        variables, images_u8, text_features
+                    )
+
+                _, probs = jax.lax.scan(one, None, idx_k)
+                return probs
+
+            data = jax.ShapeDtypeStruct(
+                (gather_n, 224, 224, channels), jnp.uint8
+            )
+            idx = jax.ShapeDtypeStruct((scan_k, batch_n), jnp.int32)
+            compiled = zero_shot_scan_fn.lower(
+                variables, data, idx, text_features
+            ).compile(compiler_options=compiler_options)
+            return compiled, (variables, text_features)
+
         @jax.jit
         def zero_shot_gather_fn(variables, data_u8, idx, text_features):
             images_u8 = jnp.take(data_u8, idx, axis=0, mode="clip")
@@ -437,6 +465,45 @@ def measure_e2e_device_cache(tower: str, batch_n: int,
     except Exception:
         busy = None
 
+    # offline-eval form: one dispatch scores K batches (scan), one D2H
+    # ships [K, B, 16] — the remaining per-batch gap above is dispatch/
+    # fetch RTT, and the reference's own zero-shot eval (02 nb cell 42)
+    # is exactly this offline workload
+    K = 8
+    scan_compiled, (sv, stf) = build_zero_shot(
+        tower, batch_n, compiler_options=compiler_options, channels=c,
+        gather_n=n_images, scan_k=K,
+    )
+
+    def idx_k():
+        return np.stack([next(it) for _ in range(K)])
+
+    np.asarray(scan_compiled(sv, data, idx_k(), stf))  # warm
+    scan_identical = None
+    if rgb_compiled is not None and c == 1:
+        i0 = np.arange(batch_n, dtype=np.int32) % n_images
+        ik = np.tile(i0, (K, 1))
+        pk = np.asarray(scan_compiled(sv, data, ik, stf))
+        pr = np.asarray(rgb_compiled(
+            rgb_args[0], np.repeat(host[i0], 3, axis=-1), rgb_args[2]
+        ))
+        scan_identical = bool((pk == pr[None]).all())
+    t0 = time.perf_counter()
+    n_scan = 0
+    fl = deque()
+    while True:
+        fl.append(scan_compiled(sv, data, idx_k(), stf))
+        if len(fl) >= 2:
+            np.asarray(fl.popleft())
+            n_scan += batch_n * K
+        if time.perf_counter() - t0 >= seconds / 2:
+            break
+    while fl:
+        np.asarray(fl.popleft())
+        n_scan += batch_n * K
+    scan_wall = time.perf_counter() - t0
+    scan_rate = n_scan / scan_wall
+
     out = {
         "img_per_sec": round(rate, 1),
         "seconds": round(wall, 1),
@@ -448,6 +515,13 @@ def measure_e2e_device_cache(tower: str, batch_n: int,
         "device_busy_frac": None if busy is None else round(busy, 3),
         "vs_baseline_e2e": round(rate / BASELINE_IMG_PER_SEC, 2),
         "cache_channels": c,
+        "offline_eval_scan8": {
+            "img_per_sec": round(scan_rate, 1),
+            "vs_baseline_e2e": round(scan_rate / BASELINE_IMG_PER_SEC, 2),
+            "n_images": n_scan,
+            **({} if scan_identical is None
+               else {"pred_identical": scan_identical}),
+        },
     }
     if gray_identical is not None:
         out["gray_pred_identical"] = gray_identical
