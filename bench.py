@@ -419,10 +419,12 @@ def measure_e2e_device_cache(tower: str, batch_n: int,
     rng = np.random.default_rng(7)
 
     def idx_stream():
+        # modular wrap like measure_e2e.host_iter: batch_n > n_images
+        # must still yield (repeated rows), not spin forever
         while True:
             order = rng.permutation(n_images).astype(np.int32)
-            for s in range(0, n_images - batch_n + 1, batch_n):
-                yield order[s : s + batch_n]
+            for s in range(0, max(n_images - batch_n + 1, 1), batch_n):
+                yield order[(np.arange(batch_n) + s) % n_images]
 
     it = idx_stream()
     for _ in range(2):  # warm

@@ -265,6 +265,15 @@ def _loaders(cfg, args, multi_view=True):
             )
     else:
         dcache = None
+        if getattr(args, "device_cache", False):
+            # same loudness as the missing --image-cache case: the user
+            # asked for the device-resident feed and would otherwise get
+            # silently streamed synthetic data
+            raise SystemExit(
+                "--device-cache requires the real dataset "
+                "(reports/projections CSVs + --image-dir resolve), which "
+                "was not found"
+            )
         logging.warning("Indiana images unavailable — using synthetic data")
         n = args.synthetic_samples
         if multi_view:

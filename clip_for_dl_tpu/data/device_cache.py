@@ -91,7 +91,7 @@ class DeviceImageCache:
     ):
         self.image_size = cache.image_size
         self.channels = cache.channels
-        self._rows = dict(cache._rows)
+        self._cache = cache  # row()/__contains__ delegate: ONE key scheme
         s, c = self.image_size, self.channels
         n = len(cache)
         nbytes = n * s * s * c
@@ -149,13 +149,13 @@ class DeviceImageCache:
         )
 
     def __len__(self) -> int:
-        return len(self._rows)
+        return len(self._cache)
 
     def __contains__(self, path: str) -> bool:
-        return os.path.basename(path) in self._rows
+        return path in self._cache
 
     def row(self, path: str) -> Optional[int]:
-        return self._rows.get(os.path.basename(path))
+        return self._cache.row(path)
 
     def gather(self, rows: np.ndarray) -> jax.Array:
         """uint8 [*rows.shape, S, S, C] device batch for int row indices.

@@ -224,23 +224,33 @@ class HostLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_threads) as pool:
-                for i, (idx, valid) in enumerate(self._batch_indices()):
-                    if stop.is_set():
-                        return
-                    if i < skip:
-                        continue
-                    samples = list(pool.map(self.dataset.__getitem__, idx))
-                    batch = _collate(samples)
-                    real = len(idx)
-                    if self.pad_final and real < self.batch_size:
-                        batch = _pad_batch(batch, self.batch_size, real)
-                    elif self.pad_final:
-                        batch["mask"] = np.ones(real, np.float32)
-                    if self.pad_final and not valid.all():
-                        batch["mask"][:real] *= valid.astype(np.float32)
-                    if not _bounded_put(queue, batch, stop):
-                        return  # consumer abandoned the epoch
+            try:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for i, (idx, valid) in enumerate(self._batch_indices()):
+                        if stop.is_set():
+                            return
+                        if i < skip:
+                            continue
+                        samples = list(
+                            pool.map(self.dataset.__getitem__, idx)
+                        )
+                        batch = _collate(samples)
+                        real = len(idx)
+                        if self.pad_final and real < self.batch_size:
+                            batch = _pad_batch(batch, self.batch_size, real)
+                        elif self.pad_final:
+                            batch["mask"] = np.ones(real, np.float32)
+                        if self.pad_final and not valid.all():
+                            batch["mask"][:real] *= valid.astype(np.float32)
+                        if not _bounded_put(queue, batch, stop):
+                            return  # consumer abandoned the epoch
+            except BaseException as exc:
+                # a dataset __getitem__ raising (decode failure, cache
+                # miss in rows mode) must surface in the CONSUMER — a
+                # dead producer with no sentinel would hang queue.get()
+                # forever
+                _bounded_put(queue, exc, stop)
+                return
             _bounded_put(queue, sentinel, stop)
 
         thread = threading.Thread(target=producer, daemon=True)
@@ -250,6 +260,8 @@ class HostLoader:
                 item = queue.get()
                 if item is sentinel:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 self._step += 1
                 yield item
         finally:

@@ -220,6 +220,25 @@ class TestLoader:
             time.sleep(0.05)
         assert not extra, f"thread leaked past abandonment: {extra}"
 
+    def test_hostloader_getitem_exception_surfaces(self):
+        """A raising dataset __getitem__ (decode failure, rows-mode cache
+        miss) must re-raise in the CONSUMER — a dead producer with no
+        sentinel used to hang queue.get() forever (r5 review finding)."""
+
+        class Boom:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                if i >= 4:
+                    raise KeyError("not in the image cache")
+                return {"x": np.zeros(2, np.float32)}
+
+        loader = HostLoader(Boom(), batch_size=2, prefetch=1)
+        with pytest.raises(KeyError, match="image cache"):
+            for _ in loader:
+                pass
+
     def test_hostloader_direct_break_stops_producer(self):
         """Breaking out of a bare HostLoader loop (no prefetch wrapper)
         joins the producer thread via the iterator's finally clause."""

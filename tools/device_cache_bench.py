@@ -122,7 +122,11 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--tiny", action="store_true",
                    help="tiny towers (CPU smoke; image size 64)")
-    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--image-size", type=int, default=224,
+                   help="must match the CLI preset's model size: 224 "
+                        "(or 64 with --tiny) — the pretrain runs use the "
+                        "preset geometry and a mismatched cache is a "
+                        "hard error at dataset construction")
     p.add_argument("--keep", action="store_true")
     p.add_argument("--extra", nargs="*", default=[],
                    help="extra CLI flags for both pretrain runs "
@@ -135,9 +139,16 @@ def main(argv=None) -> int:
 
     enable_from_env()
 
+    size = 64 if args.tiny else args.image_size
+    if not args.tiny and args.image_size != 224:
+        p.error(
+            "--image-size other than 224 needs a matching model preset; "
+            "the CLI pretrain runs at the preset's image_size (224, or "
+            "64 under --tiny), and a cache built at any other size fails "
+            "the dataset's geometry check"
+        )
     root = tempfile.mkdtemp(prefix="devcache_bench_")
     try:
-        size = 64 if args.tiny else args.image_size
         ds = build_dataset(root, args.n_images, args.src_px)
         from clip_for_dl_tpu.cli import main as cli_main
 
