@@ -481,7 +481,11 @@ def measure_e2e_device_cache(tower: str, batch_n: int,
         return np.stack([next(it) for _ in range(K)])
 
     np.asarray(scan_compiled(sv, data, idx_k(), stf))  # warm
-    scan_identical = None
+    # the scan-compiled tower schedules differently from the standalone
+    # program, so bf16 results differ at schedule-noise scale rather
+    # than being bit-identical like the gather form (measured 2.2e-4 in
+    # probability space vs bf16's ~8e-3 resolution) — report the delta
+    scan_max_dprob = None
     if rgb_compiled is not None and c == 1:
         i0 = np.arange(batch_n, dtype=np.int32) % n_images
         ik = np.tile(i0, (K, 1))
@@ -489,7 +493,7 @@ def measure_e2e_device_cache(tower: str, batch_n: int,
         pr = np.asarray(rgb_compiled(
             rgb_args[0], np.repeat(host[i0], 3, axis=-1), rgb_args[2]
         ))
-        scan_identical = bool((pk == pr[None]).all())
+        scan_max_dprob = float(np.abs(pk - pr[None]).max())
     t0 = time.perf_counter()
     n_scan = 0
     fl = deque()
@@ -521,8 +525,8 @@ def measure_e2e_device_cache(tower: str, batch_n: int,
             "img_per_sec": round(scan_rate, 1),
             "vs_baseline_e2e": round(scan_rate / BASELINE_IMG_PER_SEC, 2),
             "n_images": n_scan,
-            **({} if scan_identical is None
-               else {"pred_identical": scan_identical}),
+            **({} if scan_max_dprob is None
+               else {"max_abs_dprob_vs_streamed": scan_max_dprob}),
         },
     }
     if gray_identical is not None:
