@@ -128,9 +128,13 @@ def main(argv=None) -> int:
                         "preset geometry and a mismatched cache is a "
                         "hard error at dataset construction")
     p.add_argument("--keep", action="store_true")
-    p.add_argument("--extra", nargs="*", default=[],
-                   help="extra CLI flags for both pretrain runs "
-                        "(e.g. --flash-attention --bert-fused-mlp)")
+    p.add_argument("--extra", default=[],
+                   type=lambda s: [f for f in s.split(",") if f],
+                   help="comma-separated extra CLI flags for both "
+                        "pretrain runs, e.g. "
+                        "--extra=--flash-attention,--bert-fused-mlp "
+                        "(comma form because argparse would swallow "
+                        "space-separated dashed tokens)")
     p.add_argument("--out", default=None, metavar="BASE",
                    help="write BASE.md + BASE.json")
     args = p.parse_args(argv)
