@@ -49,6 +49,12 @@ day-one:  ## one-command real-hardware bring-up: prep -> cache-images -> hub-ini
 accumreport:  ## measured HBM effect of GradCache accumulation (XLA memory_analysis)
 	python tools/accum_report.py --tiny
 
+devcachebench:  ## pretrain epoch: streaming vs device-resident image feed (chip)
+	python tools/device_cache_bench.py --out benchmarks/device_cache_train
+
+lengthsbench:  ## bucketed pretrain on the REAL Indiana report lengths (chip)
+	python tools/real_lengths_bench.py --out benchmarks/bucketed_pretrain
+
 clean:
 	$(MAKE) -C native clean
 	find . -name __pycache__ -type d -exec rm -rf {} +
