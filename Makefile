@@ -1,4 +1,4 @@
-.PHONY: test test-fast check-fast-budget bench native smoke parity latency pipeline scaling trainbench tracereport realdata day-one accumreport clean
+.PHONY: test test-fast check-fast-budget bench native smoke parity latency pipeline scaling trainbench tracereport realdata day-one accumreport devcachebench lengthsbench clean
 
 test:
 	python -m pytest tests/ -q

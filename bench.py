@@ -302,6 +302,12 @@ def measure_e2e(compiled, variables, text_features, batch_n: int,
                          text_features)
         )
         gray_identical = bool((p_gray == p_rgb).all())
+        # a real gate, not a report: the gray-packed path's whole claim
+        # is bit-identity with the triplicated-RGB program
+        assert gray_identical, (
+            "gray-packed predictions diverged from the RGB program "
+            f"(max|d| {abs(p_gray - p_rgb).max()})"
+        )
 
     # sustained loop: PIPELINED — a producer thread owns host-read +
     # device_put (H2D overlaps everything), the consumer keeps a small
@@ -412,6 +418,10 @@ def measure_e2e_device_cache(tower: str, batch_n: int,
             rgb_args[0], np.repeat(host[idx0], 3, axis=-1), rgb_args[2]
         ))
         gray_identical = bool((p_dev == p_rgb).all())
+        assert gray_identical, (
+            "device-cache gathered predictions diverged from the "
+            f"streamed RGB program (max|d| {abs(p_dev - p_rgb).max()})"
+        )
 
     # sustained loop: epoch-shuffled index batches, in-flight window with
     # lag-3 D2H fetches (serving semantics — every prediction lands on

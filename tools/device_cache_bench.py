@@ -215,6 +215,8 @@ def main(argv=None) -> int:
             "device_cache": results["device_cache"],
             "steady_epoch_speedup": speedup,
         }
+        if args.out:
+            report["out_base"] = args.out
         print(json.dumps(report))
         if args.out:
             with open(args.out + ".json", "w") as f:
@@ -231,6 +233,10 @@ def main(argv=None) -> int:
 def render_md(r: dict) -> str:
     s = r["streaming"]
     d = r["device_cache"]
+    extra_cli = (
+        ' "--extra=' + ",".join(r["extra"]) + '"' if r["extra"] else ""
+    )
+    out = r.get("out_base", "benchmarks/device_cache_train")
     return f"""# Pretrain epoch: streaming vs device-resident image feed
 
 `--device-cache` uploads the whole gray-packed uint8 image cache to HBM
@@ -255,7 +261,7 @@ program — the delta is purely host-feed + H2D.
 **Steady-epoch speedup: {r["steady_epoch_speedup"]}x.** (Epoch 0 carries
 the jit compile in both runs and is excluded from the steady mean.)
 
-Reproduce: `python tools/device_cache_bench.py --out benchmarks/device_cache_train`
+Reproduce: `python tools/device_cache_bench.py{extra_cli} --out {out}`
 """
 
 
